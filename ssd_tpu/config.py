@@ -1,0 +1,169 @@
+"""Engine configuration.
+
+Parity: /root/reference/ssd/config.py:7-94 (same knobs + derivations:
+fan_out_list, MQ_LEN, eagle layer defaults, max_model_len capping), re-expressed
+for TPU: `num_devices`/`tp_size` replace `num_gpus`, `hbm_memory_utilization`
+replaces `gpu_memory_utilization`, and the HF config is parsed directly from
+`config.json` into a light `ModelConfig` (no torch / transformers dependency on
+the hot path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field, replace
+
+from ssd_tpu.paths import DEFAULT_TARGET, DEFAULT_DRAFT
+
+
+@dataclass
+class ModelConfig:
+    """Subset of an HF `config.json` the engine needs, parsed without transformers."""
+
+    model_type: str = "llama"
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    intermediate_size: int = 8192
+    num_hidden_layers: int = 16
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    head_dim: int | None = None
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    max_position_embeddings: int = 8192
+    tie_word_embeddings: bool = False
+    torch_dtype: str = "bfloat16"
+    eos_token_id: int | list[int] | None = None
+    bos_token_id: int | None = None
+    attention_bias: bool = False
+    # EAGLE-3 draft checkpoints carry a reduced LM-head vocab.
+    draft_vocab_size: int | None = None
+
+    @property
+    def head_dim_actual(self) -> int:
+        if self.head_dim is not None:
+            return self.head_dim
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def eos(self) -> int:
+        e = self.eos_token_id
+        if isinstance(e, list):
+            return e[0]
+        return -1 if e is None else e
+
+    @classmethod
+    def from_pretrained(cls, model_path: str) -> "ModelConfig":
+        with open(os.path.join(model_path, "config.json")) as f:
+            raw = json.load(f)
+        known = {f_.name for f_ in cls.__dataclass_fields__.values()}  # type: ignore[attr-defined]
+        kwargs = {k: v for k, v in raw.items() if k in known}
+        return cls(**kwargs)
+
+
+@dataclass
+class Config:
+    model: str = DEFAULT_TARGET
+    max_num_batched_tokens: int = 16384
+    max_num_seqs: int = 1
+    max_model_len: int = 4096
+    hbm_memory_utilization: float = 0.7
+    num_devices: int = 1
+    enforce_eager: bool = False  # kept for CLI parity; XLA always compiles
+    hf_config: ModelConfig | None = None
+    eos: int = -1
+    kvcache_block_size: int = 256
+    num_kvcache_blocks: int = -1
+    dtype: str = "bfloat16"
+    seed: int = 0
+    use_pallas: bool | None = None  # None = auto (on for TPU backend)
+
+    # spec config args
+    draft_hf_config: ModelConfig | None = None
+    speculate: bool = False
+    draft: str = DEFAULT_DRAFT
+    speculate_k: int = 1
+    draft_async: bool = False
+
+    # async spec only
+    async_fan_out: int = 3
+    fan_out_list: list[int] | None = None
+    fan_out_list_miss: list[int] | None = None
+    sampler_x: float | None = None
+    jit_speculate: bool = False
+
+    # eagle3
+    use_eagle: bool = False
+    eagle_layers: list[int] | None = None
+    d_model_target: int | None = None
+    tokenizer_path: str | None = None
+
+    # debugging
+    verbose: bool = False
+    debug_mode: bool = False
+    max_steps: int | None = None
+
+    MQ_LEN: int = field(default=0, init=False)
+
+    @property
+    def max_blocks(self) -> int:
+        return (self.max_model_len + self.kvcache_block_size - 1) // self.kvcache_block_size
+
+    @property
+    def tp_size(self) -> int:
+        """Devices used for target tensor parallelism (last device hosts the
+        async draft, mirroring reference llm_engine.py:62)."""
+        return self.num_devices if not self.draft_async else max(1, self.num_devices - 1)
+
+    def __post_init__(self):
+        assert os.path.isdir(self.model), f"model path does not exist: {self.model}"
+        assert self.num_devices >= 1
+
+        self.hf_config = ModelConfig.from_pretrained(self.model)
+        self.max_model_len = min(self.max_model_len, self.hf_config.max_position_embeddings)
+
+        if self.speculate:
+            self.draft_hf_config = ModelConfig.from_pretrained(self.draft)
+            self.max_model_len = min(
+                self.max_model_len, self.draft_hf_config.max_position_embeddings
+            )
+            if self.draft_async:
+                if self.fan_out_list is None:
+                    self.fan_out_list = [self.async_fan_out] * (self.speculate_k + 1)
+                if self.fan_out_list_miss is None:
+                    self.fan_out_list_miss = list(self.fan_out_list)
+                assert sum(self.fan_out_list_miss) == sum(self.fan_out_list), (
+                    "fan_out_list_miss must sum to the same MQ_LEN as fan_out_list"
+                )
+                self.MQ_LEN = sum(self.fan_out_list)
+
+        if self.use_eagle:
+            if self.eagle_layers is None:
+                L = self.hf_config.num_hidden_layers
+                self.eagle_layers = [2, L // 2, L - 3]
+            if self.speculate and self.draft_hf_config is not None:
+                # EAGLE draft must use the target's rope geometry
+                # (reference config.py:78-92).
+                self.draft_hf_config.rope_theta = self.hf_config.rope_theta
+                self.draft_hf_config.max_position_embeddings = (
+                    self.hf_config.max_position_embeddings
+                )
+            if self.d_model_target is None:
+                self.d_model_target = self.hf_config.hidden_size
+
+        if self.eos == -1:
+            self.eos = self.hf_config.eos
+
+        assert self.max_num_batched_tokens >= self.max_model_len
+
+    def create_draft_config(self) -> "Config":
+        """Config for the draft model runner (reference draft_runner.py:21-32)."""
+        cfg = replace(
+            self,
+            model=self.draft,
+            hbm_memory_utilization=0.75 if not self.draft_async else 0.8,
+            tokenizer_path=self.model if self.use_eagle else None,
+            d_model_target=self.hf_config.hidden_size if self.use_eagle else None,
+        )
+        return cfg

@@ -1,0 +1,279 @@
+"""Continuous-batching scheduler with preemption and speculative postprocess.
+
+Parity: /root/reference/ssd/engine/scheduler.py — FCFS prefill admission up to
+max_num_batched_tokens, lookahead-aware decode scheduling with preemption
+(preempted completions are absorbed into the prompt and re-prefilled), AR
+postprocess with EOS/max-token finish + block-hash finalization, and the
+speculative postprocess: EOS/max-len suffix truncation, KV rollback of
+over-allocated spec blocks, sequence metadata update, and EAGLE activation
+carry. All host-side; never traced by XLA.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+
+from ssd_tpu.config import Config
+from ssd_tpu.engine.block_manager import BlockManager
+from ssd_tpu.engine.sequence import Sequence, SequenceStatus
+from ssd_tpu.ops.spec_math import compute_megaspec_lookahead
+
+
+class Scheduler:
+
+    def __init__(self, config: Config, draft_cfg: Config | None = None):
+        self.max_num_seqs = config.max_num_seqs
+        self.fan_out_list = config.fan_out_list
+        self.fan_out_list_miss = config.fan_out_list_miss
+        if config.draft_async:
+            self.MQ_LEN = sum(self.fan_out_list)
+        self.max_num_batched_tokens = config.max_num_batched_tokens
+        self.max_model_len = config.max_model_len
+        self.eos = config.eos
+        self.speculate = config.speculate
+        self.F = config.async_fan_out
+        self.K = config.speculate_k
+        self.block_size = config.kvcache_block_size
+        self.verbose = config.verbose
+        self.draft_async = config.draft_async
+        self.block_manager = BlockManager(
+            config.num_kvcache_blocks,
+            config.kvcache_block_size,
+            is_draft=False,
+            verbose=self.verbose,
+            max_model_len=self.max_model_len,
+        )
+        if self.speculate:
+            assert draft_cfg is not None
+            self.draft_block_manager = BlockManager(
+                draft_cfg.num_kvcache_blocks,
+                draft_cfg.kvcache_block_size,
+                is_draft=True,
+                speculate_k=self.K,
+                verbose=self.verbose,
+                max_model_len=self.max_model_len,
+            )
+
+        self.waiting: deque[Sequence] = deque()
+        self.running: deque[Sequence] = deque()
+
+    def is_finished(self) -> bool:
+        return not self.waiting and not self.running
+
+    def add(self, seq: Sequence):
+        self.waiting.append(seq)
+
+    def bms_can_append(
+        self, seq: Sequence, target_lookahead_len: int, draft_lookahead_len: int | None = None
+    ) -> bool:
+        target_ok = self.block_manager.can_append(seq, target_lookahead_len)
+        if self.speculate:
+            draft_ok = self.draft_block_manager.can_append(seq, draft_lookahead_len)
+        else:
+            assert draft_lookahead_len is None
+            draft_ok = True
+        return target_ok and draft_ok
+
+    def bms_can_allocate(self, seq: Sequence) -> bool:
+        return self.block_manager.can_allocate(seq) and (
+            not self.speculate or self.draft_block_manager.can_allocate(seq)
+        )
+
+    def schedule(self) -> tuple[list[Sequence], bool]:
+        # --- prefill admission (FCFS) ---
+        scheduled_seqs: list[Sequence] = []
+        num_batched_tokens = 0
+
+        while self.waiting:
+            seq = self.waiting[0]
+            remain = len(seq) - seq.num_cached_tokens
+            if num_batched_tokens + remain > self.max_num_batched_tokens or not self.bms_can_allocate(seq):
+                break
+            self.block_manager.allocate(seq)
+            if self.speculate:
+                self.draft_block_manager.allocate(seq)
+            num_batched_tokens += remain
+            seq.status = SequenceStatus.RUNNING
+            self.waiting.popleft()
+            self.running.append(seq)
+            scheduled_seqs.append(seq)
+        if scheduled_seqs:
+            return scheduled_seqs, True
+
+        # --- decode scheduling with preemption ---
+        num_seqs_decoded = 0
+        sync_spec = self.speculate and not self.draft_async
+        async_spec = self.speculate and self.draft_async
+
+        if async_spec:
+            target_lookahead_len = self.K + 1
+            draft_lookahead_len = compute_megaspec_lookahead(self.MQ_LEN, self.K)
+        elif sync_spec:
+            target_lookahead_len = self.K + 1
+            draft_lookahead_len = self.K + 1
+        else:
+            target_lookahead_len = 1
+            draft_lookahead_len = None
+
+        while self.running and num_seqs_decoded < self.max_num_seqs:
+            seq = self.running.popleft()
+            while not self.bms_can_append(seq, target_lookahead_len, draft_lookahead_len):
+                if self.running:
+                    self.preempt(self.running.pop())
+                else:
+                    self.preempt(seq)
+                    break
+            else:
+                num_seqs_decoded += 1
+                self.block_manager.may_append(seq, target_lookahead_len)
+                if self.speculate:
+                    self.draft_block_manager.may_append(seq, draft_lookahead_len)
+                scheduled_seqs.append(seq)
+
+        self.running.extendleft(reversed(scheduled_seqs))
+        return scheduled_seqs, False
+
+    def preempt(self, seq: Sequence):
+        seq.status = SequenceStatus.WAITING
+        seq.recovery_token_id = None
+        self.block_manager.deallocate(seq)
+        if self.speculate:
+            self.draft_block_manager.deallocate(seq)
+        self.waiting.appendleft(seq)
+        # Absorb completions as "new prompt" so they re-cache on next prefill.
+        seq.num_prompt_tokens = seq.num_tokens
+        seq.last_spec_step_accepted_len = -1
+        seq.extend_count = 0
+        seq.extend_eagle_acts = None
+        seq.extend_token_ids = None
+
+    # --- autoregressive postprocess ---
+    def postprocess(self, seqs: list[Sequence], token_ids: list[int], is_prefill: bool):
+        for seq, token_id in zip(seqs, token_ids):
+            seq.append_token(token_id)
+            if is_prefill:
+                seq.num_cached_tokens = seq.num_prompt_tokens
+            else:
+                seq.num_cached_tokens += 1
+            if (not seq.ignore_eos and token_id == self.eos) or (
+                seq.num_completion_tokens == seq.max_new_tokens
+            ):
+                seq.status = SequenceStatus.FINISHED
+                self.block_manager.deallocate(seq)
+                self.running.remove(seq)
+            else:
+                # If a block just completed, hash it into the prefix cache.
+                block_table = seq.block_table
+                last_block = self.block_manager.blocks[block_table[-1]]
+                if seq.last_block_num_tokens == self.block_size:
+                    ids = seq.block(seq.num_blocks - 1)
+                    prefix = (
+                        self.block_manager.blocks[block_table[-2]].hash
+                        if len(block_table) > 1 else -1
+                    )
+                    h = self.block_manager.compute_hash(ids, prefix)
+                    last_block.update(h, ids)
+                    self.block_manager.hash_to_block_id[h] = last_block.block_id
+
+    # --- speculative postprocess helpers ---
+    def _handle_eos_and_max_new_tokens(
+        self, seq: Sequence, new_suffix: list[int]
+    ) -> tuple[list[int], bool]:
+        finished = False
+        if not seq.ignore_eos and self.eos in new_suffix:
+            new_suffix = new_suffix[: new_suffix.index(self.eos) + 1]
+        if seq.num_completion_tokens + len(new_suffix) >= seq.max_new_tokens:
+            new_suffix = new_suffix[: seq.max_new_tokens - seq.num_completion_tokens]
+        if seq.num_tokens + len(new_suffix) > self.max_model_len:
+            new_suffix = new_suffix[: max(0, self.max_model_len - seq.num_tokens)]
+
+        n = len(new_suffix)
+        if (
+            (not seq.ignore_eos and self.eos in new_suffix)
+            or seq.num_completion_tokens + n == seq.max_new_tokens
+            or seq.num_tokens + n >= self.max_model_len
+        ):
+            finished = True
+        assert seq.num_completion_tokens <= seq.max_new_tokens
+        return new_suffix, finished
+
+    def _update_kv_caches(self, seq: Sequence, new_suffix: list[int]):
+        """Roll back KV blocks over-allocated during speculation."""
+        required_blocks = (
+            seq.num_tokens + len(new_suffix) + self.block_size - 1
+        ) // self.block_size
+
+        for bm, table_name in (
+            (self.block_manager, "block_table"),
+            (self.draft_block_manager, "draft_block_table"),
+        ):
+            table = getattr(seq, table_name)
+            if len(table) > required_blocks:
+                excess = len(table) - required_blocks
+                bm.deallocate_ids(table[-excess:])
+                setattr(seq, table_name, table[:-excess])
+
+    def _finalize_block(self, bm: BlockManager, seq: Sequence, block_table: list[int], i: int):
+        ids = seq.block(i)
+        prefix = bm.blocks[block_table[-2]].hash if len(block_table) > 1 else -1
+        h = bm.compute_hash(ids, prefix)
+        last = bm.blocks[block_table[-1]]
+        last.update(h, ids)
+        bm.hash_to_block_id[h] = last.block_id
+
+    def _update_sequence_metadata(self, seq: Sequence, new_suffix: list[int], recovery_token: int):
+        n = len(new_suffix)
+        assert n >= 1, "new_suffix must be non-empty"
+        seq.token_ids.extend(new_suffix)
+        seq.num_tokens += n
+        seq.last_token = new_suffix[-1]
+        seq.num_cached_tokens += n
+        seq.num_draft_cached_tokens += n
+        seq.last_spec_step_accepted_len = n
+        seq.recovery_token_id = recovery_token
+
+        assert seq.last_block_num_tokens == seq.last_block_num_tokens_draft
+        assert seq.block_table and seq.draft_block_table
+
+        new_total = seq.num_tokens
+        for i in range(len(seq.block_table)):
+            if (i + 1) * self.block_size <= new_total:
+                if self.block_manager.blocks[seq.block_table[i]].hash == -1:
+                    self._finalize_block(self.block_manager, seq, seq.block_table, i)
+                if self.draft_block_manager.blocks[seq.draft_block_table[i]].hash == -1:
+                    self._finalize_block(self.draft_block_manager, seq, seq.draft_block_table, i)
+
+    def postprocess_speculate(
+        self,
+        seqs: list[Sequence],
+        new_suffixes: list[list[int]],
+        next_recovery_tokens: list[int],
+        eagle_acts: np.ndarray | None = None,  # [B, K+1, 3*D_target]
+    ):
+        for i, (seq, new_suffix, rec) in enumerate(
+            zip(seqs, new_suffixes, next_recovery_tokens)
+        ):
+            new_suffix, finished = self._handle_eos_and_max_new_tokens(seq, new_suffix)
+            self._update_kv_caches(seq, new_suffix)
+            self._update_sequence_metadata(seq, new_suffix, rec)
+
+            if eagle_acts is not None:
+                accepted_len = len(new_suffix)
+                idx = min(accepted_len - 1, eagle_acts.shape[1] - 1)
+                seq.last_target_hidden_state = np.asarray(eagle_acts[i, idx])
+                n_ext = min(accepted_len - 1, self.K)
+                seq.extend_count = n_ext
+                if n_ext > 0:
+                    seq.extend_eagle_acts = np.asarray(eagle_acts[i, :n_ext]).copy()
+                    seq.extend_token_ids = np.asarray(new_suffix[1:1 + n_ext], dtype=np.int64)
+                else:
+                    seq.extend_eagle_acts = None
+                    seq.extend_token_ids = None
+
+            if finished:
+                seq.status = SequenceStatus.FINISHED
+                self.block_manager.deallocate(seq)
+                self.draft_block_manager.deallocate(seq)
+                self.running.remove(seq)
