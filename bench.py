@@ -1,0 +1,102 @@
+"""Driver benchmark: decode throughput of the engine on this host's devices.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Runs a Llama-3.2-1B-shaped random-weight model (checkpoints are not available
+in the build environment) through the full engine path — paged KV, continuous
+batching, jitted decode — and reports decode tokens/sec. vs_baseline is the
+ratio against the most recent value recorded in bench_history.json (1.0 on
+first run).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import numpy as np
+
+    mode = os.environ.get("SSD_BENCH_MODE", "ar")
+    out_len = int(os.environ.get("SSD_BENCH_OUT_LEN", "128"))
+    batch = int(os.environ.get("SSD_BENCH_BATCH", "1"))
+
+    # Llama-3.2-1B geometry.
+    model_dir = "/tmp/ssd_bench_model_1b"
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump({
+            "model_type": "llama",
+            "vocab_size": 128256,
+            "hidden_size": 2048,
+            "intermediate_size": 8192,
+            "num_hidden_layers": 16,
+            "num_attention_heads": 32,
+            "num_key_value_heads": 8,
+            "head_dim": 64,
+            "max_position_embeddings": 4096,
+            "rms_norm_eps": 1e-5,
+            "rope_theta": 500000.0,
+            "tie_word_embeddings": True,
+            "eos_token_id": 128001,
+        }, f)
+
+    from ssd_tpu.llm import LLM
+    from ssd_tpu.sampling_params import SamplingParams
+
+    engine = LLM(
+        model_dir,
+        init_random=True,
+        dtype="bfloat16",
+        max_model_len=2048,
+        max_num_batched_tokens=4096,
+        max_num_seqs=max(4, batch),
+        kvcache_block_size=64,
+    )
+
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(10, 50000, size=128).tolist() for _ in range(batch)]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=out_len, ignore_eos=True)
+
+    # Warmup (compile) with a short run.
+    engine.generate(
+        [p[:] for p in prompts],
+        SamplingParams(temperature=0.0, max_new_tokens=4, ignore_eos=True),
+        use_tqdm=False,
+    )
+
+    t0 = time.perf_counter()
+    outs, metrics = engine.generate([p[:] for p in prompts], sp, use_tqdm=False)
+    wall = time.perf_counter() - t0
+
+    total_out = sum(len(o["token_ids"]) for o in outs)
+    decode_tps = (
+        metrics["decode_total_tokens"] / metrics["decode_total_time"]
+        if metrics["decode_total_time"] > 0 else total_out / wall
+    )
+
+    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_history.json")
+    prev = None
+    if os.path.exists(hist_path):
+        try:
+            prev = json.load(open(hist_path)).get("decode_tok_s")
+        except Exception:
+            prev = None
+    try:
+        json.dump({"decode_tok_s": decode_tps}, open(hist_path, "w"))
+    except Exception:
+        pass
+
+    vs = decode_tps / prev if prev else 1.0
+    print(json.dumps({
+        "metric": f"decode_throughput_llama1b_{mode}_b{batch}",
+        "value": round(decode_tps, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

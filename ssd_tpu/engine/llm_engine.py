@@ -1,0 +1,291 @@
+"""Engine: request lifecycle, generate loop, metrics.
+
+Parity: /root/reference/ssd/engine/llm_engine.py — same public surface
+(add_request / step / generate / exit, module-global METRICS with the same
+keys, metric summary with per-depth acceptance histograms at
+llm_engine.py:215-270). The process topology collapses: where the reference
+spawns TP worker processes + an async draft process wired by NCCL/SharedMemory
+(llm_engine.py:67-93), here the target is one SPMD program over a mesh and the
+async draft is a controller thread driving programs on its own device(s); see
+ssd_tpu/engine/draft_runner.py.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import fields
+from time import perf_counter
+
+from ssd_tpu.config import Config
+from ssd_tpu.engine.model_runner import ModelRunner
+from ssd_tpu.engine.scheduler import Scheduler
+from ssd_tpu.engine.sequence import Sequence
+from ssd_tpu.engine.step import AutoRegressiveStep, InferenceStep, SpecDecodeStep
+from ssd_tpu.sampling_params import SamplingParams
+from ssd_tpu.utils.misc import infer_model_family, load_tokenizer
+
+METRICS = {
+    "cache_hits": [],
+    "accepted_suffix_lens_with_recovery": [],
+    "accepted_suffix_lens_on_hit": [],
+    "accepted_suffix_lens_on_miss": [],
+    "prefill_total_time": 0,
+    "decode_total_time": 0,
+    "prefill_total_tokens": 0,
+    "decode_total_tokens": 0,
+    "target_step_times": [],
+    "target_verify_times": [],
+}
+
+
+class LLMEngine:
+
+    def __init__(self, model, **kwargs):
+        config_fields = {f.name for f in fields(Config)}
+        config_kwargs = {k: v for k, v in kwargs.items() if k in config_fields}
+        config = Config(model, **config_kwargs)
+        self.config = config
+        Sequence.block_size = config.kvcache_block_size
+
+        assert config.kvcache_block_size >= 2 * config.speculate_k + 2, (
+            "block size must be >= 2k+2"
+        )
+        if config.speculate:
+            assert infer_model_family(config.model) == infer_model_family(config.draft) or config.use_eagle, (
+                "target and draft model families must match"
+            )
+
+        self._init_random = kwargs.get("init_random", False)
+
+        # Target runner: single SPMD program over the tp mesh.
+        mesh = None
+        if config.tp_size > 1:
+            from ssd_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(tp_size=config.tp_size)
+        self.model_runner = ModelRunner(
+            config, mesh=mesh, init_random=self._init_random
+        )
+
+        self.draft_runner = None
+        self.draft_server = None
+        self.draft_cfg = None
+        if config.speculate:
+            self.draft_cfg = config.create_draft_config()
+            if config.draft_async:
+                from ssd_tpu.engine.draft_runner import DraftServer
+
+                self.draft_server = DraftServer(
+                    config, self.draft_cfg, init_random=self._init_random
+                )
+                self.draft_cfg.num_kvcache_blocks = (
+                    self.draft_server.runner.num_kvcache_blocks
+                )
+            else:
+                self.draft_runner = ModelRunner(
+                    self.draft_cfg,
+                    hf_config=config.draft_hf_config,
+                    is_draft=True,
+                    init_random=self._init_random,
+                )
+                self.draft_cfg.num_kvcache_blocks = self.draft_runner.num_kvcache_blocks
+
+        self.tokenizer = load_tokenizer(config.tokenizer_path or config.model)
+        if self.tokenizer is not None and self.tokenizer.eos_token_id is not None:
+            config.eos = self.tokenizer.eos_token_id
+
+        self.scheduler = Scheduler(config, draft_cfg=self.draft_cfg)
+        self._exiting = False
+
+    def exit(self, hard: bool = False):
+        if self._exiting:
+            return
+        self._exiting = True
+        if self.draft_server is not None:
+            self.draft_server.shutdown()
+        if hard:
+            os._exit(0)
+
+    def add_request(self, prompt: str | list[int], sampling_params: SamplingParams):
+        if isinstance(prompt, str):
+            assert self.tokenizer is not None, "string prompts need a tokenizer"
+            prompt = self.tokenizer.encode(prompt)
+        self.scheduler.add(Sequence(prompt, sampling_params))
+
+    def step(self, step: InferenceStep):
+        t = perf_counter()
+        seqs, is_prefill = self.scheduler.schedule()
+        ttl_tokens = step.prefill(seqs) if is_prefill else step.decode(seqs)
+        time_taken = perf_counter() - t
+
+        if is_prefill:
+            METRICS["prefill_total_time"] += time_taken
+            METRICS["prefill_total_tokens"] += ttl_tokens
+        else:
+            METRICS["decode_total_time"] += time_taken
+            METRICS["decode_total_tokens"] += ttl_tokens
+
+        return [
+            (seq.seq_id, seq.completion_token_ids)
+            for seq in seqs if seq.is_finished
+        ]
+
+    def is_finished(self):
+        return self.scheduler.is_finished()
+
+    def create_inference_step(self, config: Config) -> InferenceStep:
+        if not config.speculate:
+            return AutoRegressiveStep(self.scheduler, self.model_runner)
+
+        from ssd_tpu.engine.verifier import Verifier
+
+        if config.draft_async:
+            from ssd_tpu.engine.speculator_async import SpeculatorAsync
+
+            speculator = SpeculatorAsync(
+                lookahead=config.speculate_k,
+                draft_server=self.draft_server,
+            )
+        else:
+            from ssd_tpu.engine.speculator_sync import SpeculatorSync
+
+            speculator = SpeculatorSync(
+                lookahead=config.speculate_k,
+                draft_model_runner=self.draft_runner,
+            )
+        verifier = Verifier(
+            lookahead=config.speculate_k,
+            target_model_runner=self.model_runner,
+            sampler_x=config.sampler_x,
+            async_fan_out=config.async_fan_out,
+            jit_speculate=config.jit_speculate,
+            metrics=METRICS,
+        )
+        return SpecDecodeStep(
+            scheduler=self.scheduler,
+            speculator=speculator,
+            verifier=verifier,
+            eagle=config.use_eagle,
+            async_spec=config.draft_async,
+        )
+
+    def log_metrics(self):
+        if METRICS["prefill_total_time"] > 0:
+            print(
+                f"Final Prefill Throughput: "
+                f"{int(METRICS['prefill_total_tokens'] / METRICS['prefill_total_time'])}tok/s",
+                flush=True,
+            )
+        if METRICS["decode_total_time"] > 0:
+            print(
+                f"Final Decode Throughput: "
+                f"{int(METRICS['decode_total_tokens'] / METRICS['decode_total_time'])}tok/s",
+                flush=True,
+            )
+        if self.config.speculate and METRICS["accepted_suffix_lens_with_recovery"]:
+            lens = METRICS["accepted_suffix_lens_with_recovery"]
+            ttl, n_steps = sum(lens), len(lens)
+            print(f"[metrics] Avg Tokens per step (incl recovery): {ttl / n_steps:.2f}", flush=True)
+            rate = ((ttl - n_steps) / n_steps) / self.config.speculate_k
+            print(f"[metrics] Avg Fraction of Speculated Tokens Accepted: {rate:.2f}", flush=True)
+            if METRICS["target_step_times"]:
+                print(
+                    f"[metrics] Avg target time per full step (ms): "
+                    f"{sum(METRICS['target_step_times']) * 1000 / len(METRICS['target_step_times']):.2f}",
+                    flush=True,
+                )
+            if METRICS["target_verify_times"]:
+                print(
+                    f"[metrics] Avg target verify time (ms): "
+                    f"{sum(METRICS['target_verify_times']) * 1000 / len(METRICS['target_verify_times']):.2f}",
+                    flush=True,
+                )
+            if self.config.draft_async and METRICS["cache_hits"]:
+                print(
+                    f"[metrics] Avg Cache Hits: "
+                    f"{sum(METRICS['cache_hits']) / len(METRICS['cache_hits']):.2f}",
+                    flush=True,
+                )
+                if METRICS["accepted_suffix_lens_on_hit"]:
+                    on_hit = METRICS["accepted_suffix_lens_on_hit"]
+                    print(
+                        f"[metrics] Avg Tokens per step on Cache Hit: "
+                        f"{sum(on_hit) / len(on_hit):.2f}",
+                        flush=True,
+                    )
+                    adjusted = [x - 1 for x in on_hit]
+                    print("[metrics] Empirical frequencies of accepted_suffix_lens_on_hit - 1:", flush=True)
+                    for k in range(self.config.speculate_k + 1):
+                        print(f"  {k}: {adjusted.count(k) / len(adjusted):.3f}", flush=True)
+                if METRICS["accepted_suffix_lens_on_miss"]:
+                    on_miss = METRICS["accepted_suffix_lens_on_miss"]
+                    print(
+                        f"[metrics] Avg Tokens per step on Cache Miss: "
+                        f"{sum(on_miss) / len(on_miss):.2f}",
+                        flush=True,
+                    )
+
+    def generate(
+        self,
+        prompts: list[str] | list[list[int]],
+        sampling_params: SamplingParams | list[SamplingParams],
+        use_tqdm: bool = True,
+        stream_callback=None,
+    ):
+        for k in METRICS:
+            METRICS[k] = [] if isinstance(METRICS[k], list) else 0
+
+        pbar = None
+        if use_tqdm:
+            try:
+                from tqdm.auto import tqdm
+
+                pbar = tqdm(total=len(prompts), desc="Generating", dynamic_ncols=True)
+            except ImportError:
+                pass
+        if not isinstance(sampling_params, list):
+            sampling_params = [sampling_params] * len(prompts)
+        for prompt, sp in zip(prompts, sampling_params):
+            self.add_request(prompt, sp)
+
+        outputs = {}
+        inference_step = self.create_inference_step(self.config)
+        i = 0
+        max_steps = self.config.max_steps if self.config.max_steps is not None else float("inf")
+        stream_lens: dict[int, int] = {}
+        while not self.is_finished() and i < max_steps:
+            i += 1
+            t = perf_counter()
+            output = self.step(inference_step)
+            METRICS["target_step_times"].append(perf_counter() - t)
+
+            if stream_callback:
+                for seq in self.scheduler.running:
+                    cur = seq.num_completion_tokens
+                    prev = stream_lens.get(seq.seq_id, 0)
+                    if cur > prev:
+                        stream_callback(seq.seq_id, seq.completion_token_ids[prev:cur])
+                        stream_lens[seq.seq_id] = cur
+
+            for seq_id, token_ids in output:
+                if stream_callback:
+                    prev = stream_lens.get(seq_id, 0)
+                    if len(token_ids) > prev:
+                        stream_callback(seq_id, token_ids[prev:])
+                outputs[seq_id] = token_ids
+                if pbar:
+                    pbar.update(1)
+
+        outputs = [outputs[seq_id] for seq_id in sorted(outputs)]
+        outputs = [
+            {
+                "text": self.tokenizer.decode(ids) if self.tokenizer else "",
+                "token_ids": ids,
+            }
+            for ids in outputs
+        ]
+        if pbar:
+            pbar.close()
+        if not stream_callback:
+            self.log_metrics()
+        return outputs, METRICS

@@ -1,0 +1,330 @@
+"""Per-model execution: weights, paged KV cache, and shape-bucketed jitted
+step programs.
+
+Parity: /root/reference/ssd/engine/model_runner.py — but the whole process
+topology (NCCL groups, SharedMemory RPC, CUDA-graph capture) collapses into
+one SPMD JAX program per phase:
+ - CUDA graphs (cudagraph_helpers.py) -> jax.jit with power-of-2 batch /
+   context buckets; replay padding with ghost sequences (slot=-1) carries over
+   (cudagraph_helpers.py:25-57).
+ - TP process group -> NamedSharding over an ICI mesh axis; XLA inserts and
+   overlaps the per-layer all-reduces (linear.py:196-199 equivalent).
+ - KV cache: one [L, 2, S, H_kv, hd] array, flat slots, donated through every
+   step so XLA updates it in place (model_runner.py:484-503 equivalent).
+
+Host-side input prep (prepare_* methods) mirrors runner_helpers.py and stays
+in numpy, off the XLA trace.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ssd_tpu.config import Config
+from ssd_tpu.engine.sequence import Sequence
+from ssd_tpu.models.transformer import Arch, compute_logits, forward_hidden, init_params
+from ssd_tpu.ops import attention as att
+from ssd_tpu.ops.sampler import sample
+from ssd_tpu.parallel.mesh import shard_params
+
+
+def next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Jitted step programs (module-level so jax.jit caches across runner calls)
+# ---------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=("arch", "block_size", "ctx_pad", "num_new_pad"),
+    donate_argnames=("kv_cache",),
+)
+def prefill_step(
+    params,
+    kv_cache,
+    input_ids,      # [S_pad]
+    positions,      # [S_pad]
+    slot_map,       # [S_pad]
+    block_table,    # [1, M]
+    context_len,    # [] int32, total length incl. new tokens
+    num_new,        # [] int32, true new-token count
+    *,
+    arch: Arch,
+    block_size: int,
+    ctx_pad: int,
+    num_new_pad: int,
+):
+    """Single-sequence (possibly prefix-cached) prefill. Returns last-token
+    logits [V] and the updated cache."""
+    scale = arch.head_dim ** -0.5
+
+    def attn_call(q, k, v, kv_layer):
+        kv_layer = att.store_kv(kv_layer, k, v, slot_map)
+        o = att.prefill_attention(
+            q[None], kv_layer, block_table, context_len, num_new,
+            block_size, ctx_pad, scale,
+        )
+        return o[0], kv_layer
+
+    hidden, kv_cache = forward_hidden(
+        params, kv_cache, input_ids, positions, attn_call, arch
+    )
+    logits = compute_logits(params, hidden, arch, gather_idx=(num_new - 1)[None])
+    return logits[0], kv_cache
+
+
+@partial(
+    jax.jit,
+    static_argnames=("arch", "block_size", "ctx_pad", "q_len"),
+    donate_argnames=("kv_cache",),
+)
+def decode_step(
+    params,
+    kv_cache,
+    input_ids,      # [B*q_len]
+    positions,      # [B*q_len]
+    slot_map,       # [B*q_len]
+    block_tables,   # [B, M]
+    context_lens,   # [B]
+    temperatures,   # [B]
+    key,
+    *,
+    arch: Arch,
+    block_size: int,
+    ctx_pad: int,
+    q_len: int,
+):
+    """Batched decode with q_len queries per sequence: q_len=1 is AR decode,
+    q_len=K+1 is the spec verify / glue forward. Returns (sampled last-token
+    ids [B], logits [B*q_len, V], updated cache)."""
+    B = block_tables.shape[0]
+    scale = arch.head_dim ** -0.5
+
+    def attn_call(q, k, v, kv_layer):
+        kv_layer = att.store_kv(kv_layer, k, v, slot_map)
+        o = att.paged_attention(
+            q.reshape(B, q_len, arch.num_heads, arch.head_dim),
+            kv_layer, block_tables, context_lens, block_size, ctx_pad, scale,
+        )
+        return o.reshape(B * q_len, arch.num_heads, arch.head_dim), kv_layer
+
+    hidden, kv_cache = forward_hidden(
+        params, kv_cache, input_ids, positions, attn_call, arch
+    )
+    logits = compute_logits(params, hidden, arch)          # [B*q_len, V]
+    last = logits.reshape(B, q_len, -1)[:, -1, :]
+    tokens = sample(last, temperatures, key)
+    return tokens, logits, kv_cache
+
+
+@jax.jit
+def sample_tokens(logits, temperatures, key):
+    return sample(logits, temperatures, key)
+
+
+# ---------------------------------------------------------------------------
+# Runner
+# ---------------------------------------------------------------------------
+
+class ModelRunner:
+    """Owns one model's device state and serves phase programs to the engine."""
+
+    def __init__(
+        self,
+        config: Config,
+        model_path: str | None = None,
+        hf_config=None,
+        is_draft: bool = False,
+        mesh=None,
+        init_random: bool = False,
+    ):
+        self.config = config
+        self.is_draft = is_draft
+        self.model_path = model_path or config.model
+        self.hf_config = hf_config or config.hf_config
+        self.arch = Arch.from_model_config(self.hf_config)
+        self.block_size = config.kvcache_block_size
+        self.max_blocks = config.max_blocks
+        self.mesh = mesh
+        self.dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+
+        self.key = jax.random.PRNGKey(config.seed + (1 if is_draft else 0))
+
+        if init_random:
+            self.params = init_params(self.arch, jax.random.PRNGKey(0), self.dtype)
+        else:
+            from ssd_tpu.utils.loader import load_params
+
+            self.params = load_params(self.model_path, self.hf_config, self.dtype)
+        if mesh is not None:
+            self.params = shard_params(self.params, mesh)
+
+        self.num_kvcache_blocks = self._decide_num_blocks()
+        config.num_kvcache_blocks = self.num_kvcache_blocks
+        self.kv_cache = self._allocate_kv_cache()
+
+    # --- memory sizing (reference model_runner.py:446-482) ---
+
+    def _decide_num_blocks(self) -> int:
+        if self.config.num_kvcache_blocks != -1:
+            return self.config.num_kvcache_blocks
+        a = self.arch
+        block_bytes = (
+            2 * a.num_layers * self.block_size * a.num_kv_heads * a.head_dim
+            * jnp.dtype(self.dtype).itemsize
+        )
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            limit = stats["bytes_limit"] * self.config.hbm_memory_utilization
+            avail = int(limit) - stats["bytes_in_use"]
+        except Exception:
+            # CPU / backends without memory stats: enough for max_num_seqs
+            # full-length sequences plus slack.
+            return max(
+                64,
+                self.config.max_num_seqs * self.config.max_blocks * 2,
+            )
+        num = max(16, int(avail // block_bytes))
+        # No point exceeding what max_num_seqs full-length sequences can use
+        # (plus spec lookahead slack).
+        cap = (self.config.max_num_seqs + 1) * (self.config.max_blocks + 2) * 4
+        return min(num, cap)
+
+    def _allocate_kv_cache(self) -> jnp.ndarray:
+        a = self.arch
+        S = self.num_kvcache_blocks * self.block_size
+        shape = (a.num_layers, 2, S, a.num_kv_heads, a.head_dim)
+        if self.mesh is not None:
+            from ssd_tpu.parallel.mesh import kv_sharding
+
+            return jnp.zeros(shape, self.dtype, device=kv_sharding(self.mesh, a.num_kv_heads))
+        return jnp.zeros(shape, self.dtype)
+
+    # --- host-side input prep (runner_helpers.py equivalents) ---
+
+    def _slot_for(self, seq: Sequence, pos: int, draft: bool) -> int:
+        table = seq.draft_block_table if draft else seq.block_table
+        return table[pos // self.block_size] * self.block_size + pos % self.block_size
+
+    def _block_table_array(self, seqs: list[Sequence], draft: bool) -> np.ndarray:
+        out = np.full((len(seqs), self.max_blocks), -1, dtype=np.int32)
+        for i, seq in enumerate(seqs):
+            table = seq.draft_block_table if draft else seq.block_table
+            out[i, : len(table)] = table
+        return out
+
+    def _ctx_bucket(self, need: int) -> int:
+        pad = max(self.block_size, next_pow2(need))
+        return min(pad, self.max_blocks * self.block_size)
+
+    # --- phases ---
+
+    def run_prefill(self, seqs: list[Sequence], last_only: bool = True):
+        """Prefill each scheduled sequence; returns sampled first tokens [B]."""
+        draft = self.is_draft
+        logits_rows = []
+        for seq in seqs:
+            cached = seq.num_draft_cached_tokens if draft else seq.num_cached_tokens
+            new_ids = seq.token_ids[cached:]
+            n_new = len(new_ids)
+            s_pad = next_pow2(max(8, n_new))
+            input_ids = np.zeros(s_pad, dtype=np.int32)
+            input_ids[:n_new] = new_ids
+            positions = np.zeros(s_pad, dtype=np.int32)
+            positions[:n_new] = np.arange(cached, seq.num_tokens)
+            slot_map = np.full(s_pad, -1, dtype=np.int32)
+            for j in range(n_new):
+                slot_map[j] = self._slot_for(seq, cached + j, draft)
+            bt = self._block_table_array([seq], draft)
+            ctx_pad = self._ctx_bucket(seq.num_tokens)
+
+            logits, self.kv_cache = prefill_step(
+                self.params, self.kv_cache,
+                jnp.asarray(input_ids), jnp.asarray(positions), jnp.asarray(slot_map),
+                jnp.asarray(bt), jnp.int32(seq.num_tokens), jnp.int32(n_new),
+                arch=self.arch, block_size=self.block_size,
+                ctx_pad=ctx_pad, num_new_pad=s_pad,
+            )
+            logits_rows.append(logits)
+
+        stacked = jnp.stack(logits_rows)
+        temps = jnp.asarray([s.temperature for s in seqs], dtype=jnp.float32)
+        self.key, sub = jax.random.split(self.key)
+        tokens = sample_tokens(stacked, temps, sub)
+        return np.asarray(tokens).tolist()
+
+    def _prepare_multi_query(self, seqs: list[Sequence], q_len: int, draft: bool):
+        """Tensorise a uniform q_len-per-seq decode batch, padded to a pow-2
+        batch bucket with ghost rows (slot=-1)."""
+        B = len(seqs)
+        B_pad = next_pow2(B)
+        T = B_pad * q_len
+        input_ids = np.zeros(T, dtype=np.int32)
+        positions = np.zeros(T, dtype=np.int32)
+        slot_map = np.full(T, -1, dtype=np.int32)
+        context_lens = np.ones(B_pad, dtype=np.int32)
+        temps = np.ones(B_pad, dtype=np.float32)
+        bt = np.zeros((B_pad, self.max_blocks), dtype=np.int32)
+        bt[:B] = self._block_table_array(seqs, draft)
+
+        for i, seq in enumerate(seqs):
+            toks = seq.token_ids[-q_len:]
+            start = seq.num_tokens - q_len
+            for j in range(q_len):
+                input_ids[i * q_len + j] = toks[j]
+                positions[i * q_len + j] = start + j
+                slot_map[i * q_len + j] = self._slot_for(seq, start + j, draft)
+            context_lens[i] = seq.num_tokens
+            temps[i] = seq.temperature
+        return input_ids, positions, slot_map, bt, context_lens, temps, B_pad
+
+    def run_decode(
+        self,
+        seqs: list[Sequence],
+        q_len: int = 1,
+        return_logits: bool = False,
+        temps_override: np.ndarray | None = None,
+    ):
+        """Batched decode/verify forward. Returns (tokens list[B], logits
+        device array [B, q_len, V] or None)."""
+        draft = self.is_draft
+        (input_ids, positions, slot_map, bt, context_lens, temps, B_pad) = (
+            self._prepare_multi_query(seqs, q_len, draft)
+        )
+        if temps_override is not None:
+            temps[: len(seqs)] = temps_override
+        ctx_pad = self._ctx_bucket(int(context_lens.max()))
+        self.key, sub = jax.random.split(self.key)
+        tokens, logits, self.kv_cache = decode_step(
+            self.params, self.kv_cache,
+            jnp.asarray(input_ids), jnp.asarray(positions), jnp.asarray(slot_map),
+            jnp.asarray(bt), jnp.asarray(context_lens), jnp.asarray(temps), sub,
+            arch=self.arch, block_size=self.block_size,
+            ctx_pad=ctx_pad, q_len=q_len,
+        )
+        B = len(seqs)
+        token_list = np.asarray(tokens)[:B].tolist()
+        if return_logits:
+            V = self.arch.vocab_size
+            return token_list, logits.reshape(B_pad, q_len, V)[:B]
+        return token_list, None
+
+    def run(self, seqs: list[Sequence], is_prefill: bool, last_only: bool = True,
+            return_logits: bool = False):
+        """Reference ModelRunner.run-compatible entry (model_runner.py:634-680)."""
+        if is_prefill:
+            return self.run_prefill(seqs, last_only=last_only)
+        tokens, logits = self.run_decode(seqs, q_len=1, return_logits=return_logits)
+        if return_logits:
+            return tokens, logits[:, 0, :]
+        return tokens

@@ -1,0 +1,101 @@
+"""Inference-step strategies: autoregressive vs speculative decode.
+
+Parity: /root/reference/ssd/engine/step.py — AutoRegressiveStep.step runs the
+model + scheduler.postprocess (step.py:36-47); SpecDecodeStep composes a
+Speculator and a Verifier: save lightweight seq state -> speculate -> verify ->
+restore -> postprocess_speculate (step.py:91-163).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+from ssd_tpu.engine.helpers.speculate_types import VerifyResult
+from ssd_tpu.engine.model_runner import ModelRunner
+from ssd_tpu.engine.scheduler import Scheduler
+from ssd_tpu.engine.sequence import Sequence
+
+
+class InferenceStep(ABC):
+
+    def __init__(self, scheduler: Scheduler):
+        self.scheduler = scheduler
+
+    @abstractmethod
+    def decode(self, seqs: list[Sequence]) -> int: ...
+
+    @abstractmethod
+    def prefill(self, seqs: list[Sequence]) -> int: ...
+
+
+class AutoRegressiveStep(InferenceStep):
+
+    def __init__(self, scheduler: Scheduler, model_runner: ModelRunner):
+        super().__init__(scheduler)
+        self.model_runner = model_runner
+
+    def step(self, seqs: list[Sequence], is_prefill: bool) -> int:
+        token_ids = self.model_runner.run(seqs, is_prefill)
+        self.scheduler.postprocess(seqs, token_ids, is_prefill)
+        return len(seqs) if not is_prefill else sum(len(s) for s in seqs)
+
+    def prefill(self, seqs: list[Sequence]) -> int:
+        return self.step(seqs, is_prefill=True)
+
+    def decode(self, seqs: list[Sequence]) -> int:
+        return self.step(seqs, is_prefill=False)
+
+
+class SpecDecodeStep(InferenceStep):
+
+    def __init__(self, scheduler: Scheduler, speculator, verifier, eagle: bool,
+                 async_spec: bool):
+        super().__init__(scheduler)
+        self.speculator = speculator
+        self.verifier = verifier
+        self.eagle = eagle
+        self.async_spec = async_spec
+
+    def prefill(self, seqs: list[Sequence]) -> int:
+        # Async non-EAGLE: the draft prefill is dispatched first so it runs in
+        # parallel with the target prefill (reference step.py:74-83).
+        if not self.eagle and self.async_spec:
+            self.speculator.prefill(seqs, VerifyResult([], [], None))
+            self.verifier.prefill(seqs, eagle=False)
+        else:
+            verify_result = self.verifier.prefill(seqs, eagle=self.eagle)
+            self.speculator.prefill(seqs, verify_result)
+
+        for seq in seqs:
+            assert seq.recovery_token_id is not None
+            seq.num_cached_tokens = seq.num_prompt_tokens
+            seq.num_draft_cached_tokens = seq.num_prompt_tokens
+        return sum(len(s) for s in seqs)
+
+    def decode(self, seqs: list[Sequence]) -> int:
+        # Save lightweight state; speculate()/verify() mutate token bookkeeping
+        # that postprocess_speculate needs in original form (step.py:97-101).
+        saved = [
+            (len(s.token_ids), s.num_tokens, s.last_token,
+             s.num_draft_cached_tokens, s.num_cached_tokens)
+            for s in seqs
+        ]
+
+        in_result = VerifyResult([], [], True if self.eagle else None)
+        speculate_result = self.speculator.speculate(seqs, in_result)
+        out_result = self.verifier.verify(seqs, speculate_result, eagle=self.eagle)
+
+        for seq, (n_tok, nt, lt, ndc, nct) in zip(seqs, saved):
+            del seq.token_ids[n_tok:]
+            seq.num_tokens = nt
+            seq.last_token = lt
+            seq.num_draft_cached_tokens = ndc
+            seq.num_cached_tokens = nct
+
+        self.scheduler.postprocess_speculate(
+            seqs,
+            out_result.new_suffixes,
+            out_result.recovery_tokens,
+            eagle_acts=out_result.eagle_acts if self.eagle else None,
+        )
+        return sum(len(s) for s in out_result.new_suffixes)

@@ -1,0 +1,170 @@
+"""Decoder-only transformer as pure functions over a stacked-parameter pytree.
+
+Covers the Llama-3 and Qwen-3 families (reference ssd/models/llama3.py and
+qwen3.py — same skeleton; Qwen-3 adds per-head q/k RMSNorm, qwen3.py:87-104).
+Instead of per-layer modules, all layers are stacked along a leading L axis and
+the forward is a single `lax.scan`, so an 80-layer model compiles as one fused
+program with the KV cache scanned alongside the weights — the XLA-native
+replacement for per-layer module dispatch + CUDA graphs.
+
+The attention computation itself is injected as a callable (`attn_call`) built
+by the model runner for the current phase (prefill / decode / verify / tree),
+keeping this file free of paging metadata.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ssd_tpu.config import ModelConfig
+from ssd_tpu.ops.layers import apply_rope, rms_norm, rms_norm_residual, rope_cos_sin, silu_mul
+
+# attn_call(q[T,Hq,hd], k[T,Hkv,hd], v[T,Hkv,hd], kv_layer[2,S,Hkv,hd])
+#   -> (out[T,Hq,hd], new_kv_layer)
+AttnCall = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+                    tuple[jnp.ndarray, jnp.ndarray]]
+
+
+@dataclass(frozen=True)
+class Arch:
+    """Static, hashable architecture descriptor (safe as a jit static arg)."""
+
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rms_norm_eps: float
+    rope_theta: float
+    use_qk_norm: bool
+    tie_embeddings: bool
+
+    @classmethod
+    def from_model_config(cls, mc: ModelConfig) -> "Arch":
+        return cls(
+            vocab_size=mc.vocab_size,
+            hidden_size=mc.hidden_size,
+            intermediate_size=mc.intermediate_size,
+            num_layers=mc.num_hidden_layers,
+            num_heads=mc.num_attention_heads,
+            num_kv_heads=mc.num_key_value_heads,
+            head_dim=mc.head_dim_actual,
+            rms_norm_eps=mc.rms_norm_eps,
+            rope_theta=mc.rope_theta,
+            use_qk_norm=mc.model_type == "qwen3",
+            tie_embeddings=mc.tie_word_embeddings,
+        )
+
+    @property
+    def q_size(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_size(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+
+def init_params(arch: Arch, key: jax.Array, dtype=jnp.float32) -> dict:
+    """Random-normal init (for tests and shape probing)."""
+    D, I, L = arch.hidden_size, arch.intermediate_size, arch.num_layers
+    Hq, Hkv, hd = arch.num_heads, arch.num_kv_heads, arch.head_dim
+    keys = iter(jax.random.split(key, 16))
+
+    def w(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    layers = {
+        "input_ln": jnp.ones((L, D), dtype),
+        "wq": w(next(keys), (L, D, Hq * hd)),
+        "wk": w(next(keys), (L, D, Hkv * hd)),
+        "wv": w(next(keys), (L, D, Hkv * hd)),
+        "wo": w(next(keys), (L, Hq * hd, D)),
+        "post_ln": jnp.ones((L, D), dtype),
+        "gate": w(next(keys), (L, D, I)),
+        "up": w(next(keys), (L, D, I)),
+        "down": w(next(keys), (L, I, D)),
+    }
+    if arch.use_qk_norm:
+        layers["q_norm"] = jnp.ones((L, hd), dtype)
+        layers["k_norm"] = jnp.ones((L, hd), dtype)
+    params = {
+        "embed": w(next(keys), (arch.vocab_size, D)),
+        "layers": layers,
+        "final_ln": jnp.ones((D,), dtype),
+    }
+    params["lm_head"] = params["embed"] if arch.tie_embeddings else w(
+        next(keys), (arch.vocab_size, D)
+    )
+    return params
+
+
+def forward_hidden(
+    params: dict,
+    kv_cache: jnp.ndarray,      # [L, 2, S, Hkv, hd]
+    input_ids: jnp.ndarray,     # [T]
+    positions: jnp.ndarray,     # [T] rope positions
+    attn_call: AttnCall,
+    arch: Arch,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Embed -> L x (attn + MLP) via lax.scan -> pre-final-norm hidden states.
+
+    Returns (hidden [T, D], updated kv_cache).
+    """
+    T = input_ids.shape[0]
+    Hq, Hkv, hd = arch.num_heads, arch.num_kv_heads, arch.head_dim
+    eps = arch.rms_norm_eps
+    scale_unused = None  # attention scale lives in attn_call
+
+    hidden = jnp.take(params["embed"], input_ids, axis=0)
+    cos, sin = rope_cos_sin(positions, hd, arch.rope_theta)
+    residual = jnp.zeros_like(hidden)
+
+    def body(carry, xs):
+        hidden, residual = carry
+        lp, kv_layer = xs
+
+        # --- attention block ---
+        x, residual = rms_norm_residual(hidden, residual, lp["input_ln"], eps)
+        q = (x @ lp["wq"]).reshape(T, Hq, hd)
+        k = (x @ lp["wk"]).reshape(T, Hkv, hd)
+        v = (x @ lp["wv"]).reshape(T, Hkv, hd)
+        if arch.use_qk_norm:
+            q = rms_norm(q, lp["q_norm"], eps)
+            k = rms_norm(k, lp["k_norm"], eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        o, kv_layer = attn_call(q, k, v, kv_layer)
+        hidden = o.reshape(T, Hq * hd) @ lp["wo"]
+
+        # --- MLP block ---
+        x, residual = rms_norm_residual(hidden, residual, lp["post_ln"], eps)
+        hidden = silu_mul(x @ lp["gate"], x @ lp["up"]) @ lp["down"]
+        return (hidden, residual), kv_layer
+
+    (hidden, residual), kv_cache = jax.lax.scan(
+        body, (hidden, residual), (params["layers"], kv_cache)
+    )
+    hidden = (hidden.astype(jnp.float32) + residual.astype(jnp.float32)).astype(hidden.dtype)
+    return hidden, kv_cache
+
+
+def compute_logits(
+    params: dict,
+    hidden: jnp.ndarray,   # [T, D] pre-final-norm
+    arch: Arch,
+    gather_idx: jnp.ndarray | None = None,  # [B] token indices to project
+) -> jnp.ndarray:
+    """Final RMSNorm + LM head, optionally on a gathered subset of tokens
+    (prefill projects only the last token per sequence — reference
+    embed_head.py:78-116)."""
+    if gather_idx is not None:
+        hidden = hidden[gather_idx]
+    hidden = rms_norm(hidden, params["final_ln"], arch.rms_norm_eps)
+    logits = hidden.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32).T
+    return logits

@@ -1,0 +1,184 @@
+"""Paged-KV attention: cache scatter + gather-based reference implementations.
+
+This module is the XLA-native equivalent of the reference's native attention
+surface (SURVEY §2.2 N1-N3):
+ - `store_kv`    ~ Triton store_kvcache_kernel (/root/reference/ssd/layers/attention.py:10-41)
+ - `paged_attention` (Q=1)      ~ sgl_kernel flash_attn_with_kvcache decode
+ - `paged_attention` (Q=K+1)    ~ multi-query verify/glue attention
+ - `tree_attention`             ~ FlashInfer paged tree attention with custom mask
+   (/root/reference/ssd/engine/model_runner.py:159-206), except the mask is
+   computed analytically from (context_len, fan_idx, step) instead of a packed
+   bitmask.
+
+These are the *reference* jnp paths: correct for any backend, used for CPU
+tests and as the numerics oracle. The Pallas TPU kernels in
+`ssd_tpu.ops.pallas` implement the same contracts fused; the runner picks per
+backend.
+
+KV cache layout (per model): [L, 2, S, H_kv, hd] with S = num_blocks *
+block_size flat slots, so slot_mapping indexes rows directly and the layer
+dimension scans with the transformer layers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ssd_tpu.ops.spec_math import tree_attention_mask
+
+
+def store_kv(
+    kv_layer: jnp.ndarray,     # [2, S, H_kv, hd]
+    k: jnp.ndarray,            # [T, H_kv, hd]
+    v: jnp.ndarray,            # [T, H_kv, hd]
+    slot_mapping: jnp.ndarray,  # [T] int32; negative = ghost (skip)
+) -> jnp.ndarray:
+    """Scatter new K/V rows into flat cache slots; ghost slots are dropped.
+
+    Negative slots are remapped out-of-bounds so XLA's scatter `drop` mode
+    skips them (the reference kernel's slot==-1 semantics).
+    """
+    S = kv_layer.shape[1]
+    slots = jnp.where(slot_mapping < 0, S, slot_mapping)
+    kv_new = jnp.stack([k, v], axis=0)  # [2, T, H, hd]
+    return kv_layer.at[:, slots].set(kv_new, mode="drop")
+
+
+def gather_pages(
+    kv_layer: jnp.ndarray,      # [2, S, H_kv, hd]
+    block_tables: jnp.ndarray,  # [B, M] int32 (entries may be -1 padding)
+    block_size: int,
+    ctx_pad: int,               # static gather length (multiple of block_size)
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather the first ctx_pad context slots per sequence.
+
+    Returns (k, v) each [B, ctx_pad, H_kv, hd]. Out-of-table positions gather
+    block -1 -> clamped; callers must mask by context_lens.
+    """
+    B = block_tables.shape[0]
+    pos = jnp.arange(ctx_pad, dtype=jnp.int32)
+    blk_idx = pos // block_size
+    blk_off = pos % block_size
+    blk_ids = block_tables[:, blk_idx]                  # [B, ctx_pad]
+    slots = jnp.clip(blk_ids, 0) * block_size + blk_off  # [B, ctx_pad]
+    k = kv_layer[0][slots]                               # [B, ctx_pad, H, hd]
+    v = kv_layer[1][slots]
+    return k, v
+
+
+def _gqa_scores(q: jnp.ndarray, k: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """q: [B, Q, Hq, hd], k: [B, C, Hkv, hd] -> scores [B, Hq, Q, C] fp32."""
+    B, Q, Hq, hd = q.shape
+    Hkv = k.shape[2]
+    G = Hq // Hkv
+    qf = q.astype(jnp.float32).reshape(B, Q, Hkv, G, hd)
+    kf = k.astype(jnp.float32)
+    scores = jnp.einsum("bqhgd,bchd->bhgqc", qf, kf) * scale
+    return scores.reshape(B, Hkv * G, Q, -1)
+
+
+def _weighted_values(probs: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """probs: [B, Hq, Q, C], v: [B, C, Hkv, hd] -> out [B, Q, Hq, hd]."""
+    B, Hq, Q, C = probs.shape
+    Hkv = v.shape[2]
+    hd = v.shape[3]
+    G = Hq // Hkv
+    pf = probs.reshape(B, Hkv, G, Q, C)
+    vf = v.astype(jnp.float32)
+    out = jnp.einsum("bhgqc,bchd->bqhgd", pf, vf)
+    return out.reshape(B, Q, Hq, hd)
+
+
+def masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Softmax over the last axis with a boolean mask (True = attend), fp32.
+
+    Fully-masked rows produce zeros (not NaN)."""
+    neg = jnp.asarray(-1e30, scores.dtype)
+    scores = jnp.where(mask, scores, neg)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    e = jnp.where(mask, e, 0.0)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    return e / jnp.clip(s, min=1e-30)
+
+
+def paged_attention(
+    q: jnp.ndarray,             # [B, Q, Hq, hd]
+    kv_layer: jnp.ndarray,      # [2, S, Hkv, hd]
+    block_tables: jnp.ndarray,  # [B, M]
+    context_lens: jnp.ndarray,  # [B] total attended length (incl. new tokens)
+    block_size: int,
+    ctx_pad: int,
+    scale: float,
+) -> jnp.ndarray:
+    """Causal multi-query paged attention.
+
+    Query i of a sequence (i in [0,Q)) attends to context positions
+    [0, context_len - Q + i]; Q=1 is single-token decode, Q=K+1 is verify /
+    glue decode. New tokens must already be in the cache (store_kv first),
+    matching the reference ordering (attention.py:82-83).
+    """
+    B, Q, Hq, hd = q.shape
+    k, v = gather_pages(kv_layer, block_tables, block_size, ctx_pad)
+    scores = _gqa_scores(q, k, scale)  # [B, Hq, Q, C]
+
+    pos = jnp.arange(ctx_pad)[None, None, :]                       # [1,1,C]
+    limit = (context_lens[:, None] - Q + jnp.arange(Q)[None, :])   # [B,Q]
+    mask = pos <= limit[:, :, None]                                # [B,Q,C]
+    probs = masked_softmax(scores, mask[:, None, :, :])
+    out = _weighted_values(probs, v)                               # [B,Q,Hq,hd]
+    return out.astype(q.dtype)
+
+
+def prefill_attention(
+    q: jnp.ndarray,             # [1, S_new, Hq, hd] one sequence's new tokens
+    kv_layer: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [1, M]
+    context_len: jnp.ndarray,   # [] total length incl. new tokens
+    num_new: jnp.ndarray,       # [] true number of new tokens (<= S_new)
+    block_size: int,
+    ctx_pad: int,
+    scale: float,
+) -> jnp.ndarray:
+    """Causal prefill attention for one (possibly prefix-cached) sequence.
+
+    New token j (j in [0,num_new)) sits at absolute position
+    context_len - num_new + j and attends to [0, that position]. Padding
+    queries (j >= num_new) are masked but produce well-defined zeros.
+    """
+    S_new = q.shape[1]
+    k, v = gather_pages(kv_layer, block_tables, block_size, ctx_pad)
+    scores = _gqa_scores(q, k, scale)  # [1, Hq, S_new, C]
+    pos = jnp.arange(ctx_pad)[None, None, :]
+    q_abs = context_len - num_new + jnp.arange(S_new)              # [S_new]
+    mask = pos <= q_abs[None, :, None]
+    probs = masked_softmax(scores, mask[:, None, :, :])
+    out = _weighted_values(probs, v)
+    return out.astype(q.dtype)
+
+
+def tree_attention(
+    q: jnp.ndarray,             # [B, MQ_LEN, Hq, hd]
+    kv_layer: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [B, M]
+    context_lens: jnp.ndarray,  # [B] attended length at this step
+    fan_idx_rows: jnp.ndarray,  # [B, MQ_LEN] glue depth per tree row
+    step: int,
+    K: int,
+    block_size: int,
+    ctx_pad: int,
+    scale: float,
+) -> jnp.ndarray:
+    """Draft tree-decode attention over N = B * MQ_LEN forks sharing trunk KV.
+
+    The mask (prefix-ones | glue-tril | per-step diagonals) is computed
+    analytically from four integers per row — no packed bitmask.
+    """
+    MQ_LEN = q.shape[1]
+    k, v = gather_pages(kv_layer, block_tables, block_size, ctx_pad)
+    scores = _gqa_scores(q, k, scale)
+    mask = tree_attention_mask(context_lens, step, fan_idx_rows, K, MQ_LEN, ctx_pad)
+    probs = masked_softmax(scores, mask[:, None, :, :])
+    out = _weighted_values(probs, v)
+    return out.astype(q.dtype)

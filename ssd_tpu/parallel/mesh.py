@@ -1,0 +1,89 @@
+"""Device mesh and sharding rules for tensor parallelism.
+
+The TPU-native replacement for the reference's NCCL TP process group
+(/root/reference/ssd/engine/model_runner.py:98-107, linear.py:165-199,
+embed_head.py:9-116): parameters get NamedShardings over a 1-D "tp" mesh axis
+and XLA/GSPMD inserts the per-layer all-reduces (o_proj, down_proj) and the
+LM-head vocab gather, overlapping them with compute via the latency-hiding
+scheduler. The same jitted programs run unchanged at tp=1.
+
+Sharding rules (matching the reference's column/row split):
+ - wq/wk/wv: column-parallel on the head-output axis
+ - wo:       row-parallel on the head-input axis
+ - gate/up:  column-parallel on the FFN axis
+ - down:     row-parallel on the FFN axis
+ - embed / lm_head: vocab-parallel
+ - KV cache: sharded on the kv-head axis alongside the attention heads
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, tp_size: int | None = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if tp_size is not None:
+        devices = devices[:tp_size]
+    return Mesh(np.asarray(devices), axis_names=("tp",))
+
+
+_PARAM_SPECS = {
+    "embed": P("tp", None),
+    "final_ln": P(None),
+    "lm_head": P("tp", None),
+    "layers": {
+        "input_ln": P(None, None),
+        "wq": P(None, None, "tp"),
+        "wk": P(None, None, "tp"),
+        "wv": P(None, None, "tp"),
+        "wo": P(None, "tp", None),
+        "post_ln": P(None, None),
+        "gate": P(None, None, "tp"),
+        "up": P(None, None, "tp"),
+        "down": P(None, "tp", None),
+        "q_norm": P(None, None),
+        "k_norm": P(None, None),
+    },
+}
+
+
+def param_specs(params: dict) -> dict:
+    """PartitionSpec pytree matching a param pytree's structure."""
+    specs = {k: _PARAM_SPECS[k] for k in params if k != "layers"}
+    specs["layers"] = {k: _PARAM_SPECS["layers"][k] for k in params["layers"]}
+    return specs
+
+
+def _compatible_spec(x, spec: P, mesh: Mesh) -> P:
+    """Drop sharded axes that don't divide the dimension (e.g. tp > kv heads
+    in GQA: replicate KV instead of sharding it)."""
+    axes = []
+    for dim, name in zip(x.shape, spec):
+        if name is None:
+            axes.append(None)
+            continue
+        size = mesh.shape[name]
+        axes.append(name if dim % size == 0 else None)
+    return P(*axes)
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    specs = param_specs(params)
+    return jax.tree.map(
+        lambda x, spec: jax.device_put(
+            x, NamedSharding(mesh, _compatible_spec(x, spec, mesh))
+        ),
+        params, specs,
+        is_leaf=lambda x: not isinstance(x, dict),
+    )
+
+
+def kv_sharding(mesh: Mesh, num_kv_heads: int | None = None) -> NamedSharding:
+    """KV cache [L, 2, S, H_kv, hd] sharded over kv heads; replicated when tp
+    does not divide the kv-head count."""
+    if num_kv_heads is not None and num_kv_heads % mesh.shape["tp"] != 0:
+        return NamedSharding(mesh, P(None))
+    return NamedSharding(mesh, P(None, None, None, "tp", None))
