@@ -132,6 +132,72 @@ def sample_tokens(logits, temperatures, key):
     return sample(logits, temperatures, key)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("arch", "block_size", "ctx_pad", "K"),
+    donate_argnames=("kv_cache",),
+)
+def chain_decode_step(
+    params,
+    kv_cache,
+    first_tokens,        # [B] (the recovery tokens)
+    start_positions,     # [B] position of first_tokens
+    block_tables,        # [B, M]
+    start_context_lens,  # [B] context length incl. first_tokens
+    temperatures,        # [B]
+    key,
+    *,
+    arch: Arch,
+    block_size: int,
+    ctx_pad: int,
+    K: int,
+):
+    """K+1 sequential single-token decodes as ONE program (lax.scan over
+    depth): the draft chain of sync spec decode (reference
+    speculator_sync.py:47-67 runs K+1 separate forwards; here the whole chain
+    is a single XLA dispatch). The final forward exists only to write the
+    K-th token's KV, matching the reference.
+
+    Returns (tokens [B, K], logits_q [B, K, V], updated cache).
+    """
+    B = first_tokens.shape[0]
+    scale = arch.head_dim ** -0.5
+
+    def step(carry, i):
+        kv, tok = carry
+        positions = start_positions + i
+        context_lens = start_context_lens + i
+        blk = positions // block_size
+        slot_map = (
+            jnp.take_along_axis(block_tables, blk[:, None], axis=1)[:, 0]
+            * block_size + positions % block_size
+        )
+        slot_map = jnp.where(
+            jnp.take_along_axis(block_tables, blk[:, None], axis=1)[:, 0] < 0,
+            -1, slot_map,
+        )
+
+        def attn_call(q, k, v, kv_layer):
+            kv_layer = att.store_kv(kv_layer, k, v, slot_map.astype(jnp.int32))
+            o = att.paged_attention(
+                q.reshape(B, 1, arch.num_heads, arch.head_dim),
+                kv_layer, block_tables, context_lens, block_size, ctx_pad, scale,
+            )
+            return o.reshape(B, arch.num_heads, arch.head_dim), kv_layer
+
+        hidden, kv = forward_hidden(params, kv, tok, positions, attn_call, arch)
+        logits = compute_logits(params, hidden, arch)  # [B, V]
+        next_tok = sample(logits, temperatures, jax.random.fold_in(key, i))
+        return (kv, next_tok), (next_tok, logits)
+
+    (kv_cache, _), (toks, logits) = jax.lax.scan(
+        step, (kv_cache, first_tokens), jnp.arange(K + 1)
+    )
+    # Step i consumes t_i, emits (t_{i+1}, logits_i): keep t_1..t_K and
+    # logits_0..logits_{K-1}.
+    return toks[:K].T, logits[:K].transpose(1, 0, 2), kv_cache
+
+
 # ---------------------------------------------------------------------------
 # Runner
 # ---------------------------------------------------------------------------
@@ -318,6 +384,37 @@ class ModelRunner:
             V = self.arch.vocab_size
             return token_list, logits.reshape(B_pad, q_len, V)[:B]
         return token_list, None
+
+    def run_chain(self, seqs: list[Sequence], K: int):
+        """Draft speculation chain: K+1 decodes in one dispatch. Sequences must
+        already carry the recovery token as their last token. Returns
+        (tokens [B, K] np, logits_q [B, K, V] device array)."""
+        draft = self.is_draft
+        B = len(seqs)
+        B_pad = next_pow2(B)
+        first = np.zeros(B_pad, dtype=np.int32)
+        start_pos = np.zeros(B_pad, dtype=np.int32)
+        ctx0 = np.ones(B_pad, dtype=np.int32)
+        temps = np.ones(B_pad, dtype=np.float32)
+        bt = np.full((B_pad, self.max_blocks), -1, dtype=np.int32)
+        bt[:B] = self._block_table_array(seqs, draft)
+        for i, seq in enumerate(seqs):
+            first[i] = seq.last_token
+            start_pos[i] = seq.num_tokens - 1
+            ctx0[i] = seq.num_tokens
+            temps[i] = (
+                seq.draft_temperature
+                if seq.draft_temperature is not None else seq.temperature
+            )
+        ctx_pad = self._ctx_bucket(int(ctx0.max()) + K + 1)
+        self.key, sub = jax.random.split(self.key)
+        tokens, logits_q, self.kv_cache = chain_decode_step(
+            self.params, self.kv_cache,
+            jnp.asarray(first), jnp.asarray(start_pos), jnp.asarray(bt),
+            jnp.asarray(ctx0), jnp.asarray(temps), sub,
+            arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad, K=K,
+        )
+        return np.asarray(tokens)[:B], logits_q[:B]
 
     def run(self, seqs: list[Sequence], is_prefill: bool, last_only: bool = True,
             return_logits: bool = False):
