@@ -1,0 +1,429 @@
+"""Asynchronous draft server: tree speculation off the target's critical path.
+
+Parity: /root/reference/ssd/engine/draft_runner.py (the SSD paper's core) —
+the draft pre-speculates one K-token continuation for EVERY likely
+verification outcome (accepted-depth x top-F recovery token), keyed
+`(seq_id, accepted_len-1, recovery_token)`, so a cache hit costs the target
+one handshake instead of K draft forwards.
+
+TPU-native re-design:
+ - The reference runs the draft as a separate OS process on the last GPU,
+   wired by NCCL p2p with fused int64 payloads (draft_runner.py:859-928,
+   speculator_async.py:130-187). Here the draft is a *controller thread*
+   driving jitted programs pinned to its own chip; the request/response
+   payloads are small numpy arrays over a queue, and the [B,K,V] draft-logits
+   reply is a device-to-device transfer onto the target's devices (the ICI
+   equivalent of the NCCL send at draft_runner.py:360-362).
+ - The reference's draft step is ~2+K dispatches (glue fwd, fork, K tree
+   CUDA-graph replays each with a FlashInfer re-plan + packed-bitmask build,
+   draft_runner.py:530-812). Here the ENTIRE tail — glue decode, top-F fork
+   selection, and the K-step tree decode — is ONE jitted XLA program
+   (`tree_build_program`) with a lax.scan over depth; the tree-attention mask
+   is computed analytically from (context_len, fan_idx, step) inside the
+   kernel (ops/spec_math.tree_attention_mask), no bitmask.
+ - Asynchrony: `service()` answers the target from the cache (or the
+   jit-speculate chain program on a miss) and the response is handed back
+   before the tree build is even dispatched; JAX's async dispatch then runs
+   the tree build on the draft chip while the target chip verifies.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import traceback
+from dataclasses import dataclass
+from functools import partial
+from time import perf_counter
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ssd_tpu.config import Config
+from ssd_tpu.engine.model_runner import ModelRunner, chain_decode_step, next_pow2
+from ssd_tpu.models.transformer import Arch, compute_logits, forward_hidden
+from ssd_tpu.ops import attention as att
+from ssd_tpu.ops.sampler import sample
+from ssd_tpu.ops.spec_math import fan_index, get_forked_recovery_tokens
+
+
+# ---------------------------------------------------------------------------
+# The one-dispatch draft tail: glue decode -> fork -> K-step tree decode
+# ---------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "arch", "block_size", "ctx_pad", "K", "MQ_LEN",
+        "fan_out_list", "fan_out_list_miss", "sampler_x", "F",
+    ),
+    donate_argnames=("kv_cache",),
+)
+def tree_build_program(
+    params,
+    kv_cache,
+    glue_input_ids,   # [B*(K+1)] int32: [rec | spec_0..spec_{K-1}] per seq
+    base_positions,   # [B] int32: position of the recovery token (num_tokens-1)
+    block_tables,     # [B, M] int32 (draft tables; -1 padded / ghost rows)
+    cache_hits,       # [B] int32 {0,1}
+    temperatures,     # [B] float32
+    key,
+    *,
+    arch: Arch,
+    block_size: int,
+    ctx_pad: int,
+    K: int,
+    MQ_LEN: int,
+    fan_out_list: tuple[int, ...],
+    fan_out_list_miss: tuple[int, ...],
+    sampler_x: float | None,
+    F: int,
+):
+    """Build next step's speculation tree in a single XLA program.
+
+    Returns (fork_tokens [B, MQ_LEN], fan_idx_rows [B, MQ_LEN],
+             spec_tokens [B, MQ_LEN, K], spec_logits [B, MQ_LEN, K, V], kv).
+
+    Geometry (reference draft_runner.py:416-731): with base = num_tokens-1,
+    the draft cache layout per sequence is
+      [ trunk 0..base-1 | glue base..base+K | tree step s rows at
+        base+(K+1)+s*MQ_LEN + r ]
+    and tree row r (forked from glue depth fan_idx[r]) uses rope position
+    base + fan_idx[r] + 1 + s at step s.
+    """
+    B = block_tables.shape[0]
+    Kp1 = K + 1
+    scale = arch.head_dim ** -0.5
+
+    def slot_of(positions_flat, b_of_row):
+        """Flat cache slot for each (row, position); -1 where table is -1."""
+        blk = positions_flat // block_size
+        blk_ids = block_tables[b_of_row, blk]
+        slot = blk_ids * block_size + positions_flat % block_size
+        return jnp.where(blk_ids < 0, -1, slot).astype(jnp.int32)
+
+    # ---- glue decode: one K+1 multi-query forward per sequence ----
+    b_glue = jnp.repeat(jnp.arange(B), Kp1)
+    glue_positions = (base_positions[:, None] + jnp.arange(Kp1)[None, :]).reshape(-1)
+    glue_slots = slot_of(glue_positions, b_glue)
+    glue_ctx = base_positions + Kp1  # attends [0, base+i] for query i
+
+    def glue_attn(q, k, v, kv_layer):
+        kv_layer = att.store_kv(kv_layer, k, v, glue_slots)
+        o = att.paged_attention(
+            q.reshape(B, Kp1, arch.num_heads, arch.head_dim),
+            kv_layer, block_tables, glue_ctx, block_size, ctx_pad, scale,
+        )
+        return o.reshape(B * Kp1, arch.num_heads, arch.head_dim), kv_layer
+
+    hidden, kv_cache = forward_hidden(
+        params, kv_cache, glue_input_ids, glue_positions, glue_attn, arch
+    )
+    glue_logits = compute_logits(params, hidden, arch).reshape(B, Kp1, -1)
+
+    # ---- fork selection: top-F per glue depth, excluding returned tokens ----
+    returned = glue_input_ids.reshape(B, Kp1)
+    fork_tokens = get_forked_recovery_tokens(
+        glue_logits, cache_hits, returned,
+        list(fan_out_list), list(fan_out_list_miss),
+    ).astype(jnp.int32)  # [B, MQ_LEN]
+
+    fan_hit = jnp.asarray(fan_index(list(fan_out_list)))        # [MQ_LEN]
+    fan_miss = jnp.asarray(fan_index(list(fan_out_list_miss)))  # [MQ_LEN]
+    fan_idx_rows = jnp.where(
+        cache_hits.astype(bool)[:, None], fan_hit[None, :], fan_miss[None, :]
+    )  # [B, MQ_LEN]
+
+    # ---- K-step tree decode over N = B*MQ_LEN rows ----
+    N = B * MQ_LEN
+    b_flat = jnp.repeat(jnp.arange(B), MQ_LEN)          # [N]
+    r_flat = jnp.tile(jnp.arange(MQ_LEN), B)            # [N]
+    base_n = base_positions[b_flat]                     # [N]
+    fan_n = fan_idx_rows.reshape(-1)                    # [N]
+    temps_n = temperatures[b_flat]                      # [N]
+
+    def tree_step(carry, s):
+        kv, tok = carry
+        rope_pos = base_n + fan_n + 1 + s
+        write_pos = base_n + Kp1 + s * MQ_LEN + r_flat
+        slots = slot_of(write_pos, b_flat)
+        ctx = base_positions + Kp1 + (s + 1) * MQ_LEN   # [B]
+
+        def attn(q, k, v, kv_layer):
+            kv_layer = att.store_kv(kv_layer, k, v, slots)
+            o = att.tree_attention(
+                q.reshape(B, MQ_LEN, arch.num_heads, arch.head_dim),
+                kv_layer, block_tables, ctx, fan_idx_rows, s, K,
+                block_size, ctx_pad, scale,
+            )
+            return o.reshape(N, arch.num_heads, arch.head_dim), kv_layer
+
+        hidden, kv = forward_hidden(params, kv, tok, rope_pos, attn, arch)
+        logits = compute_logits(params, hidden, arch)   # [N, V]
+        next_tok = sample(
+            logits, temps_n, jax.random.fold_in(key, s),
+            sampler_x=sampler_x, fan_out=F, is_tree=True,
+        ).astype(jnp.int32)
+        return (kv, next_tok), (next_tok, logits)
+
+    # lax.scan needs `s` traced; fan_idx/tree mask take step as python int via
+    # switch-free math — tree_attention_mask is already step-parametric, so we
+    # pass s as a traced scalar through the mask arithmetic.
+    (kv_cache, _), (toks, logits) = jax.lax.scan(
+        tree_step, (kv_cache, fork_tokens.reshape(-1)), jnp.arange(K)
+    )
+    spec_tokens = toks.transpose(1, 0).reshape(B, MQ_LEN, K)
+    spec_logits = logits.transpose(1, 0, 2).reshape(B, MQ_LEN, K, -1)
+    return fork_tokens, fan_idx_rows, spec_tokens, spec_logits, kv_cache
+
+
+# ---------------------------------------------------------------------------
+# Request/response payloads (the handshake protocol)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SpecRequest:
+    """Target -> draft, one per decode step (speculator_async.py:149-156)."""
+
+    cache_keys: np.ndarray      # [B, 3] int64: (seq_id, accepted_len-1, rec_token)
+    num_tokens: np.ndarray      # [B] int64, incl. the appended recovery token
+    block_tables: np.ndarray    # [B, max_blocks] int32 draft tables
+    temperatures: np.ndarray    # [B] float32 draft temps
+
+
+@dataclass
+class SpecResponse:
+    """Draft -> target (draft_runner.py:360-362)."""
+
+    cache_hits: np.ndarray      # [B] int64 {0,1}
+    tokens: np.ndarray          # [B, K] int64
+    logits_q: jax.Array         # [B, K, V] on the draft device
+
+
+class DraftRunner(ModelRunner):
+    """Draft-model execution + the tensor-keyed speculation tree cache."""
+
+    def __init__(self, config: Config, hf_config=None, init_random=False, device=None):
+        super().__init__(
+            config,
+            hf_config=hf_config,
+            is_draft=True,
+            init_random=init_random,
+            device=device,
+        )
+        self.K = config.speculate_k
+        self.MQ_LEN = config.MQ_LEN
+        self.F = config.async_fan_out
+        self.fan_out_list = tuple(config.fan_out_list)
+        self.fan_out_list_miss = tuple(config.fan_out_list_miss)
+        self.sampler_x = config.sampler_x
+        self.jit_speculate = config.jit_speculate
+        self._rng = np.random.default_rng(config.seed + 17)
+        self.reset_tree_cache()
+
+    def reset_tree_cache(self):
+        self.tree_cache_keys = np.zeros((0, 3), dtype=np.int64)
+        self.tree_cache_tokens = None   # np [N, K]
+        self.tree_cache_logits = None   # device [N, K, V]
+
+    # --- prefill from payload (reference draft_async_prefill, :51-101) ---
+
+    def prefill_from_payload(self, input_id_lists: list[list[int]],
+                             block_tables: np.ndarray):
+        from ssd_tpu.engine.model_runner import prefill_step
+
+        for i, ids in enumerate(input_id_lists):
+            n = len(ids)
+            s_pad = next_pow2(max(8, n))
+            input_ids = np.zeros(s_pad, dtype=np.int32)
+            input_ids[:n] = ids
+            positions = np.zeros(s_pad, dtype=np.int32)
+            positions[:n] = np.arange(n)
+            bt_row = block_tables[i]
+            slot_map = np.full(s_pad, -1, dtype=np.int32)
+            blk = positions[:n] // self.block_size
+            slot_map[:n] = bt_row[blk] * self.block_size + positions[:n] % self.block_size
+            ctx_pad = self._ctx_bucket(n)
+            _, self.kv_cache = prefill_step(
+                self.params, self.kv_cache,
+                jnp.asarray(input_ids), jnp.asarray(positions),
+                jnp.asarray(slot_map), jnp.asarray(bt_row[None, :]),
+                jnp.int32(n), jnp.int32(n),
+                arch=self.arch, block_size=self.block_size,
+                ctx_pad=ctx_pad, num_new_pad=s_pad,
+            )
+
+    # --- spec-request service (reference hit_cache_and_respond, :186-286) ---
+
+    def _jit_chain(self, req: SpecRequest) -> tuple[np.ndarray, jax.Array]:
+        """Cache-miss fallback: K real draft decodes as one chain program."""
+        B = req.cache_keys.shape[0]
+        B_pad = next_pow2(B)
+        first = np.zeros(B_pad, dtype=np.int32)
+        start_pos = np.zeros(B_pad, dtype=np.int32)
+        ctx0 = np.ones(B_pad, dtype=np.int32)
+        temps = np.ones(B_pad, dtype=np.float32)
+        bt = np.full((B_pad, req.block_tables.shape[1]), -1, dtype=np.int32)
+        first[:B] = req.cache_keys[:, 2]
+        start_pos[:B] = req.num_tokens - 1
+        ctx0[:B] = req.num_tokens
+        temps[:B] = req.temperatures
+        bt[:B] = req.block_tables
+        ctx_pad = self._ctx_bucket(int(ctx0.max()) + self.K + 1)
+        self.key, sub = jax.random.split(self.key)
+        tokens, logits_q, self.kv_cache = chain_decode_step(
+            self.params, self.kv_cache,
+            jnp.asarray(first), jnp.asarray(start_pos), jnp.asarray(bt),
+            jnp.asarray(ctx0), jnp.asarray(temps), sub,
+            arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad,
+            K=self.K, sampler_x=self.sampler_x, fan_out=self.F,
+            tree_sampling=True,
+        )
+        return np.asarray(tokens)[:B], logits_q[:B]
+
+    def service(self, req: SpecRequest) -> SpecResponse:
+        B = req.cache_keys.shape[0]
+        K, V = self.K, self.arch.vocab_size
+
+        hits = np.zeros(B, dtype=np.int64)
+        idx = np.zeros(B, dtype=np.int64)
+        if self.tree_cache_keys.shape[0] > 0:
+            match = (req.cache_keys[:, None, :] == self.tree_cache_keys[None, :, :]).all(axis=2)
+            hits = match.any(axis=1).astype(np.int64)
+            idx = match.argmax(axis=1)
+
+        all_hit = bool(hits.all()) and self.tree_cache_keys.shape[0] > 0
+        if self.jit_speculate and not all_hit:
+            # Any miss: recompute EVERY row with real logits (reference
+            # :253-282 — hit rows are overwritten too; cache_hits keeps the
+            # match result for metrics / fan-out selection).
+            tokens, logits_q = self._jit_chain(req)
+            return SpecResponse(hits, tokens.astype(np.int64), logits_q)
+
+        # Miss rows: random valid tokens, flat (zero) logits — verify() ignores
+        # q on miss rows (greedy acceptance), reference inits them randomly
+        # (draft_runner.py:193-194).
+        tokens = self._rng.integers(0, V, size=(B, K), dtype=np.int64)
+        if hits.any():
+            cached = self.tree_cache_tokens[idx]          # [B, K] (garbage on miss)
+            tokens = np.where(hits[:, None].astype(bool), cached, tokens)
+            gathered = self.tree_cache_logits[jnp.asarray(idx)]  # [B, K, V]
+            logits_q = jnp.where(
+                jnp.asarray(hits)[:, None, None].astype(bool), gathered, 0.0
+            )
+        else:
+            logits_q = jnp.zeros((B, K, V), jnp.float32)
+            if self.device is not None:
+                logits_q = jax.device_put(logits_q, self.device)
+        return SpecResponse(hits, tokens, logits_q)
+
+    # --- tree rebuild (reference _build_tree_batch/_decode_tree/_populate) ---
+
+    def build_tree(self, req: SpecRequest, resp: SpecResponse):
+        B = req.cache_keys.shape[0]
+        K, MQ = self.K, self.MQ_LEN
+        B_pad = next_pow2(B)
+
+        glue_ids = np.zeros((B_pad, K + 1), dtype=np.int32)
+        glue_ids[:B, 0] = req.cache_keys[:, 2]
+        glue_ids[:B, 1:] = resp.tokens
+        base = np.zeros(B_pad, dtype=np.int32)
+        base[:B] = req.num_tokens - 1
+        bt = np.full((B_pad, req.block_tables.shape[1]), -1, dtype=np.int32)
+        bt[:B] = req.block_tables
+        hits = np.zeros(B_pad, dtype=np.int32)
+        hits[:B] = resp.cache_hits
+        temps = np.ones(B_pad, dtype=np.float32)
+        temps[:B] = req.temperatures
+
+        ctx_pad = self._ctx_bucket(int(base.max()) + 1 + (K + 1) + K * MQ)
+        self.key, sub = jax.random.split(self.key)
+        fork_tokens, fan_idx_rows, spec_tokens, spec_logits, self.kv_cache = (
+            tree_build_program(
+                self.params, self.kv_cache,
+                jnp.asarray(glue_ids.reshape(-1)), jnp.asarray(base),
+                jnp.asarray(bt), jnp.asarray(hits), jnp.asarray(temps), sub,
+                arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad,
+                K=K, MQ_LEN=MQ,
+                fan_out_list=self.fan_out_list,
+                fan_out_list_miss=self.fan_out_list_miss,
+                sampler_x=self.sampler_x, F=self.F,
+            )
+        )
+
+        # Cache population: keys host-side, logits stay on the draft device.
+        seq_ids = np.repeat(req.cache_keys[:, 0], MQ)               # [B*MQ]
+        fan_np = np.asarray(fan_idx_rows)[:B].reshape(-1)           # [B*MQ]
+        fork_np = np.asarray(fork_tokens)[:B].reshape(-1)           # [B*MQ]
+        self.tree_cache_keys = np.stack(
+            [seq_ids, fan_np.astype(np.int64), fork_np.astype(np.int64)], axis=1
+        )
+        self.tree_cache_tokens = np.asarray(spec_tokens)[:B].reshape(B * MQ, K)
+        self.tree_cache_logits = spec_logits[:B].reshape(B * MQ, K, -1)
+
+
+class DraftServer:
+    """Controller thread owning the DraftRunner; the process/NCCL topology of
+    the reference (llm_engine.py:82-89) collapses to a queue + a device."""
+
+    def __init__(self, config: Config, draft_cfg: Config, init_random=False):
+        devices = jax.devices()
+        device = devices[-1] if len(devices) > config.tp_size else None
+        self.runner = DraftRunner(
+            draft_cfg,
+            hf_config=config.draft_hf_config,
+            init_random=init_random,
+            device=device,
+        )
+        self._req_q: queue.Queue = queue.Queue()
+        self._resp_q: queue.Queue = queue.Queue()
+        self._step_times: list[float] = []
+        self._dead = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        while True:
+            cmd, payload = self._req_q.get()
+            if cmd == "exit":
+                break
+            try:
+                if cmd == "prefill":
+                    self.runner.prefill_from_payload(*payload)
+                elif cmd == "spec":
+                    t0 = perf_counter()
+                    resp = self.runner.service(payload)
+                    # Unblock the target before building the next tree: the
+                    # tree build below overlaps with the target's verify.
+                    self._resp_q.put(resp)
+                    self.runner.reset_tree_cache()
+                    self.runner.build_tree(payload, resp)
+                    self._step_times.append(perf_counter() - t0)
+            except Exception as e:  # surface errors to the waiting target
+                traceback.print_exc()
+                self._dead = True
+                if cmd == "spec":
+                    self._resp_q.put(e)
+                break
+
+    def prefill(self, input_id_lists: list[list[int]], block_tables: np.ndarray):
+        assert not self._dead, "draft server died"
+        self._req_q.put(("prefill", (input_id_lists, block_tables)))
+
+    def speculate(self, req: SpecRequest) -> SpecResponse:
+        assert not self._dead, "draft server died"
+        self._req_q.put(("spec", req))
+        resp = self._resp_q.get()
+        if isinstance(resp, Exception):
+            raise RuntimeError("draft server failed") from resp
+        return resp
+
+    def shutdown(self):
+        if self._thread.is_alive():
+            self._req_q.put(("exit", None))
+            self._thread.join(timeout=30)
+        if self._step_times:
+            avg = sum(self._step_times) * 1000 / len(self._step_times)
+            print(f"[metrics] Avg draft step time (ms): {avg:.2f}", flush=True)

@@ -142,9 +142,18 @@ class LLMEngine:
         if config.draft_async:
             from ssd_tpu.engine.speculator_async import SpeculatorAsync
 
+            target_sharding = None
+            if self.model_runner.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                target_sharding = NamedSharding(
+                    self.model_runner.mesh, PartitionSpec()
+                )
             speculator = SpeculatorAsync(
                 lookahead=config.speculate_k,
                 draft_server=self.draft_server,
+                max_blocks=config.max_blocks,
+                target_sharding=target_sharding,
             )
         else:
             from ssd_tpu.engine.speculator_sync import SpeculatorSync

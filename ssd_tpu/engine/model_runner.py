@@ -134,7 +134,8 @@ def sample_tokens(logits, temperatures, key):
 
 @partial(
     jax.jit,
-    static_argnames=("arch", "block_size", "ctx_pad", "K"),
+    static_argnames=("arch", "block_size", "ctx_pad", "K", "sampler_x", "fan_out",
+                     "tree_sampling"),
     donate_argnames=("kv_cache",),
 )
 def chain_decode_step(
@@ -151,6 +152,9 @@ def chain_decode_step(
     block_size: int,
     ctx_pad: int,
     K: int,
+    sampler_x: float | None = None,
+    fan_out: int = 3,
+    tree_sampling: bool = False,
 ):
     """K+1 sequential single-token decodes as ONE program (lax.scan over
     depth): the draft chain of sync spec decode (reference
@@ -187,7 +191,10 @@ def chain_decode_step(
 
         hidden, kv = forward_hidden(params, kv, tok, positions, attn_call, arch)
         logits = compute_logits(params, hidden, arch)  # [B, V]
-        next_tok = sample(logits, temperatures, jax.random.fold_in(key, i))
+        next_tok = sample(
+            logits, temperatures, jax.random.fold_in(key, i),
+            sampler_x=sampler_x, fan_out=fan_out, is_tree=tree_sampling,
+        )
         return (kv, next_tok), (next_tok, logits)
 
     (kv_cache, _), (toks, logits) = jax.lax.scan(
@@ -213,9 +220,11 @@ class ModelRunner:
         is_draft: bool = False,
         mesh=None,
         init_random: bool = False,
+        device=None,
     ):
         self.config = config
         self.is_draft = is_draft
+        self.device = device
         self.model_path = model_path or config.model
         self.hf_config = hf_config or config.hf_config
         self.arch = Arch.from_model_config(self.hf_config)
@@ -234,6 +243,11 @@ class ModelRunner:
             self.params = load_params(self.model_path, self.hf_config, self.dtype)
         if mesh is not None:
             self.params = shard_params(self.params, mesh)
+        elif device is not None:
+            # Pin this model to a dedicated chip (the async draft's device) —
+            # the TPU equivalent of the reference running the draft on the
+            # last GPU (llm_engine.py:82-89).
+            self.params = jax.device_put(self.params, device)
 
         self.num_kvcache_blocks = self._decide_num_blocks()
         config.num_kvcache_blocks = self.num_kvcache_blocks
@@ -274,6 +288,8 @@ class ModelRunner:
             from ssd_tpu.parallel.mesh import kv_sharding
 
             return jnp.zeros(shape, self.dtype, device=kv_sharding(self.mesh, a.num_kv_heads))
+        if self.device is not None:
+            return jnp.zeros(shape, self.dtype, device=self.device)
         return jnp.zeros(shape, self.dtype)
 
     # --- host-side input prep (runner_helpers.py equivalents) ---

@@ -1,0 +1,96 @@
+"""Target-side client of the asynchronous draft server.
+
+Parity: /root/reference/ssd/engine/speculator_async.py — append the recovery
+token, send the fused speculation request (cache keys [seq_id,
+accepted_len-1, rec_token], num_tokens, draft block tables, temps), receive
+(cache_hits, B x K tokens, [B,K,V] draft logits). The NCCL p2p handshake
+(speculator_async.py:149-185) becomes a queue round-trip to the draft
+controller thread; the logits reply is moved onto the target's devices with a
+single jax.device_put (the ICI transfer).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ssd_tpu.engine.draft_runner import DraftServer, SpecRequest
+from ssd_tpu.engine.helpers.speculate_types import SpeculateResult, SpeculatorBase, VerifyResult
+from ssd_tpu.engine.sequence import Sequence
+
+
+class SpeculatorAsync(SpeculatorBase):
+
+    def __init__(
+        self,
+        lookahead: int,
+        draft_server: DraftServer,
+        max_blocks: int | None = None,
+        target_sharding=None,
+    ):
+        super().__init__(lookahead)
+        self.K = lookahead
+        self.draft_server = draft_server
+        self.max_blocks = max_blocks or draft_server.runner.max_blocks
+        # Where verify() runs: the reply logits are transferred here.
+        self.target_sharding = target_sharding or jax.devices()[0]
+
+    def _block_tables(self, seqs: list[Sequence]) -> np.ndarray:
+        bt = np.full((len(seqs), self.max_blocks), -1, dtype=np.int32)
+        for i, seq in enumerate(seqs):
+            table = seq.draft_block_table
+            bt[i, : len(table)] = table
+        return bt
+
+    def prefill(self, seqs: list[Sequence], verify_result: VerifyResult) -> SpeculateResult:
+        assert verify_result.eagle_acts is None, "EAGLE prefill handled separately"
+        # Dispatch the draft prefill and return immediately: it runs on the
+        # draft chip in parallel with the target prefill (reference
+        # step.py:74-83).
+        self.draft_server.prefill(
+            [list(seq.token_ids) for seq in seqs], self._block_tables(seqs)
+        )
+        return SpeculateResult([], [])
+
+    def speculate(self, seqs: list[Sequence], verify_result: VerifyResult) -> SpeculateResult:
+        B = len(seqs)
+        K = self.K
+        for seq in seqs:
+            assert seq.recovery_token_id is not None
+            seq.append_token(seq.recovery_token_id)
+
+        keys = np.zeros((B, 3), dtype=np.int64)
+        num_tokens = np.zeros(B, dtype=np.int64)
+        temps = np.zeros(B, dtype=np.float32)
+        for i, seq in enumerate(seqs):
+            keys[i] = (seq.seq_id, seq.last_spec_step_accepted_len - 1,
+                       seq.recovery_token_id)
+            num_tokens[i] = seq.num_tokens
+            temps[i] = (
+                seq.draft_temperature
+                if seq.draft_temperature is not None else seq.temperature
+            )
+
+        resp = self.draft_server.speculate(SpecRequest(
+            cache_keys=keys,
+            num_tokens=num_tokens,
+            block_tables=self._block_tables(seqs),
+            temperatures=temps,
+        ))
+
+        # Draft-chip -> target-chip transfer of the [B,K,V] logits.
+        logits_q = jax.device_put(resp.logits_q, self.target_sharding)
+
+        speculations = np.concatenate([keys[:, 2:3], resp.tokens], axis=1)  # [B, K+1]
+        for i, seq in enumerate(seqs):
+            for t in resp.tokens[i].tolist():
+                seq.append_token(int(t))
+            seq.num_draft_cached_tokens += K + 1
+
+        return SpeculateResult(
+            speculations=speculations,
+            logits_q=logits_q,
+            cache_hits=resp.cache_hits,
+        )
