@@ -29,6 +29,7 @@ TPU-native re-design:
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import traceback
@@ -57,7 +58,7 @@ from ssd_tpu.ops.spec_math import fan_index, get_forked_recovery_tokens
     jax.jit,
     static_argnames=(
         "arch", "block_size", "ctx_pad", "K", "MQ_LEN",
-        "fan_out_list", "fan_out_list_miss", "sampler_x", "F",
+        "fan_out_list", "fan_out_list_miss", "sampler_x", "F", "use_pallas",
     ),
     donate_argnames=("kv_cache",),
 )
@@ -80,6 +81,7 @@ def tree_build_program(
     fan_out_list_miss: tuple[int, ...],
     sampler_x: float | None,
     F: int,
+    use_pallas: bool = False,
 ):
     """Build next step's speculation tree in a single XLA program.
 
@@ -112,10 +114,18 @@ def tree_build_program(
 
     def glue_attn(q, k, v, kv_layer):
         kv_layer = att.store_kv(kv_layer, k, v, glue_slots)
-        o = att.paged_attention(
-            q.reshape(B, Kp1, arch.num_heads, arch.head_dim),
-            kv_layer, block_tables, glue_ctx, block_size, ctx_pad, scale,
-        )
+        qr = q.reshape(B, Kp1, arch.num_heads, arch.head_dim)
+        if use_pallas:
+            from ssd_tpu.ops import pallas_attention as patt
+
+            o = patt.paged_attention(
+                qr, kv_layer, block_tables, glue_ctx,
+                jnp.full((B,), Kp1, jnp.int32), block_size, ctx_pad, scale,
+            )
+        else:
+            o = att.paged_attention(
+                qr, kv_layer, block_tables, glue_ctx, block_size, ctx_pad, scale,
+            )
         return o.reshape(B * Kp1, arch.num_heads, arch.head_dim), kv_layer
 
     hidden, kv_cache = forward_hidden(
@@ -153,11 +163,19 @@ def tree_build_program(
 
         def attn(q, k, v, kv_layer):
             kv_layer = att.store_kv(kv_layer, k, v, slots)
-            o = att.tree_attention(
-                q.reshape(B, MQ_LEN, arch.num_heads, arch.head_dim),
-                kv_layer, block_tables, ctx, fan_idx_rows, s, K,
-                block_size, ctx_pad, scale,
-            )
+            qr = q.reshape(B, MQ_LEN, arch.num_heads, arch.head_dim)
+            if use_pallas:
+                from ssd_tpu.ops import pallas_attention as patt
+
+                o = patt.tree_attention(
+                    qr, kv_layer, block_tables, ctx, fan_idx_rows, s,
+                    K, block_size, ctx_pad, scale,
+                )
+            else:
+                o = att.tree_attention(
+                    qr, kv_layer, block_tables, ctx, fan_idx_rows, s, K,
+                    block_size, ctx_pad, scale,
+                )
             return o.reshape(N, arch.num_heads, arch.head_dim), kv_layer
 
         hidden, kv = forward_hidden(params, kv, tok, rope_pos, attn, arch)
@@ -279,7 +297,7 @@ class DraftRunner(ModelRunner):
             jnp.asarray(ctx0), jnp.asarray(temps), sub,
             arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad,
             K=self.K, sampler_x=self.sampler_x, fan_out=self.F,
-            tree_sampling=True,
+            tree_sampling=True, use_pallas=self.use_pallas,
         )
         return np.asarray(tokens)[:B], logits_q[:B]
 
@@ -350,6 +368,7 @@ class DraftRunner(ModelRunner):
                 fan_out_list=self.fan_out_list,
                 fan_out_list_miss=self.fan_out_list_miss,
                 sampler_x=self.sampler_x, F=self.F,
+                use_pallas=self.use_pallas,
             )
         )
 
@@ -393,13 +412,28 @@ class DraftServer:
                 if cmd == "prefill":
                     self.runner.prefill_from_payload(*payload)
                 elif cmd == "spec":
+                    prof = os.environ.get("SSD_PROFILE_DRAFT", "0") == "1" or (
+                        os.environ.get("SSD_PROFILE", "0") == "1"
+                    )
                     t0 = perf_counter()
                     resp = self.runner.service(payload)
+                    if prof:
+                        jax.block_until_ready(resp.logits_q)
+                    t1 = perf_counter()
                     # Unblock the target before building the next tree: the
                     # tree build below overlaps with the target's verify.
                     self._resp_q.put(resp)
                     self.runner.reset_tree_cache()
                     self.runner.build_tree(payload, resp)
+                    if prof:
+                        jax.block_until_ready(self.runner.tree_cache_logits)
+                        t2 = perf_counter()
+                        print(
+                            f"[PROFILE draft] service={(t1-t0)*1000:.2f}ms "
+                            f"build_tree={(t2-t1)*1000:.2f}ms "
+                            f"total={(t2-t0)*1000:.2f}ms",
+                            flush=True,
+                        )
                     self._step_times.append(perf_counter() - t0)
             except Exception as e:  # surface errors to the waiting target
                 traceback.print_exc()

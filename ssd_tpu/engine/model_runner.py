@@ -9,7 +9,7 @@ one SPMD JAX program per phase:
    (cudagraph_helpers.py:25-57).
  - TP process group -> NamedSharding over an ICI mesh axis; XLA inserts and
    overlaps the per-layer all-reduces (linear.py:196-199 equivalent).
- - KV cache: one [L, 2, S, H_kv, hd] array, flat slots, donated through every
+ - KV cache: one [L, 2, H_kv, S, hd] array, flat slots, donated through every
    step so XLA updates it in place (model_runner.py:484-503 equivalent).
 
 Host-side input prep (prepare_* methods) mirrors runner_helpers.py and stays
@@ -46,7 +46,7 @@ def next_pow2(n: int) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("arch", "block_size", "ctx_pad", "num_new_pad"),
+    static_argnames=("arch", "block_size", "ctx_pad", "num_new_pad", "use_pallas"),
     donate_argnames=("kv_cache",),
 )
 def prefill_step(
@@ -63,6 +63,7 @@ def prefill_step(
     block_size: int,
     ctx_pad: int,
     num_new_pad: int,
+    use_pallas: bool = False,
 ):
     """Single-sequence (possibly prefix-cached) prefill. Returns last-token
     logits [V] and the updated cache."""
@@ -70,10 +71,19 @@ def prefill_step(
 
     def attn_call(q, k, v, kv_layer):
         kv_layer = att.store_kv(kv_layer, k, v, slot_map)
-        o = att.prefill_attention(
-            q[None], kv_layer, block_table, context_len, num_new,
-            block_size, ctx_pad, scale,
-        )
+        if use_pallas:
+            from ssd_tpu.ops import pallas_attention as patt
+
+            o = patt.paged_attention(
+                q[None], kv_layer, block_table,
+                jnp.reshape(context_len, (1,)), jnp.reshape(num_new, (1,)),
+                block_size, ctx_pad, scale,
+            )
+        else:
+            o = att.prefill_attention(
+                q[None], kv_layer, block_table, context_len, num_new,
+                block_size, ctx_pad, scale,
+            )
         return o[0], kv_layer
 
     hidden, kv_cache = forward_hidden(
@@ -85,7 +95,7 @@ def prefill_step(
 
 @partial(
     jax.jit,
-    static_argnames=("arch", "block_size", "ctx_pad", "q_len"),
+    static_argnames=("arch", "block_size", "ctx_pad", "q_len", "use_pallas"),
     donate_argnames=("kv_cache",),
 )
 def decode_step(
@@ -103,6 +113,7 @@ def decode_step(
     block_size: int,
     ctx_pad: int,
     q_len: int,
+    use_pallas: bool = False,
 ):
     """Batched decode with q_len queries per sequence: q_len=1 is AR decode,
     q_len=K+1 is the spec verify / glue forward. Returns (sampled last-token
@@ -112,10 +123,19 @@ def decode_step(
 
     def attn_call(q, k, v, kv_layer):
         kv_layer = att.store_kv(kv_layer, k, v, slot_map)
-        o = att.paged_attention(
-            q.reshape(B, q_len, arch.num_heads, arch.head_dim),
-            kv_layer, block_tables, context_lens, block_size, ctx_pad, scale,
-        )
+        qr = q.reshape(B, q_len, arch.num_heads, arch.head_dim)
+        if use_pallas:
+            from ssd_tpu.ops import pallas_attention as patt
+
+            o = patt.paged_attention(
+                qr, kv_layer, block_tables, context_lens,
+                jnp.full((B,), q_len, jnp.int32), block_size, ctx_pad, scale,
+            )
+        else:
+            o = att.paged_attention(
+                qr, kv_layer, block_tables, context_lens, block_size, ctx_pad,
+                scale,
+            )
         return o.reshape(B * q_len, arch.num_heads, arch.head_dim), kv_layer
 
     hidden, kv_cache = forward_hidden(
@@ -135,7 +155,7 @@ def sample_tokens(logits, temperatures, key):
 @partial(
     jax.jit,
     static_argnames=("arch", "block_size", "ctx_pad", "K", "sampler_x", "fan_out",
-                     "tree_sampling"),
+                     "tree_sampling", "use_pallas"),
     donate_argnames=("kv_cache",),
 )
 def chain_decode_step(
@@ -155,6 +175,7 @@ def chain_decode_step(
     sampler_x: float | None = None,
     fan_out: int = 3,
     tree_sampling: bool = False,
+    use_pallas: bool = False,
 ):
     """K+1 sequential single-token decodes as ONE program (lax.scan over
     depth): the draft chain of sync spec decode (reference
@@ -183,10 +204,19 @@ def chain_decode_step(
 
         def attn_call(q, k, v, kv_layer):
             kv_layer = att.store_kv(kv_layer, k, v, slot_map.astype(jnp.int32))
-            o = att.paged_attention(
-                q.reshape(B, 1, arch.num_heads, arch.head_dim),
-                kv_layer, block_tables, context_lens, block_size, ctx_pad, scale,
-            )
+            qr = q.reshape(B, 1, arch.num_heads, arch.head_dim)
+            if use_pallas:
+                from ssd_tpu.ops import pallas_attention as patt
+
+                o = patt.paged_attention(
+                    qr, kv_layer, block_tables, context_lens,
+                    jnp.ones((B,), jnp.int32), block_size, ctx_pad, scale,
+                )
+            else:
+                o = att.paged_attention(
+                    qr, kv_layer, block_tables, context_lens, block_size,
+                    ctx_pad, scale,
+                )
             return o.reshape(B, arch.num_heads, arch.head_dim), kv_layer
 
         hidden, kv = forward_hidden(params, kv, tok, positions, attn_call, arch)
@@ -232,6 +262,12 @@ class ModelRunner:
         self.max_blocks = config.max_blocks
         self.mesh = mesh
         self.dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        # Pallas kernels: auto-on for the TPU backend, jnp reference elsewhere.
+        self.use_pallas = (
+            config.use_pallas
+            if config.use_pallas is not None
+            else jax.default_backend() == "tpu"
+        )
 
         self.key = jax.random.PRNGKey(config.seed + (1 if is_draft else 0))
 
@@ -283,7 +319,7 @@ class ModelRunner:
     def _allocate_kv_cache(self) -> jnp.ndarray:
         a = self.arch
         S = self.num_kvcache_blocks * self.block_size
-        shape = (a.num_layers, 2, S, a.num_kv_heads, a.head_dim)
+        shape = (a.num_layers, 2, a.num_kv_heads, S, a.head_dim)
         if self.mesh is not None:
             from ssd_tpu.parallel.mesh import kv_sharding
 
@@ -335,7 +371,7 @@ class ModelRunner:
                 jnp.asarray(input_ids), jnp.asarray(positions), jnp.asarray(slot_map),
                 jnp.asarray(bt), jnp.int32(seq.num_tokens), jnp.int32(n_new),
                 arch=self.arch, block_size=self.block_size,
-                ctx_pad=ctx_pad, num_new_pad=s_pad,
+                ctx_pad=ctx_pad, num_new_pad=s_pad, use_pallas=self.use_pallas,
             )
             logits_rows.append(logits)
 
@@ -379,6 +415,11 @@ class ModelRunner:
     ):
         """Batched decode/verify forward. Returns (tokens list[B], logits
         device array [B, q_len, V] or None)."""
+        import os
+        from time import perf_counter
+
+        prof = os.environ.get("SSD_PROFILE_TARGET", "0") == "1"
+        t0 = perf_counter()
         draft = self.is_draft
         (input_ids, positions, slot_map, bt, context_lens, temps, B_pad) = (
             self._prepare_multi_query(seqs, q_len, draft)
@@ -392,9 +433,17 @@ class ModelRunner:
             jnp.asarray(input_ids), jnp.asarray(positions), jnp.asarray(slot_map),
             jnp.asarray(bt), jnp.asarray(context_lens), jnp.asarray(temps), sub,
             arch=self.arch, block_size=self.block_size,
-            ctx_pad=ctx_pad, q_len=q_len,
+            ctx_pad=ctx_pad, q_len=q_len, use_pallas=self.use_pallas,
         )
         B = len(seqs)
+        if prof:
+            t1 = perf_counter()
+            jax.block_until_ready(tokens)
+            print(
+                f"[PROFILE target] prepare+dispatch={(t1-t0)*1000:.2f}ms "
+                f"run(q_len={q_len})={(perf_counter()-t1)*1000:.2f}ms",
+                flush=True,
+            )
         token_list = np.asarray(tokens)[:B].tolist()
         if return_logits:
             V = self.arch.vocab_size
@@ -429,6 +478,7 @@ class ModelRunner:
             jnp.asarray(first), jnp.asarray(start_pos), jnp.asarray(bt),
             jnp.asarray(ctx0), jnp.asarray(temps), sub,
             arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad, K=K,
+            use_pallas=self.use_pallas,
         )
         return np.asarray(tokens)[:B], logits_q[:B]
 

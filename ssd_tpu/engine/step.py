@@ -8,7 +8,9 @@ restore -> postprocess_speculate (step.py:91-163).
 
 from __future__ import annotations
 
+import os
 from abc import ABC, abstractmethod
+from time import perf_counter
 
 from ssd_tpu.engine.helpers.speculate_types import VerifyResult
 from ssd_tpu.engine.model_runner import ModelRunner
@@ -81,9 +83,15 @@ class SpecDecodeStep(InferenceStep):
             for s in seqs
         ]
 
+        # SSD_PROFILE=1: per-phase breakdown (reference step.py:92,155-161).
+        prof = os.environ.get("SSD_PROFILE", "0") == "1"
+        t0 = perf_counter()
+
         in_result = VerifyResult([], [], True if self.eagle else None)
         speculate_result = self.speculator.speculate(seqs, in_result)
+        t1 = perf_counter()
         out_result = self.verifier.verify(seqs, speculate_result, eagle=self.eagle)
+        t2 = perf_counter()
 
         for seq, (n_tok, nt, lt, ndc, nct) in zip(seqs, saved):
             del seq.token_ids[n_tok:]
@@ -98,4 +106,12 @@ class SpecDecodeStep(InferenceStep):
             out_result.recovery_tokens,
             eagle_acts=out_result.eagle_acts if self.eagle else None,
         )
+        if prof:
+            t3 = perf_counter()
+            print(
+                f"[PROFILE target] speculate={(t1-t0)*1000:.2f}ms "
+                f"verify={(t2-t1)*1000:.2f}ms postprocess={(t3-t2)*1000:.2f}ms "
+                f"total={(t3-t0)*1000:.2f}ms",
+                flush=True,
+            )
         return sum(len(s) for s in out_result.new_suffixes)

@@ -106,7 +106,7 @@ def init_params(arch: Arch, key: jax.Array, dtype=jnp.float32) -> dict:
 
 def forward_hidden(
     params: dict,
-    kv_cache: jnp.ndarray,      # [L, 2, S, Hkv, hd]
+    kv_cache: jnp.ndarray,      # [L, 2, Hkv, S, hd]
     input_ids: jnp.ndarray,     # [T]
     positions: jnp.ndarray,     # [T] rope positions
     attn_call: AttnCall,

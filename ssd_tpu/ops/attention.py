@@ -15,9 +15,11 @@ tests and as the numerics oracle. The Pallas TPU kernels in
 `ssd_tpu.ops.pallas` implement the same contracts fused; the runner picks per
 backend.
 
-KV cache layout (per model): [L, 2, S, H_kv, hd] with S = num_blocks *
-block_size flat slots, so slot_mapping indexes rows directly and the layer
-dimension scans with the transformer layers.
+KV cache layout (per model): [L, 2, H_kv, S, hd] with S = num_blocks *
+block_size flat slots, so slot_mapping indexes the S axis directly, the layer
+dimension scans with the transformer layers, and every (head, page) is a
+contiguous [block_size, hd] tile — the natural TPU (sublane, lane) tile shape
+the Pallas kernels DMA page-by-page.
 """
 
 from __future__ import annotations
@@ -29,7 +31,7 @@ from ssd_tpu.ops.spec_math import tree_attention_mask
 
 
 def store_kv(
-    kv_layer: jnp.ndarray,     # [2, S, H_kv, hd]
+    kv_layer: jnp.ndarray,     # [2, H_kv, S, hd]
     k: jnp.ndarray,            # [T, H_kv, hd]
     v: jnp.ndarray,            # [T, H_kv, hd]
     slot_mapping: jnp.ndarray,  # [T] int32; negative = ghost (skip)
@@ -39,14 +41,14 @@ def store_kv(
     Negative slots are remapped out-of-bounds so XLA's scatter `drop` mode
     skips them (the reference kernel's slot==-1 semantics).
     """
-    S = kv_layer.shape[1]
+    S = kv_layer.shape[2]
     slots = jnp.where(slot_mapping < 0, S, slot_mapping)
-    kv_new = jnp.stack([k, v], axis=0)  # [2, T, H, hd]
-    return kv_layer.at[:, slots].set(kv_new, mode="drop")
+    kv_new = jnp.stack([k, v], axis=0).transpose(0, 2, 1, 3)  # [2, H, T, hd]
+    return kv_layer.at[:, :, slots].set(kv_new, mode="drop")
 
 
 def gather_pages(
-    kv_layer: jnp.ndarray,      # [2, S, H_kv, hd]
+    kv_layer: jnp.ndarray,      # [2, H_kv, S, hd]
     block_tables: jnp.ndarray,  # [B, M] int32 (entries may be -1 padding)
     block_size: int,
     ctx_pad: int,               # static gather length (multiple of block_size)
@@ -62,8 +64,8 @@ def gather_pages(
     blk_off = pos % block_size
     blk_ids = block_tables[:, blk_idx]                  # [B, ctx_pad]
     slots = jnp.clip(blk_ids, 0) * block_size + blk_off  # [B, ctx_pad]
-    k = kv_layer[0][slots]                               # [B, ctx_pad, H, hd]
-    v = kv_layer[1][slots]
+    k = kv_layer[0][:, slots].transpose(1, 2, 0, 3)      # [B, ctx_pad, H, hd]
+    v = kv_layer[1][:, slots].transpose(1, 2, 0, 3)
     return k, v
 
 

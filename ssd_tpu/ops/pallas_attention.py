@@ -16,8 +16,9 @@ The TPU-native replacement for the reference's native attention surface
    (context_len, fan_idx, step, row) — zero mask bytes move over HBM.
 
 Layouts:
- - KV cache page block: kv_layer [2, S, Hkv, hd] with S = num_blocks *
-   block_size flat slots; one (2, block_size, 1, hd) block per grid step.
+ - KV cache page block: kv_layer [2, Hkv, S, hd] with S = num_blocks *
+   block_size flat slots; one (2, 1, block_size, hd) block per grid step, a
+   contiguous (sublane, lane)-tiled page.
  - Queries are pre-grouped by KV head: q [B, Hkv, Q*G, hd] where G = Hq/Hkv,
    so each grid step owns all MXU rows that share one KV head's pages.
 
@@ -73,7 +74,7 @@ def _paged_attn_kernel(
     qeff_ref,    # [B] int32 true queries per sequence (<= Q)
     # blocks
     q_ref,       # [1, 1, TQ, hd]
-    kv_ref,      # [2, BS, 1, hd] page for (b, h)
+    kv_ref,      # [2, 1, BS, hd] page for (b, h)
     o_ref,       # [1, 1, TQ, hd]
     # scratch
     m_scr, l_scr, acc_scr,
@@ -92,8 +93,8 @@ def _paged_attn_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    k = kv_ref[0, :, 0, :]
-    v = kv_ref[1, :, 0, :]
+    k = kv_ref[0, 0]
+    v = kv_ref[1, 0]
     q = q_ref[0, 0]
 
     scores = jax.lax.dot(
@@ -127,7 +128,7 @@ def _paged_attn_kernel(
 )
 def paged_attention(
     q: jnp.ndarray,             # [B, Q, Hq, hd]
-    kv_layer: jnp.ndarray,      # [2, S, Hkv, hd]
+    kv_layer: jnp.ndarray,      # [2, Hkv, S, hd]
     block_tables: jnp.ndarray,  # [B, M] int32
     context_lens: jnp.ndarray,  # [B]
     qeff: jnp.ndarray,          # [B] true queries per sequence
@@ -139,7 +140,7 @@ def paged_attention(
     """Causal paged flash attention: Q=1 decode, Q=K+1 verify/glue, Q=S_pad
     prefill (with qeff = true new-token count)."""
     B, Q, Hq, hd = q.shape
-    Hkv = kv_layer.shape[2]
+    Hkv = kv_layer.shape[1]
     G = Hq // Hkv
     QG = Q * G
     TQ = min(QG, 512)
@@ -157,9 +158,9 @@ def paged_attention(
                 lambda b, h, t, p, bt, ctx, qe: (b, h, t, 0),
             ),
             pl.BlockSpec(
-                (2, block_size, 1, hd),
+                (2, 1, block_size, hd),
                 lambda b, h, t, p, bt, ctx, qe: (
-                    0, jnp.maximum(bt[b, p], 0), h, 0
+                    0, h, jnp.maximum(bt[b, p], 0), 0
                 ),
             ),
         ],
@@ -200,7 +201,7 @@ def _tree_attn_kernel(
     step_ref,    # [1] int32 tree depth s
     # blocks
     q_ref,       # [1, 1, MQ*G, hd]
-    kv_ref,      # [2, BS, 1, hd]
+    kv_ref,      # [2, 1, BS, hd]
     o_ref,       # [1, 1, MQ*G, hd]
     m_scr, l_scr, acc_scr,
     *,
@@ -218,8 +219,8 @@ def _tree_attn_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    k = kv_ref[0, :, 0, :]
-    v = kv_ref[1, :, 0, :]
+    k = kv_ref[0, 0]
+    v = kv_ref[1, 0]
     q = q_ref[0, 0]
     R = q.shape[0]  # MQ * G
 
@@ -267,7 +268,7 @@ def _tree_attn_kernel(
 )
 def tree_attention(
     q: jnp.ndarray,             # [B, MQ, Hq, hd]
-    kv_layer: jnp.ndarray,      # [2, S, Hkv, hd]
+    kv_layer: jnp.ndarray,      # [2, Hkv, S, hd]
     block_tables: jnp.ndarray,  # [B, M]
     context_lens: jnp.ndarray,  # [B]
     fan_idx_rows: jnp.ndarray,  # [B, MQ]
@@ -281,7 +282,7 @@ def tree_attention(
     """Paged tree attention over N = B*MQ fork rows sharing trunk KV; the
     (prefix | glue-ancestors | own-column) mask is computed analytically."""
     B, MQ, Hq, hd = q.shape
-    Hkv = kv_layer.shape[2]
+    Hkv = kv_layer.shape[1]
     G = Hq // Hkv
     num_pages = max(1, ctx_pad // block_size)
 
@@ -296,9 +297,9 @@ def tree_attention(
                 lambda b, h, t, p, bt, ctx, fan, st: (b, h, 0, 0),
             ),
             pl.BlockSpec(
-                (2, block_size, 1, hd),
+                (2, 1, block_size, hd),
                 lambda b, h, t, p, bt, ctx, fan, st: (
-                    0, jnp.maximum(bt[b, p], 0), h, 0
+                    0, h, jnp.maximum(bt[b, p], 0), 0
                 ),
             ),
         ],

@@ -82,8 +82,8 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
 
 
 def kv_sharding(mesh: Mesh, num_kv_heads: int | None = None) -> NamedSharding:
-    """KV cache [L, 2, S, H_kv, hd] sharded over kv heads; replicated when tp
+    """KV cache [L, 2, H_kv, S, hd] sharded over kv heads; replicated when tp
     does not divide the kv-head count."""
     if num_kv_heads is not None and num_kv_heads % mesh.shape["tp"] != 0:
         return NamedSharding(mesh, P(None))
-    return NamedSharding(mesh, P(None, None, None, "tp", None))
+    return NamedSharding(mesh, P(None, None, "tp", None, None))

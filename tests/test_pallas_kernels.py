@@ -1,0 +1,119 @@
+"""Pallas kernel numerics vs the jnp reference path (interpret mode on CPU).
+
+Each kernel must match ops/attention.py's gather-based oracle to fp32
+tolerance across decode (Q=1), verify/glue (Q=K+1), prefill (qeff < Q
+padding), GQA grouping, ragged context lengths, and tree-mask steps.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ssd_tpu.ops import attention as att
+from ssd_tpu.ops import pallas_attention as patt
+
+
+def make_case(seed, B, Q, Hq, Hkv, hd, block_size, max_blocks, ctx_lens):
+    rng = np.random.default_rng(seed)
+    S = block_size * max_blocks * B + block_size
+    kv = rng.normal(size=(2, Hkv, S, hd)).astype(np.float32)
+    q = rng.normal(size=(B, Q, Hq, hd)).astype(np.float32)
+    # Disjoint, shuffled block tables per sequence.
+    all_blocks = rng.permutation(S // block_size - 1) + 1
+    bt = np.full((B, max_blocks), -1, dtype=np.int32)
+    for b in range(B):
+        n = (ctx_lens[b] + block_size - 1) // block_size
+        bt[b, :n] = all_blocks[b * max_blocks: b * max_blocks + n]
+    return jnp.asarray(q), jnp.asarray(kv), jnp.asarray(bt), jnp.asarray(
+        np.asarray(ctx_lens, dtype=np.int32)
+    )
+
+
+@pytest.mark.parametrize("Q,Hq,Hkv,ctx_lens", [
+    (1, 4, 2, [5, 33]),          # decode, GQA
+    (4, 4, 4, [17, 64]),         # verify multi-query, MHA
+    (4, 8, 2, [9, 31]),          # verify, GQA 4x
+    (1, 2, 1, [16, 16]),         # exact block boundary
+])
+def test_paged_attention_matches_reference(Q, Hq, Hkv, ctx_lens):
+    B, hd, block_size, max_blocks = 2, 16, 16, 8
+    q, kv, bt, ctx = make_case(0, B, Q, Hq, Hkv, hd, block_size, max_blocks, ctx_lens)
+    ctx_pad = 128
+    scale = hd ** -0.5
+
+    want = att.paged_attention(q, kv, bt, ctx, block_size, ctx_pad, scale)
+    got = patt.paged_attention(
+        q, kv, bt, ctx, jnp.full((B,), Q, jnp.int32), block_size, ctx_pad,
+        scale, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_paged_attention_prefill_qeff():
+    """Prefill: Q padded beyond the true new-token count; real rows match."""
+    B, Q, Hq, Hkv, hd = 1, 16, 4, 2, 16
+    block_size, max_blocks = 16, 8
+    num_new = 11
+    ctx_lens = [40]  # 29 cached + 11 new
+    q, kv, bt, ctx = make_case(3, B, Q, Hq, Hkv, hd, block_size, max_blocks, ctx_lens)
+    ctx_pad = 64
+    scale = hd ** -0.5
+
+    want = att.prefill_attention(
+        q, kv, bt, jnp.int32(ctx_lens[0]), jnp.int32(num_new),
+        block_size, ctx_pad, scale,
+    )
+    got = patt.paged_attention(
+        q, kv, bt, ctx, jnp.asarray([num_new], jnp.int32), block_size,
+        ctx_pad, scale, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got)[0, :num_new], np.asarray(want)[0, :num_new],
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+@pytest.mark.parametrize("step", [0, 1, 2])
+def test_tree_attention_matches_reference(step):
+    B, Hq, Hkv, hd = 2, 4, 2, 16
+    K, MQ = 3, 8
+    block_size, max_blocks = 16, 16
+    base = np.asarray([20, 7], dtype=np.int32)  # num_tokens - 1
+    ctx_lens = (base + (K + 1) + (step + 1) * MQ).tolist()
+    q, kv, bt, ctx = make_case(7 + step, B, MQ, Hq, Hkv, hd, block_size,
+                               max_blocks, ctx_lens)
+    fan = jnp.asarray(
+        np.stack([np.repeat(np.arange(K + 1), 2),
+                  np.repeat(np.arange(K + 1), 2)]), jnp.int32
+    )  # [B, MQ] fan_out_list = [2,2,2,2]
+    ctx_pad = 128
+    scale = hd ** -0.5
+
+    want = att.tree_attention(q, kv, bt, ctx, fan, step, K, block_size, ctx_pad, scale)
+    got = patt.tree_attention(
+        q, kv, bt, ctx, fan, jnp.int32(step), K, block_size, ctx_pad, scale,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_paged_attention_bf16():
+    """bf16 inputs with fp32 accumulation stay close to the fp32 oracle."""
+    B, Q, Hq, Hkv, hd = 2, 2, 4, 2, 32
+    block_size, max_blocks = 16, 8
+    q, kv, bt, ctx = make_case(11, B, Q, Hq, Hkv, hd, block_size, max_blocks, [19, 42])
+    qb, kvb = q.astype(jnp.bfloat16), kv.astype(jnp.bfloat16)
+    ctx_pad = 64
+    scale = hd ** -0.5
+
+    want = att.paged_attention(qb, kvb, bt, ctx, block_size, ctx_pad, scale)
+    got = patt.paged_attention(
+        qb, kvb, bt, ctx, jnp.full((B,), Q, jnp.int32), block_size, ctx_pad,
+        scale, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
