@@ -47,7 +47,12 @@ class BlockManager:
         self.block_size = block_size
         self.blocks = [Block(i) for i in range(num_blocks)]
         self.hash_to_block_id: dict[int, int] = {}
+        # Free list with LAZY deletion: reactivating a specific free block on
+        # a prefix-cache hit just marks it used; its stale deque entry is
+        # skipped at pop time. This makes every allocator op O(1) amortised
+        # where the reference's deque.remove (block_manager.py:68) is O(n).
         self.free_block_ids: deque[int] = deque(range(num_blocks))
+        self.num_free = num_blocks
         self.used_block_ids: set[int] = set()
         self.is_draft = is_draft
         self.speculate_k = speculate_k
@@ -65,29 +70,28 @@ class BlockManager:
         block = self.blocks[block_id]
         assert block.ref_count == 0
         block.reset()
-        self.free_block_ids.remove(block_id)
         self.used_block_ids.add(block_id)
+        self.num_free -= 1
         return block
 
+    def _pop_free_id(self) -> int:
+        while True:
+            block_id = self.free_block_ids.popleft()
+            if block_id not in self.used_block_ids:
+                return block_id  # skip stale entries (lazily deleted)
+
     def _allocate_n_blocks(self, n: int) -> list[Block]:
-        if len(self.free_block_ids) < n:
+        if self.num_free < n:
             raise RuntimeError(
-                f"Insufficient free blocks: need {n}, have {len(self.free_block_ids)}"
+                f"Insufficient free blocks: need {n}, have {self.num_free}"
             )
-        block_ids = [self.free_block_ids.popleft() for _ in range(n)]
-        blocks = []
-        for block_id in block_ids:
-            block = self.blocks[block_id]
-            assert block.ref_count == 0
-            block.reset()
-            self.used_block_ids.add(block_id)
-            blocks.append(block)
-        return blocks
+        return [self._allocate_block(self._pop_free_id()) for _ in range(n)]
 
     def _deallocate_block(self, block_id: int):
         assert self.blocks[block_id].ref_count == 0
         self.used_block_ids.remove(block_id)
         self.free_block_ids.append(block_id)
+        self.num_free += 1
 
     def deallocate_ids(self, block_ids: list[int]):
         """Drop one reference from each block; free those that hit zero."""
@@ -98,7 +102,7 @@ class BlockManager:
                 self._deallocate_block(block_id)
 
     def can_allocate(self, seq: Sequence) -> bool:
-        return len(self.free_block_ids) >= seq.num_blocks
+        return self.num_free >= seq.num_blocks
 
     def allocate(self, seq: Sequence):
         block_table = self._table(seq)
@@ -113,7 +117,7 @@ class BlockManager:
             if block_id == -1 or self.blocks[block_id].token_ids != token_ids:
                 cache_miss = True
             if cache_miss:
-                block_id = self.free_block_ids[0]
+                block_id = self._pop_free_id()
                 block = self._allocate_block(block_id)
             else:  # prefix-cache hit
                 if self.is_draft:
@@ -153,7 +157,7 @@ class BlockManager:
             seq.num_tokens + lookahead_num_tokens + self.block_size - 1
         ) // self.block_size
         if target_blocks > len(block_table):
-            return len(self.free_block_ids) >= target_blocks - len(block_table)
+            return self.num_free >= target_blocks - len(block_table)
         return True
 
     def may_append(self, seq: Sequence, lookahead_num_tokens: int = 1):

@@ -203,12 +203,17 @@ def tree_build_program(
 
 @dataclass
 class SpecRequest:
-    """Target -> draft, one per decode step (speculator_async.py:149-156)."""
+    """Target -> draft, one per decode step (speculator_async.py:149-179)."""
 
     cache_keys: np.ndarray      # [B, 3] int64: (seq_id, accepted_len-1, rec_token)
     num_tokens: np.ndarray      # [B] int64, incl. the appended recovery token
     block_tables: np.ndarray    # [B, max_blocks] int32 draft tables
     temperatures: np.ndarray    # [B] float32 draft temps
+    # EAGLE-only conditioning payload (speculator_async.py:158-179):
+    recovery_acts: np.ndarray | None = None    # [B, 3*D_target]
+    extend_counts: np.ndarray | None = None    # [B] int64
+    extend_acts: np.ndarray | None = None      # [B, K, 3*D_target]
+    extend_token_ids: np.ndarray | None = None  # [B, K] int64
 
 
 @dataclass
@@ -218,6 +223,7 @@ class SpecResponse:
     cache_hits: np.ndarray      # [B] int64 {0,1}
     tokens: np.ndarray          # [B, K] int64
     logits_q: jax.Array         # [B, K, V] on the draft device
+    activations: jax.Array | None = None  # [B, K, D_draft] (EAGLE only)
 
 
 class DraftRunner(ModelRunner):
@@ -245,6 +251,7 @@ class DraftRunner(ModelRunner):
         self.tree_cache_keys = np.zeros((0, 3), dtype=np.int64)
         self.tree_cache_tokens = None   # np [N, K]
         self.tree_cache_logits = None   # device [N, K, V]
+        self.tree_cache_acts = None     # device [N, K, D_draft] (EAGLE only)
 
     # --- prefill from payload (reference draft_async_prefill, :51-101) ---
 
@@ -264,7 +271,7 @@ class DraftRunner(ModelRunner):
             blk = positions[:n] // self.block_size
             slot_map[:n] = bt_row[blk] * self.block_size + positions[:n] % self.block_size
             ctx_pad = self._ctx_bucket(n)
-            _, self.kv_cache = prefill_step(
+            _, _, self.kv_cache = prefill_step(
                 self.params, self.kv_cache,
                 jnp.asarray(input_ids), jnp.asarray(positions),
                 jnp.asarray(slot_map), jnp.asarray(bt_row[None, :]),
@@ -299,7 +306,7 @@ class DraftRunner(ModelRunner):
             K=self.K, sampler_x=self.sampler_x, fan_out=self.F,
             tree_sampling=True, use_pallas=self.use_pallas,
         )
-        return np.asarray(tokens)[:B], logits_q[:B]
+        return np.asarray(tokens)[:B], logits_q[:B], None
 
     def service(self, req: SpecRequest) -> SpecResponse:
         B = req.cache_keys.shape[0]
@@ -317,13 +324,14 @@ class DraftRunner(ModelRunner):
             # Any miss: recompute EVERY row with real logits (reference
             # :253-282 — hit rows are overwritten too; cache_hits keeps the
             # match result for metrics / fan-out selection).
-            tokens, logits_q = self._jit_chain(req)
-            return SpecResponse(hits, tokens.astype(np.int64), logits_q)
+            tokens, logits_q, acts = self._jit_chain(req)
+            return SpecResponse(hits, tokens.astype(np.int64), logits_q, acts)
 
         # Miss rows: random valid tokens, flat (zero) logits — verify() ignores
         # q on miss rows (greedy acceptance), reference inits them randomly
         # (draft_runner.py:193-194).
         tokens = self._rng.integers(0, V, size=(B, K), dtype=np.int64)
+        acts = None
         if hits.any():
             cached = self.tree_cache_tokens[idx]          # [B, K] (garbage on miss)
             tokens = np.where(hits[:, None].astype(bool), cached, tokens)
@@ -331,11 +339,13 @@ class DraftRunner(ModelRunner):
             logits_q = jnp.where(
                 jnp.asarray(hits)[:, None, None].astype(bool), gathered, 0.0
             )
+            if self.tree_cache_acts is not None:
+                acts = self.tree_cache_acts[jnp.asarray(idx)]  # all-hit in EAGLE
         else:
             logits_q = jnp.zeros((B, K, V), jnp.float32)
             if self.device is not None:
                 logits_q = jax.device_put(logits_q, self.device)
-        return SpecResponse(hits, tokens, logits_q)
+        return SpecResponse(hits, tokens, logits_q, acts)
 
     # --- tree rebuild (reference _build_tree_batch/_decode_tree/_populate) ---
 
@@ -390,7 +400,13 @@ class DraftServer:
     def __init__(self, config: Config, draft_cfg: Config, init_random=False):
         devices = jax.devices()
         device = devices[-1] if len(devices) > config.tp_size else None
-        self.runner = DraftRunner(
+        if config.use_eagle:
+            from ssd_tpu.engine.eagle_runner import EagleDraftRunner
+
+            runner_cls = EagleDraftRunner
+        else:
+            runner_cls = DraftRunner
+        self.runner = runner_cls(
             draft_cfg,
             hf_config=config.draft_hf_config,
             init_random=init_random,
@@ -442,9 +458,13 @@ class DraftServer:
                     self._resp_q.put(e)
                 break
 
-    def prefill(self, input_id_lists: list[list[int]], block_tables: np.ndarray):
+    def prefill(self, input_id_lists: list[list[int]], block_tables: np.ndarray,
+                acts_list: list[np.ndarray] | None = None):
         assert not self._dead, "draft server died"
-        self._req_q.put(("prefill", (input_id_lists, block_tables)))
+        payload = (input_id_lists, block_tables)
+        if acts_list is not None:
+            payload = payload + (acts_list,)
+        self._req_q.put(("prefill", payload))
 
     def speculate(self, req: SpecRequest) -> SpecResponse:
         assert not self._dead, "draft server died"

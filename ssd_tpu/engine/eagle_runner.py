@@ -1,0 +1,476 @@
+"""EAGLE-3 draft execution: conditioned prefill, jit chain, and the
+one-dispatch glue+fork+tree program.
+
+Parity: the EAGLE paths of /root/reference/ssd/engine/draft_runner.py —
+ - conditioned prefill (draft_async_prefill with eagle_acts, :51-101)
+ - jit_speculate carrying fc(recovery_acts) -> prenorm self-conditioning
+   (:124-184)
+ - the packed varlen glue decode over [extend | rec | spec] tokens with a
+   single batched fc call (:530-711), re-expressed as a PADDED [B, 2K+1]
+   batch: per-sequence true lengths (n_ext+K+1) flow through the same
+   `qeff` contract the paged attention kernels already support, so no varlen
+   machinery is needed — ghost queries are masked and discarded
+ - tree decode threading prenorm hidden-state conditioning through the K
+   steps and caching activations alongside tokens/logits (:733-857)
+
+EAGLE position shift: canonical token index p lives at draft cache position
+p-1 (the first prompt token is never fed to the draft), so every `base` here
+is num_tokens-2 where the non-EAGLE draft uses num_tokens-1
+(draft_runner.py:135 pos_offset).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ssd_tpu.config import Config
+from ssd_tpu.engine.draft_runner import DraftRunner, SpecRequest
+from ssd_tpu.engine.model_runner import next_pow2
+from ssd_tpu.models.eagle3 import (
+    EagleArch,
+    eagle_forward,
+    eagle_logits,
+    init_eagle_params,
+    project_target_acts,
+)
+from ssd_tpu.ops import attention as att
+from ssd_tpu.ops.sampler import sample
+from ssd_tpu.ops.spec_math import fan_index, get_forked_recovery_tokens
+
+
+def _slot_of(block_tables, positions_flat, b_of_row, block_size):
+    blk = positions_flat // block_size
+    blk_ids = block_tables[b_of_row, blk]
+    slot = blk_ids * block_size + positions_flat % block_size
+    return jnp.where(blk_ids < 0, -1, slot).astype(jnp.int32)
+
+
+def _paged_attn(q4, kv_layer, block_tables, ctx, qeff, block_size, ctx_pad,
+                scale, use_pallas):
+    if use_pallas:
+        from ssd_tpu.ops import pallas_attention as patt
+
+        return patt.paged_attention(
+            q4, kv_layer, block_tables, ctx, qeff, block_size, ctx_pad, scale
+        )
+    return att.paged_attention(
+        q4, kv_layer, block_tables, ctx, block_size, ctx_pad, scale, qeff=qeff
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("arch", "block_size", "ctx_pad", "s_pad", "use_pallas"),
+    donate_argnames=("kv_cache",),
+)
+def eagle_prefill_program(
+    params,
+    kv_cache,
+    input_ids,     # [S_pad] token_ids[1:] padded
+    target_acts,   # [S_pad, 3*D_target]
+    positions,     # [S_pad] 0..n-2
+    slot_map,      # [S_pad]
+    block_table,   # [1, M]
+    n_real,        # [] int32 = num_prompt_tokens - 1
+    *,
+    arch: EagleArch,
+    block_size: int,
+    ctx_pad: int,
+    s_pad: int,
+    use_pallas: bool,
+):
+    """Conditioned draft prefill for one sequence; KV side effects only."""
+    scale = arch.head_dim ** -0.5
+    cond = project_target_acts(params, target_acts)
+
+    def attn_call(q, k, v, kv_layer):
+        kv_layer = att.store_kv(kv_layer, k, v, slot_map)
+        o = _paged_attn(
+            q[None], kv_layer, block_table, jnp.reshape(n_real, (1,)),
+            jnp.reshape(n_real, (1,)), block_size, ctx_pad, scale, use_pallas,
+        )
+        return o[0], kv_layer
+
+    _, kv_cache = eagle_forward(
+        params, kv_cache, input_ids, cond, positions, attn_call, arch
+    )
+    return kv_cache
+
+
+@partial(
+    jax.jit,
+    static_argnames=("arch", "block_size", "ctx_pad", "K", "sampler_x", "F",
+                     "use_pallas"),
+    donate_argnames=("kv_cache",),
+)
+def eagle_chain_program(
+    params,
+    kv_cache,
+    first_tokens,    # [B] recovery tokens
+    recovery_acts,   # [B, 3*D_target]
+    base_positions,  # [B] = num_tokens - 2 (EAGLE-shifted rec position)
+    block_tables,    # [B, M]
+    temperatures,    # [B]
+    key,
+    *,
+    arch: EagleArch,
+    block_size: int,
+    ctx_pad: int,
+    K: int,
+    sampler_x: float | None,
+    F: int,
+    use_pallas: bool,
+):
+    """K sequential conditioned decodes (reference jit_speculate :124-184).
+
+    Returns (tokens [B,K], logits [B,K,V], prenorms [B,K,D], kv).
+    """
+    B = first_tokens.shape[0]
+    scale = arch.head_dim ** -0.5
+    cond0 = project_target_acts(params, recovery_acts)
+    b_idx = jnp.arange(B)
+
+    def step(carry, i):
+        kv, tok, cond = carry
+        positions = base_positions + i
+        ctx = base_positions + 1 + i
+        slots = _slot_of(block_tables, positions, b_idx, block_size)
+
+        def attn_call(q, k, v, kv_layer):
+            kv_layer = att.store_kv(kv_layer, k, v, slots)
+            o = _paged_attn(
+                q.reshape(B, 1, arch.num_heads, arch.head_dim), kv_layer,
+                block_tables, ctx, jnp.ones((B,), jnp.int32), block_size,
+                ctx_pad, scale, use_pallas,
+            )
+            return o.reshape(B, arch.num_heads, arch.head_dim), kv_layer
+
+        prenorm, kv = eagle_forward(params, kv, tok, cond, positions, attn_call, arch)
+        logits = eagle_logits(params, prenorm, arch)  # [B, V_full]
+        next_tok = sample(
+            logits, temperatures, jax.random.fold_in(key, i),
+            sampler_x=sampler_x, fan_out=F, is_tree=True,
+        ).astype(jnp.int32)
+        return (kv, next_tok, prenorm), (next_tok, logits, prenorm)
+
+    (kv_cache, _, _), (toks, logits, prenorms) = jax.lax.scan(
+        step, (kv_cache, first_tokens, cond0), jnp.arange(K)
+    )
+    return (
+        toks.transpose(1, 0),
+        logits.transpose(1, 0, 2),
+        prenorms.transpose(1, 0, 2),
+        kv_cache,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "arch", "block_size", "ctx_pad", "K", "MQ_LEN",
+        "fan_out_list", "fan_out_list_miss", "sampler_x", "F", "use_pallas",
+    ),
+    donate_argnames=("kv_cache",),
+)
+def eagle_tree_build_program(
+    params,
+    kv_cache,
+    glue_tokens,     # [B, 2K+1] packed [extend | rec | spec | pad]
+    glue_fc_acts,    # [B, 2K+1, 3*D_target] target acts for fc rows (0 else)
+    glue_prev_acts,  # [B, 2K+1, D] prenorm self-conditioning (0 else)
+    glue_is_fc,      # [B, 2K+1] bool: row conditioned via fc
+    n_ext,           # [B] int32 extend counts
+    base_positions,  # [B] = num_tokens - 2
+    block_tables,    # [B, M]
+    cache_hits,      # [B] int32
+    temperatures,    # [B]
+    key,
+    *,
+    arch: EagleArch,
+    block_size: int,
+    ctx_pad: int,
+    K: int,
+    MQ_LEN: int,
+    fan_out_list: tuple[int, ...],
+    fan_out_list_miss: tuple[int, ...],
+    sampler_x: float | None,
+    F: int,
+    use_pallas: bool,
+):
+    """EAGLE glue + fork + tree in one XLA program.
+
+    Returns (fork_tokens [B,MQ], fan_idx_rows [B,MQ], spec_tokens [B,MQ,K],
+    spec_logits [B,MQ,K,V], spec_acts [B,MQ,K,D], kv).
+    """
+    B, W = glue_tokens.shape  # W = 2K+1
+    Kp1 = K + 1
+    scale = arch.head_dim ** -0.5
+
+    # ---- packed glue decode (reference :530-711 via padded qeff batch) ----
+    qeff = (n_ext + Kp1).astype(jnp.int32)                  # [B]
+    b_glue = jnp.repeat(jnp.arange(B), W)
+    j = jnp.tile(jnp.arange(W), B)
+    positions = (base_positions - n_ext)[b_glue] + j        # [B*W]
+    slots = _slot_of(block_tables, positions, b_glue, block_size)
+    slots = jnp.where(j < qeff[b_glue], slots, -1)          # ghost pad rows
+    glue_ctx = base_positions + 1 + K                       # [B]
+
+    cond = jnp.where(
+        glue_is_fc.reshape(-1)[:, None],
+        project_target_acts(params, glue_fc_acts.reshape(B * W, -1)),
+        glue_prev_acts.reshape(B * W, -1).astype(params["fc"].dtype),
+    )
+
+    def glue_attn(q, k, v, kv_layer):
+        kv_layer = att.store_kv(kv_layer, k, v, slots)
+        o = _paged_attn(
+            q.reshape(B, W, arch.num_heads, arch.head_dim), kv_layer,
+            block_tables, glue_ctx, qeff, block_size, ctx_pad, scale,
+            use_pallas,
+        )
+        return o.reshape(B * W, arch.num_heads, arch.head_dim), kv_layer
+
+    prenorm_flat, kv_cache = eagle_forward(
+        params, kv_cache, glue_tokens.reshape(-1), cond, positions,
+        glue_attn, arch,
+    )
+    # Extract rec+spec rows at j = n_ext + t (reference :651-664).
+    extract = (jnp.arange(B)[:, None] * W + n_ext[:, None]
+               + jnp.arange(Kp1)[None, :]).reshape(-1)
+    glue_prenorm = prenorm_flat[extract].reshape(B, Kp1, -1)        # [B,K+1,D]
+    glue_logits = eagle_logits(
+        params, glue_prenorm.reshape(B * Kp1, -1), arch
+    ).reshape(B, Kp1, -1)
+    returned = glue_tokens.reshape(-1)[extract].reshape(B, Kp1)     # [rec|spec]
+
+    # ---- fork selection ----
+    fork_tokens = get_forked_recovery_tokens(
+        glue_logits, cache_hits, returned,
+        list(fan_out_list), list(fan_out_list_miss),
+    ).astype(jnp.int32)
+    fan_hit = jnp.asarray(fan_index(list(fan_out_list)))
+    fan_miss = jnp.asarray(fan_index(list(fan_out_list_miss)))
+    fan_idx_rows = jnp.where(
+        cache_hits.astype(bool)[:, None], fan_hit[None, :], fan_miss[None, :]
+    )
+
+    # ---- K-step tree decode with prenorm conditioning (reference :666-812) --
+    N = B * MQ_LEN
+    b_flat = jnp.repeat(jnp.arange(B), MQ_LEN)
+    r_flat = jnp.tile(jnp.arange(MQ_LEN), B)
+    base_n = base_positions[b_flat]
+    fan_n = fan_idx_rows.reshape(-1)
+    temps_n = temperatures[b_flat]
+    cond0 = glue_prenorm[b_flat, fan_n]                     # [N, D]
+
+    def tree_step(carry, s):
+        kv, tok, tcond = carry
+        rope_pos = base_n + fan_n + 1 + s
+        write_pos = base_n + Kp1 + s * MQ_LEN + r_flat
+        slots_s = _slot_of(block_tables, write_pos, b_flat, block_size)
+        ctx = base_positions + Kp1 + (s + 1) * MQ_LEN
+
+        def attn(q, k, v, kv_layer):
+            kv_layer = att.store_kv(kv_layer, k, v, slots_s)
+            qr = q.reshape(B, MQ_LEN, arch.num_heads, arch.head_dim)
+            if use_pallas:
+                from ssd_tpu.ops import pallas_attention as patt
+
+                o = patt.tree_attention(
+                    qr, kv_layer, block_tables, ctx, fan_idx_rows, s,
+                    K, block_size, ctx_pad, scale,
+                )
+            else:
+                o = att.tree_attention(
+                    qr, kv_layer, block_tables, ctx, fan_idx_rows, s, K,
+                    block_size, ctx_pad, scale,
+                )
+            return o.reshape(N, arch.num_heads, arch.head_dim), kv_layer
+
+        prenorm, kv = eagle_forward(params, kv, tok, tcond, rope_pos, attn, arch)
+        logits = eagle_logits(params, prenorm, arch)
+        next_tok = sample(
+            logits, temps_n, jax.random.fold_in(key, s),
+            sampler_x=sampler_x, fan_out=F, is_tree=True,
+        ).astype(jnp.int32)
+        return (kv, next_tok, prenorm), (next_tok, logits, prenorm)
+
+    (kv_cache, _, _), (toks, logits, prenorms) = jax.lax.scan(
+        tree_step, (kv_cache, fork_tokens.reshape(-1), cond0), jnp.arange(K)
+    )
+    spec_tokens = toks.transpose(1, 0).reshape(B, MQ_LEN, K)
+    spec_logits = logits.transpose(1, 0, 2).reshape(B, MQ_LEN, K, -1)
+    spec_acts = prenorms.transpose(1, 0, 2).reshape(B, MQ_LEN, K, -1)
+    return fork_tokens, fan_idx_rows, spec_tokens, spec_logits, spec_acts, kv_cache
+
+
+class EagleDraftRunner(DraftRunner):
+    """DraftRunner whose model is the EAGLE-3 single-layer conditioned draft."""
+
+    def __init__(self, config: Config, hf_config=None, init_random=False, device=None):
+        assert config.jit_speculate, (
+            "EAGLE requires jit_speculate=True (cache misses need draft "
+            "activations; reference draft_runner.py:41-42)"
+        )
+        self._eagle_cfg = config
+        super().__init__(
+            config, hf_config=hf_config, init_random=init_random, device=device
+        )
+
+    def _make_arch(self):
+        return EagleArch.from_model_config(
+            self.hf_config,
+            d_model_target=self._eagle_cfg.d_model_target,
+            num_eagle_layers=len(self._eagle_cfg.eagle_layers),
+        )
+
+    def _make_params(self, init_random: bool):
+        if init_random:
+            return init_eagle_params(self.arch, jax.random.PRNGKey(7), self.dtype)
+        from ssd_tpu.utils.loader import load_eagle_params
+
+        return load_eagle_params(
+            self.model_path, self.hf_config,
+            d_model_target=self._eagle_cfg.d_model_target,
+            num_eagle_layers=len(self._eagle_cfg.eagle_layers),
+            target_path=self._eagle_cfg.tokenizer_path,
+            dtype=self.dtype,
+        )
+
+    # --- conditioned prefill -------------------------------------------------
+
+    def prefill_from_payload(self, input_id_lists, block_tables,
+                             acts_list=None):
+        assert acts_list is not None, "EAGLE prefill needs target activations"
+        act_dim = self.arch.num_eagle_layers * self.arch.d_model_target
+        for i, ids in enumerate(input_id_lists):
+            # Token j+1 conditioned on target act j: feed ids[1:], acts[:-1]
+            # at draft positions 0..n-2 (speculator_async.py:66-77).
+            toks = ids[1:]
+            acts = np.asarray(acts_list[i])[:-1]
+            n = len(toks)
+            s_pad = next_pow2(max(8, n))
+            input_ids = np.zeros(s_pad, dtype=np.int32)
+            input_ids[:n] = toks
+            acts_pad = np.zeros((s_pad, act_dim), dtype=np.float32)
+            acts_pad[:n] = acts
+            positions = np.zeros(s_pad, dtype=np.int32)
+            positions[:n] = np.arange(n)
+            bt_row = block_tables[i]
+            slot_map = np.full(s_pad, -1, dtype=np.int32)
+            blk = positions[:n] // self.block_size
+            slot_map[:n] = bt_row[blk] * self.block_size + positions[:n] % self.block_size
+            ctx_pad = self._ctx_bucket(n)
+            self.kv_cache = eagle_prefill_program(
+                self.params, self.kv_cache,
+                jnp.asarray(input_ids), jnp.asarray(acts_pad),
+                jnp.asarray(positions), jnp.asarray(slot_map),
+                jnp.asarray(bt_row[None, :]), jnp.int32(n),
+                arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad,
+                s_pad=s_pad, use_pallas=self.use_pallas,
+            )
+
+    # --- jit chain (the only miss path in EAGLE) -----------------------------
+
+    def _jit_chain(self, req: SpecRequest):
+        B = req.cache_keys.shape[0]
+        B_pad = next_pow2(B)
+        act_dim = self.arch.num_eagle_layers * self.arch.d_model_target
+        first = np.zeros(B_pad, dtype=np.int32)
+        base = np.zeros(B_pad, dtype=np.int32)
+        temps = np.ones(B_pad, dtype=np.float32)
+        rec_acts = np.zeros((B_pad, act_dim), dtype=np.float32)
+        bt = np.full((B_pad, req.block_tables.shape[1]), -1, dtype=np.int32)
+        first[:B] = req.cache_keys[:, 2]
+        base[:B] = req.num_tokens - 2
+        temps[:B] = req.temperatures
+        rec_acts[:B] = req.recovery_acts
+        bt[:B] = req.block_tables
+        ctx_pad = self._ctx_bucket(int(base.max()) + 1 + self.K)
+        self.key, sub = jax.random.split(self.key)
+        tokens, logits, prenorms, self.kv_cache = eagle_chain_program(
+            self.params, self.kv_cache,
+            jnp.asarray(first), jnp.asarray(rec_acts), jnp.asarray(base),
+            jnp.asarray(bt), jnp.asarray(temps), sub,
+            arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad,
+            K=self.K, sampler_x=self.sampler_x, F=self.F,
+            use_pallas=self.use_pallas,
+        )
+        return np.asarray(tokens)[:B], logits[:B], prenorms[:B]
+
+    # --- tree rebuild --------------------------------------------------------
+
+    def build_tree(self, req: SpecRequest, resp):
+        B = req.cache_keys.shape[0]
+        K, MQ = self.K, self.MQ_LEN
+        W = 2 * K + 1
+        B_pad = next_pow2(B)
+        act_dim = self.arch.num_eagle_layers * self.arch.d_model_target
+        D = self.arch.hidden_size
+
+        n_ext = np.zeros(B_pad, dtype=np.int32)
+        if req.extend_counts is not None:
+            n_ext[:B] = req.extend_counts
+        glue_tokens = np.zeros((B_pad, W), dtype=np.int32)
+        glue_fc_acts = np.zeros((B_pad, W, act_dim), dtype=np.float32)
+        glue_is_fc = np.zeros((B_pad, W), dtype=bool)
+        for b in range(B):
+            ne = int(n_ext[b])
+            if ne > 0:
+                glue_tokens[b, :ne] = req.extend_token_ids[b, :ne]
+                glue_fc_acts[b, :ne] = req.extend_acts[b, :ne]
+            glue_tokens[b, ne] = req.cache_keys[b, 2]
+            glue_fc_acts[b, ne] = req.recovery_acts[b]
+            glue_is_fc[b, : ne + 1] = True
+            glue_tokens[b, ne + 1: ne + 1 + K] = resp.tokens[b]
+
+        # Self-conditioning prenorms for the spec rows, scattered to their
+        # packed positions (reference :595-599).
+        prev = jnp.zeros((B_pad, W, D), self.dtype)
+        if resp.activations is not None:
+            rows = np.repeat(np.arange(B), K)
+            cols = (n_ext[:B, None] + 1 + np.arange(K)[None, :]).reshape(-1)
+            prev = prev.at[rows, cols].set(
+                resp.activations.reshape(B * K, -1).astype(self.dtype)
+            )
+
+        base = np.zeros(B_pad, dtype=np.int32)
+        base[:B] = req.num_tokens - 2
+        bt = np.full((B_pad, req.block_tables.shape[1]), -1, dtype=np.int32)
+        bt[:B] = req.block_tables
+        hits = np.zeros(B_pad, dtype=np.int32)
+        hits[:B] = resp.cache_hits
+        temps = np.ones(B_pad, dtype=np.float32)
+        temps[:B] = req.temperatures
+
+        ctx_pad = self._ctx_bucket(int(base.max()) + 1 + (K + 1) + K * MQ)
+        self.key, sub = jax.random.split(self.key)
+        fork_tokens, fan_idx_rows, spec_tokens, spec_logits, spec_acts, self.kv_cache = (
+            eagle_tree_build_program(
+                self.params, self.kv_cache,
+                jnp.asarray(glue_tokens), jnp.asarray(glue_fc_acts), prev,
+                jnp.asarray(glue_is_fc), jnp.asarray(n_ext), jnp.asarray(base),
+                jnp.asarray(bt), jnp.asarray(hits), jnp.asarray(temps), sub,
+                arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad,
+                K=K, MQ_LEN=MQ,
+                fan_out_list=self.fan_out_list,
+                fan_out_list_miss=self.fan_out_list_miss,
+                sampler_x=self.sampler_x, F=self.F,
+                use_pallas=self.use_pallas,
+            )
+        )
+
+        seq_ids = np.repeat(req.cache_keys[:, 0], MQ)
+        fan_np = np.asarray(fan_idx_rows)[:B].reshape(-1)
+        fork_np = np.asarray(fork_tokens)[:B].reshape(-1)
+        self.tree_cache_keys = np.stack(
+            [seq_ids, fan_np.astype(np.int64), fork_np.astype(np.int64)], axis=1
+        )
+        self.tree_cache_tokens = np.asarray(spec_tokens)[:B].reshape(B * MQ, K)
+        self.tree_cache_logits = spec_logits[:B].reshape(B * MQ, K, -1)
+        self.tree_cache_acts = spec_acts[:B].reshape(B * MQ, K, -1)

@@ -54,6 +54,12 @@ class LLMEngine:
             assert infer_model_family(config.model) == infer_model_family(config.draft) or config.use_eagle, (
                 "target and draft model families must match"
             )
+        if config.use_eagle:
+            assert config.draft_async, "EAGLE requires draft_async=True"
+            assert config.jit_speculate, (
+                "EAGLE requires jit_speculate=True (cache misses need draft "
+                "activations)"
+            )
 
         self._init_random = kwargs.get("init_random", False)
 

@@ -46,7 +46,8 @@ def next_pow2(n: int) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("arch", "block_size", "ctx_pad", "num_new_pad", "use_pallas"),
+    static_argnames=("arch", "block_size", "ctx_pad", "num_new_pad", "use_pallas",
+                     "eagle_layers"),
     donate_argnames=("kv_cache",),
 )
 def prefill_step(
@@ -64,9 +65,10 @@ def prefill_step(
     ctx_pad: int,
     num_new_pad: int,
     use_pallas: bool = False,
+    eagle_layers: tuple[int, ...] | None = None,
 ):
-    """Single-sequence (possibly prefix-cached) prefill. Returns last-token
-    logits [V] and the updated cache."""
+    """Single-sequence (possibly prefix-cached) prefill. Returns (last-token
+    logits [V], eagle acts [S_pad, 3D] or None, updated cache)."""
     scale = arch.head_dim ** -0.5
 
     def attn_call(q, k, v, kv_layer):
@@ -86,16 +88,20 @@ def prefill_step(
             )
         return o[0], kv_layer
 
-    hidden, kv_cache = forward_hidden(
-        params, kv_cache, input_ids, positions, attn_call, arch
+    out = forward_hidden(
+        params, kv_cache, input_ids, positions, attn_call, arch,
+        eagle_layers=eagle_layers,
     )
+    hidden, kv_cache = out[0], out[1]
+    acts = out[2] if eagle_layers else None
     logits = compute_logits(params, hidden, arch, gather_idx=(num_new - 1)[None])
-    return logits[0], kv_cache
+    return logits[0], acts, kv_cache
 
 
 @partial(
     jax.jit,
-    static_argnames=("arch", "block_size", "ctx_pad", "q_len", "use_pallas"),
+    static_argnames=("arch", "block_size", "ctx_pad", "q_len", "use_pallas",
+                     "eagle_layers"),
     donate_argnames=("kv_cache",),
 )
 def decode_step(
@@ -114,10 +120,12 @@ def decode_step(
     ctx_pad: int,
     q_len: int,
     use_pallas: bool = False,
+    eagle_layers: tuple[int, ...] | None = None,
 ):
     """Batched decode with q_len queries per sequence: q_len=1 is AR decode,
     q_len=K+1 is the spec verify / glue forward. Returns (sampled last-token
-    ids [B], logits [B*q_len, V], updated cache)."""
+    ids [B], logits [B*q_len, V], eagle acts [B*q_len, 3D] or None, updated
+    cache)."""
     B = block_tables.shape[0]
     scale = arch.head_dim ** -0.5
 
@@ -138,13 +146,16 @@ def decode_step(
             )
         return o.reshape(B * q_len, arch.num_heads, arch.head_dim), kv_layer
 
-    hidden, kv_cache = forward_hidden(
-        params, kv_cache, input_ids, positions, attn_call, arch
+    out = forward_hidden(
+        params, kv_cache, input_ids, positions, attn_call, arch,
+        eagle_layers=eagle_layers,
     )
+    hidden, kv_cache = out[0], out[1]
+    acts = out[2] if eagle_layers else None
     logits = compute_logits(params, hidden, arch)          # [B*q_len, V]
     last = logits.reshape(B, q_len, -1)[:, -1, :]
     tokens = sample(last, temperatures, key)
-    return tokens, logits, kv_cache
+    return tokens, logits, acts, kv_cache
 
 
 @jax.jit
@@ -257,7 +268,7 @@ class ModelRunner:
         self.device = device
         self.model_path = model_path or config.model
         self.hf_config = hf_config or config.hf_config
-        self.arch = Arch.from_model_config(self.hf_config)
+        self.arch = self._make_arch()
         self.block_size = config.kvcache_block_size
         self.max_blocks = config.max_blocks
         self.mesh = mesh
@@ -269,14 +280,16 @@ class ModelRunner:
             else jax.default_backend() == "tpu"
         )
 
+        # Target-side EAGLE activation taps (draft conditioning source).
+        self.eagle_layers = (
+            tuple(config.eagle_layers)
+            if (config.use_eagle and not is_draft and config.eagle_layers)
+            else None
+        )
+
         self.key = jax.random.PRNGKey(config.seed + (1 if is_draft else 0))
 
-        if init_random:
-            self.params = init_params(self.arch, jax.random.PRNGKey(0), self.dtype)
-        else:
-            from ssd_tpu.utils.loader import load_params
-
-            self.params = load_params(self.model_path, self.hf_config, self.dtype)
+        self.params = self._make_params(init_random)
         if mesh is not None:
             self.params = shard_params(self.params, mesh)
         elif device is not None:
@@ -288,6 +301,18 @@ class ModelRunner:
         self.num_kvcache_blocks = self._decide_num_blocks()
         config.num_kvcache_blocks = self.num_kvcache_blocks
         self.kv_cache = self._allocate_kv_cache()
+
+    # --- model construction (overridden by the EAGLE draft runner) ---
+
+    def _make_arch(self):
+        return Arch.from_model_config(self.hf_config)
+
+    def _make_params(self, init_random: bool):
+        if init_random:
+            return init_params(self.arch, jax.random.PRNGKey(0), self.dtype)
+        from ssd_tpu.utils.loader import load_params
+
+        return load_params(self.model_path, self.hf_config, self.dtype)
 
     # --- memory sizing (reference model_runner.py:446-482) ---
 
@@ -347,63 +372,73 @@ class ModelRunner:
 
     # --- phases ---
 
-    def run_prefill(self, seqs: list[Sequence], last_only: bool = True):
-        """Prefill each scheduled sequence; returns sampled first tokens [B]."""
+    def run_prefill(self, seqs: list[Sequence], last_only: bool = True,
+                    return_acts: bool = False):
+        """Prefill each scheduled sequence; returns sampled first tokens [B]
+        (and, with return_acts in EAGLE mode, per-seq activation arrays
+        [num_tokens, 3D] on the host)."""
         draft = self.is_draft
         logits_rows = []
+        acts_rows = []
         for seq in seqs:
             cached = seq.num_draft_cached_tokens if draft else seq.num_cached_tokens
+            if self.eagle_layers and cached > 0:
+                # The draft needs conditioning acts for EVERY prompt token;
+                # recompute prefix-cached spans (KV rewrite is idempotent).
+                cached = 0
             new_ids = seq.token_ids[cached:]
             n_new = len(new_ids)
             s_pad = next_pow2(max(8, n_new))
             input_ids = np.zeros(s_pad, dtype=np.int32)
             input_ids[:n_new] = new_ids
-            positions = np.zeros(s_pad, dtype=np.int32)
-            positions[:n_new] = np.arange(cached, seq.num_tokens)
-            slot_map = np.full(s_pad, -1, dtype=np.int32)
-            for j in range(n_new):
-                slot_map[j] = self._slot_for(seq, cached + j, draft)
             bt = self._block_table_array([seq], draft)
+            from ssd_tpu.utils.native import prepare_prefill
+
+            positions, slot_map = prepare_prefill(
+                bt[0], cached, n_new, self.block_size, s_pad
+            )
             ctx_pad = self._ctx_bucket(seq.num_tokens)
 
-            logits, self.kv_cache = prefill_step(
+            logits, acts, self.kv_cache = prefill_step(
                 self.params, self.kv_cache,
                 jnp.asarray(input_ids), jnp.asarray(positions), jnp.asarray(slot_map),
                 jnp.asarray(bt), jnp.int32(seq.num_tokens), jnp.int32(n_new),
                 arch=self.arch, block_size=self.block_size,
                 ctx_pad=ctx_pad, num_new_pad=s_pad, use_pallas=self.use_pallas,
+                eagle_layers=self.eagle_layers,
             )
             logits_rows.append(logits)
+            if return_acts and acts is not None:
+                acts_rows.append(np.asarray(acts[:n_new]))
 
         stacked = jnp.stack(logits_rows)
         temps = jnp.asarray([s.temperature for s in seqs], dtype=jnp.float32)
         self.key, sub = jax.random.split(self.key)
         tokens = sample_tokens(stacked, temps, sub)
+        if return_acts:
+            return np.asarray(tokens).tolist(), acts_rows
         return np.asarray(tokens).tolist()
 
     def _prepare_multi_query(self, seqs: list[Sequence], q_len: int, draft: bool):
         """Tensorise a uniform q_len-per-seq decode batch, padded to a pow-2
-        batch bucket with ghost rows (slot=-1)."""
+        batch bucket with ghost rows (slot=-1). The per-token indexing runs in
+        the native host library (native/ssd_host.cpp)."""
+        from ssd_tpu.utils.native import prepare_multi_query
+
         B = len(seqs)
         B_pad = next_pow2(B)
-        T = B_pad * q_len
-        input_ids = np.zeros(T, dtype=np.int32)
-        positions = np.zeros(T, dtype=np.int32)
-        slot_map = np.full(T, -1, dtype=np.int32)
-        context_lens = np.ones(B_pad, dtype=np.int32)
-        temps = np.ones(B_pad, dtype=np.float32)
+        tails = np.asarray(
+            [seq.token_ids[-q_len:] for seq in seqs], dtype=np.int32
+        ).reshape(B, q_len)
+        num_tokens = np.asarray([seq.num_tokens for seq in seqs], dtype=np.int32)
         bt = np.zeros((B_pad, self.max_blocks), dtype=np.int32)
         bt[:B] = self._block_table_array(seqs, draft)
 
-        for i, seq in enumerate(seqs):
-            toks = seq.token_ids[-q_len:]
-            start = seq.num_tokens - q_len
-            for j in range(q_len):
-                input_ids[i * q_len + j] = toks[j]
-                positions[i * q_len + j] = start + j
-                slot_map[i * q_len + j] = self._slot_for(seq, start + j, draft)
-            context_lens[i] = seq.num_tokens
-            temps[i] = seq.temperature
+        input_ids, positions, slot_map, context_lens = prepare_multi_query(
+            tails, num_tokens, bt, q_len, self.block_size, B_pad
+        )
+        temps = np.ones(B_pad, dtype=np.float32)
+        temps[:B] = [seq.temperature for seq in seqs]
         return input_ids, positions, slot_map, bt, context_lens, temps, B_pad
 
     def run_decode(
@@ -412,6 +447,7 @@ class ModelRunner:
         q_len: int = 1,
         return_logits: bool = False,
         temps_override: np.ndarray | None = None,
+        return_acts: bool = False,
     ):
         """Batched decode/verify forward. Returns (tokens list[B], logits
         device array [B, q_len, V] or None)."""
@@ -428,12 +464,13 @@ class ModelRunner:
             temps[: len(seqs)] = temps_override
         ctx_pad = self._ctx_bucket(int(context_lens.max()))
         self.key, sub = jax.random.split(self.key)
-        tokens, logits, self.kv_cache = decode_step(
+        tokens, logits, acts, self.kv_cache = decode_step(
             self.params, self.kv_cache,
             jnp.asarray(input_ids), jnp.asarray(positions), jnp.asarray(slot_map),
             jnp.asarray(bt), jnp.asarray(context_lens), jnp.asarray(temps), sub,
             arch=self.arch, block_size=self.block_size,
             ctx_pad=ctx_pad, q_len=q_len, use_pallas=self.use_pallas,
+            eagle_layers=self.eagle_layers,
         )
         B = len(seqs)
         if prof:
@@ -445,10 +482,16 @@ class ModelRunner:
                 flush=True,
             )
         token_list = np.asarray(tokens)[:B].tolist()
+        acts_out = None
+        if return_acts and acts is not None:
+            acts_out = np.asarray(acts).reshape(B_pad, q_len, -1)[:B]
+        logits_out = None
         if return_logits:
             V = self.arch.vocab_size
-            return token_list, logits.reshape(B_pad, q_len, V)[:B]
-        return token_list, None
+            logits_out = logits.reshape(B_pad, q_len, V)[:B]
+        if return_acts:
+            return token_list, logits_out, acts_out
+        return token_list, logits_out
 
     def run_chain(self, seqs: list[Sequence], K: int):
         """Draft speculation chain: K+1 decodes in one dispatch. Sequences must

@@ -45,12 +45,13 @@ class SpeculatorAsync(SpeculatorBase):
         return bt
 
     def prefill(self, seqs: list[Sequence], verify_result: VerifyResult) -> SpeculateResult:
-        assert verify_result.eagle_acts is None, "EAGLE prefill handled separately"
         # Dispatch the draft prefill and return immediately: it runs on the
-        # draft chip in parallel with the target prefill (reference
-        # step.py:74-83).
+        # draft chip in parallel with (non-EAGLE) or after (EAGLE, which needs
+        # the target's activations) the target prefill (reference step.py:74-83).
         self.draft_server.prefill(
-            [list(seq.token_ids) for seq in seqs], self._block_tables(seqs)
+            [list(seq.token_ids) for seq in seqs],
+            self._block_tables(seqs),
+            acts_list=verify_result.eagle_acts,  # per-seq [n, 3D] or None
         )
         return SpeculateResult([], [])
 
@@ -73,11 +74,33 @@ class SpeculatorAsync(SpeculatorBase):
                 if seq.draft_temperature is not None else seq.temperature
             )
 
+        eagle = verify_result.eagle_acts is not None
+        recovery_acts = extend_counts = extend_acts = extend_ids = None
+        if eagle:
+            # Conditioning payload (reference speculator_async.py:158-179).
+            act_dim = seqs[0].last_target_hidden_state.shape[-1]
+            recovery_acts = np.stack(
+                [seq.last_target_hidden_state for seq in seqs]
+            ).astype(np.float32)
+            extend_counts = np.zeros(B, dtype=np.int64)
+            extend_acts = np.zeros((B, K, act_dim), dtype=np.float32)
+            extend_ids = np.zeros((B, K), dtype=np.int64)
+            for i, seq in enumerate(seqs):
+                n = seq.extend_count
+                extend_counts[i] = n
+                if n > 0 and seq.extend_eagle_acts is not None:
+                    extend_acts[i, :n] = seq.extend_eagle_acts[:n]
+                    extend_ids[i, :n] = seq.extend_token_ids[:n]
+
         resp = self.draft_server.speculate(SpecRequest(
             cache_keys=keys,
             num_tokens=num_tokens,
             block_tables=self._block_tables(seqs),
             temperatures=temps,
+            recovery_acts=recovery_acts,
+            extend_counts=extend_counts,
+            extend_acts=extend_acts,
+            extend_token_ids=extend_ids,
         ))
 
         # Draft-chip -> target-chip transfer of the [B,K,V] logits.

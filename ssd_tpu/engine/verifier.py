@@ -44,6 +44,19 @@ class Verifier(VerifierBase):
         )
 
     def prefill(self, seqs: list[Sequence], eagle: bool = False) -> VerifyResult:
+        """Target prefill; in EAGLE mode also returns per-seq activation
+        arrays [num_tokens, 3D] and seeds last_target_hidden_state
+        (reference verifier.py:32-52)."""
+        if eagle:
+            token_ids, acts_rows = self.target_model_runner.run_prefill(
+                seqs, return_acts=True
+            )
+            for seq, token_id, acts in zip(seqs, token_ids, acts_rows):
+                seq.recovery_token_id = token_id
+                seq.last_target_hidden_state = acts[-1].copy()
+            return VerifyResult(
+                [], [seq.recovery_token_id for seq in seqs], acts_rows
+            )
         token_ids = self.target_model_runner.run(seqs, is_prefill=True)
         for seq, token_id in zip(seqs, token_ids):
             seq.recovery_token_id = token_id
@@ -55,9 +68,15 @@ class Verifier(VerifierBase):
         B = len(seqs)
         K = self.lookahead
 
-        _, logits_p = self.target_model_runner.run_decode(
-            seqs, q_len=K + 1, return_logits=True
-        )  # [B, K+1, V] device array
+        eagle_acts = None
+        if eagle:
+            _, logits_p, eagle_acts = self.target_model_runner.run_decode(
+                seqs, q_len=K + 1, return_logits=True, return_acts=True
+            )  # logits [B, K+1, V] device; acts [B, K+1, 3D] np
+        else:
+            _, logits_p = self.target_model_runner.run_decode(
+                seqs, q_len=K + 1, return_logits=True
+            )  # [B, K+1, V] device array
 
         for s in seqs:
             s.num_cached_tokens += K + 1
@@ -108,5 +127,5 @@ class Verifier(VerifierBase):
         return VerifyResult(
             new_suffixes=new_suffixes,
             recovery_tokens=recovery_tokens,
-            eagle_acts=None,
+            eagle_acts=eagle_acts,
         )

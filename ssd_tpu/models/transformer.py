@@ -111,15 +111,19 @@ def forward_hidden(
     positions: jnp.ndarray,     # [T] rope positions
     attn_call: AttnCall,
     arch: Arch,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    eagle_layers: tuple[int, ...] | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray] | tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Embed -> L x (attn + MLP) via lax.scan -> pre-final-norm hidden states.
 
-    Returns (hidden [T, D], updated kv_cache).
+    Returns (hidden [T, D], updated kv_cache), plus the concatenated EAGLE
+    activations [T, len(eagle_layers)*D] when `eagle_layers` is set: the full
+    residual-stream value ENTERING each tapped layer (reference
+    llama3.py:257-273). The scan is split into segments at the tap points so
+    only the tapped activations materialise, not all L layers'.
     """
     T = input_ids.shape[0]
     Hq, Hkv, hd = arch.num_heads, arch.num_kv_heads, arch.head_dim
     eps = arch.rms_norm_eps
-    scale_unused = None  # attention scale lives in attn_call
 
     hidden = jnp.take(params["embed"], input_ids, axis=0)
     cos, sin = rope_cos_sin(positions, hd, arch.rope_theta)
@@ -147,11 +151,38 @@ def forward_hidden(
         hidden = silu_mul(x @ lp["gate"], x @ lp["up"]) @ lp["down"]
         return (hidden, residual), kv_layer
 
-    (hidden, residual), kv_cache = jax.lax.scan(
-        body, (hidden, residual), (params["layers"], kv_cache)
-    )
+    def scan_segment(carry, lo, hi):
+        seg_params = jax.tree.map(lambda x: x[lo:hi], params["layers"])
+        carry, kv_seg = jax.lax.scan(body, carry, (seg_params, kv_cache[lo:hi]))
+        return carry, kv_seg
+
+    L = arch.num_layers
+    if not eagle_layers:
+        (hidden, residual), kv_cache = jax.lax.scan(
+            body, (hidden, residual), (params["layers"], kv_cache)
+        )
+        hidden = (hidden.astype(jnp.float32) + residual.astype(jnp.float32)).astype(hidden.dtype)
+        return hidden, kv_cache
+
+    taps = sorted(eagle_layers)
+    assert all(0 <= t < L for t in taps)
+    carry = (hidden, residual)
+    kv_segs, acts = [], []
+    lo = 0
+    for tap in taps:
+        if tap > lo:
+            carry, kv_seg = scan_segment(carry, lo, tap)
+            kv_segs.append(kv_seg)
+        h, r = carry
+        acts.append(
+            (h.astype(jnp.float32) + r.astype(jnp.float32)).astype(h.dtype)
+        )
+        lo = tap
+    carry, kv_seg = scan_segment(carry, lo, L)
+    kv_segs.append(kv_seg)
+    hidden, residual = carry
     hidden = (hidden.astype(jnp.float32) + residual.astype(jnp.float32)).astype(hidden.dtype)
-    return hidden, kv_cache
+    return hidden, jnp.concatenate(kv_segs, axis=0), jnp.concatenate(acts, axis=-1)
 
 
 def compute_logits(

@@ -113,21 +113,25 @@ def paged_attention(
     block_size: int,
     ctx_pad: int,
     scale: float,
+    qeff: jnp.ndarray | None = None,  # [B] true queries per seq (default Q)
 ) -> jnp.ndarray:
     """Causal multi-query paged attention.
 
     Query i of a sequence (i in [0,Q)) attends to context positions
-    [0, context_len - Q + i]; Q=1 is single-token decode, Q=K+1 is verify /
-    glue decode. New tokens must already be in the cache (store_kv first),
-    matching the reference ordering (attention.py:82-83).
+    [0, context_len - qeff + i]; Q=1 is single-token decode, Q=K+1 is verify /
+    glue decode, Q=2K+1 with per-seq qeff is the EAGLE packed glue (padding
+    queries i >= qeff produce well-defined garbage the caller discards). New
+    tokens must already be in the cache (store_kv first), matching the
+    reference ordering (attention.py:82-83).
     """
     B, Q, Hq, hd = q.shape
     k, v = gather_pages(kv_layer, block_tables, block_size, ctx_pad)
     scores = _gqa_scores(q, k, scale)  # [B, Hq, Q, C]
 
+    qe = jnp.full((B,), Q, jnp.int32) if qeff is None else qeff
     pos = jnp.arange(ctx_pad)[None, None, :]                       # [1,1,C]
-    limit = (context_lens[:, None] - Q + jnp.arange(Q)[None, :])   # [B,Q]
-    mask = pos <= limit[:, :, None]                                # [B,Q,C]
+    limit = (context_lens[:, None] - qe[:, None] + jnp.arange(Q)[None, :])
+    mask = (pos <= limit[:, :, None]) & (pos < context_lens[:, None, None])
     probs = masked_softmax(scores, mask[:, None, :, :])
     out = _weighted_values(probs, v)                               # [B,Q,Hq,hd]
     return out.astype(q.dtype)

@@ -9,33 +9,13 @@ whichever is available at import time is used for the process lifetime.
 
 from __future__ import annotations
 
-import ctypes
 import hashlib
-import os
 
 import numpy as np
 
-_LIB = None
+from ssd_tpu.utils.native import get_lib
 
-
-def _load_native():
-    global _LIB
-    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    for name in ("libssd_host.so",):
-        path = os.path.join(here, "native", "build", name)
-        if os.path.exists(path):
-            try:
-                lib = ctypes.CDLL(path)
-                lib.ssd_xxh64.restype = ctypes.c_uint64
-                lib.ssd_xxh64.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64]
-                _LIB = lib
-                return
-            except OSError:
-                pass
-    _LIB = False
-
-
-_load_native()
+_LIB = get_lib() or False
 
 
 def hash64(data: bytes, seed: int = 0) -> int:

@@ -76,3 +76,76 @@ def load_params(model_path: str, mc: ModelConfig, dtype=jnp.bfloat16) -> dict:
     else:
         params["lm_head"] = get("lm_head.weight")
     return params
+
+
+def load_eagle_params(
+    model_path: str,
+    mc: ModelConfig,
+    d_model_target: int,
+    num_eagle_layers: int,
+    target_path: str | None = None,
+    dtype=jnp.bfloat16,
+) -> dict:
+    """Load an EAGLE-3 draft checkpoint.
+
+    Parity: /root/reference/ssd/utils/loader.py:64-183 — `midlayer.*` name
+    remaps, `hidden_norm` -> conditioning norm, `d2t`/`t2d` vocab-map tensors,
+    and borrowing `embed_tokens` from the target checkpoint when the draft
+    ships without one (requires matching hidden sizes).
+    """
+    from ssd_tpu.models.eagle3 import EagleArch
+
+    arch = EagleArch.from_model_config(mc, d_model_target, num_eagle_layers)
+    t = _open_all_tensors(model_path)
+
+    def get(name: str, transpose: bool = False) -> jnp.ndarray:
+        w = t[name].astype(dtype)
+        return w.T if transpose else w
+
+    # EAGLE-3 checkpoints use either bare (`midlayer.`) or `model.`-prefixed
+    # key layouts; resolve by probing.
+    def key(*cands: str) -> str:
+        for c in cands:
+            if c in t:
+                return c
+        raise KeyError(f"none of {cands} in EAGLE checkpoint {sorted(t)[:8]}...")
+
+    mid = "midlayer." if any(k.startswith("midlayer.") for k in t) else "model.midlayer."
+
+    params = {
+        "fc": get(key("fc.weight", "model.fc.weight"), transpose=True),
+        "input_ln": get(key(mid + "input_layernorm.weight")),
+        "cond_ln": get(key(mid + "hidden_norm.weight")),
+        "post_ln": get(key(mid + "post_attention_layernorm.weight")),
+        "wq": get(key(mid + "self_attn.q_proj.weight"), transpose=True),
+        "wk": get(key(mid + "self_attn.k_proj.weight"), transpose=True),
+        "wv": get(key(mid + "self_attn.v_proj.weight"), transpose=True),
+        "wo": get(key(mid + "self_attn.o_proj.weight"), transpose=True),
+        "gate": get(key(mid + "mlp.gate_proj.weight"), transpose=True),
+        "up": get(key(mid + "mlp.up_proj.weight"), transpose=True),
+        "down": get(key(mid + "mlp.down_proj.weight"), transpose=True),
+        "final_ln": get(key("norm.weight", "model.norm.weight")),
+        "lm_head": get(key("lm_head.weight", "model.lm_head.weight")),
+    }
+    if "d2t" in t:
+        params["d2t"] = jnp.asarray(np.asarray(t["d2t"]), jnp.int32)
+    else:
+        assert arch.draft_vocab_size == arch.vocab_size, (
+            "EAGLE checkpoint without d2t requires draft_vocab == target_vocab"
+        )
+        params["d2t"] = jnp.zeros((arch.draft_vocab_size,), jnp.int32)
+
+    embed_key = next((k for k in t if "embed_tokens" in k), None)
+    if embed_key is not None:
+        params["embed"] = get(embed_key)
+    else:
+        assert target_path is not None, (
+            "EAGLE checkpoint has no embed_tokens; need the target path to borrow it"
+        )
+        tt = _open_all_tensors(target_path)
+        ek = next(k for k in tt if "embed_tokens" in k)
+        assert tt[ek].shape[1] == arch.hidden_size, (
+            f"target embedding width {tt[ek].shape[1]} != draft hidden {arch.hidden_size}"
+        )
+        params["embed"] = tt[ek].astype(dtype)
+    return params

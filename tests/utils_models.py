@@ -91,3 +91,67 @@ def random_prompt(rng, lo, hi, vocab=128):
 
 def rng(seed=0):
     return np.random.default_rng(seed)
+
+
+def make_tiny_eagle(path, target_hidden=64, draft_hidden=64, vocab=128,
+                    draft_vocab=None, heads=4, kv_heads=2, intermediate=128,
+                    num_taps=3, with_embed=True, seed=0):
+    """Write a tiny EAGLE-3 draft checkpoint in the reference's key format
+    (midlayer.*, hidden_norm, fc, d2t/t2d; see loader.py:64-183 remaps)."""
+    import json
+    import os
+
+    import torch
+    from safetensors.torch import save_file
+
+    draft_vocab = draft_vocab or vocab
+    torch.manual_seed(seed)
+    D, Dt = draft_hidden, target_hidden
+    hd = D // heads
+
+    def w(*shape):
+        return (torch.randn(*shape) * 0.05).contiguous()
+
+    tensors = {
+        "fc.weight": w(D, num_taps * Dt),
+        "midlayer.self_attn.q_proj.weight": w(heads * hd, 2 * D),
+        "midlayer.self_attn.k_proj.weight": w(kv_heads * hd, 2 * D),
+        "midlayer.self_attn.v_proj.weight": w(kv_heads * hd, 2 * D),
+        "midlayer.self_attn.o_proj.weight": w(D, heads * hd),
+        "midlayer.mlp.gate_proj.weight": w(intermediate, D),
+        "midlayer.mlp.up_proj.weight": w(intermediate, D),
+        "midlayer.mlp.down_proj.weight": w(D, intermediate),
+        "midlayer.input_layernorm.weight": torch.ones(D),
+        "midlayer.hidden_norm.weight": torch.ones(D),
+        "midlayer.post_attention_layernorm.weight": torch.ones(D),
+        "norm.weight": torch.ones(D),
+        "lm_head.weight": w(draft_vocab, D),
+    }
+    if draft_vocab != vocab:
+        # Map draft slot i -> target token via sorted subset offsets.
+        subset = torch.sort(torch.randperm(vocab)[:draft_vocab]).values
+        tensors["d2t"] = subset - torch.arange(draft_vocab)
+        t2d = torch.zeros(vocab, dtype=torch.bool)
+        t2d[subset] = True
+        tensors["t2d"] = t2d
+    if with_embed:
+        tensors["embed_tokens.weight"] = w(vocab, D)
+
+    os.makedirs(path, exist_ok=True)
+    save_file(tensors, os.path.join(path, "model.safetensors"))
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump({
+            "model_type": "llama",
+            "vocab_size": vocab,
+            "draft_vocab_size": draft_vocab,
+            "hidden_size": D,
+            "intermediate_size": intermediate,
+            "num_hidden_layers": 1,
+            "num_attention_heads": heads,
+            "num_key_value_heads": kv_heads,
+            "head_dim": hd,
+            "max_position_embeddings": 512,
+            "rms_norm_eps": 1e-5,
+            "rope_theta": 10000.0,
+            "eos_token_id": 2,
+        }, f)
