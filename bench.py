@@ -45,6 +45,7 @@ def main():
     from ssd_tpu.llm import LLM
     from ssd_tpu.sampling_params import SamplingParams
 
+    multi_step = int(os.environ.get("SSD_BENCH_MULTI_STEP", "8"))
     engine = LLM(
         model_dir,
         init_random=True,
@@ -53,6 +54,7 @@ def main():
         max_num_batched_tokens=4096,
         max_num_seqs=max(4, batch),
         kvcache_block_size=64,
+        multi_step=multi_step,
     )
 
     rng = np.random.default_rng(0)

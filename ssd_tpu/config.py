@@ -78,6 +78,10 @@ class Config:
     dtype: str = "bfloat16"
     seed: int = 0
     use_pallas: bool | None = None  # None = auto (on for TPU backend)
+    # AR multi-step decoding: sample this many tokens per engine step as ONE
+    # lax.scan program (EOS overshoot is truncated and rolled back like a
+    # rejected speculation). Amortises per-step dispatch/host latency.
+    multi_step: int = 1
 
     # spec config args
     draft_hf_config: ModelConfig | None = None

@@ -86,7 +86,8 @@ def tree_build_program(
     """Build next step's speculation tree in a single XLA program.
 
     Returns (fork_tokens [B, MQ_LEN], fan_idx_rows [B, MQ_LEN],
-             spec_tokens [B, MQ_LEN, K], spec_logits [B, MQ_LEN, K, V], kv).
+             spec_tokens [B, MQ_LEN, K], spec_logits [B, MQ_LEN, K, V],
+             glue_logits [B, K+1, V], kv).
 
     Geometry (reference draft_runner.py:416-731): with base = num_tokens-1,
     the draft cache layout per sequence is
@@ -194,7 +195,7 @@ def tree_build_program(
     )
     spec_tokens = toks.transpose(1, 0).reshape(B, MQ_LEN, K)
     spec_logits = logits.transpose(1, 0, 2).reshape(B, MQ_LEN, K, -1)
-    return fork_tokens, fan_idx_rows, spec_tokens, spec_logits, kv_cache
+    return fork_tokens, fan_idx_rows, spec_tokens, spec_logits, glue_logits, kv_cache
 
 
 # ---------------------------------------------------------------------------
@@ -368,7 +369,7 @@ class DraftRunner(ModelRunner):
 
         ctx_pad = self._ctx_bucket(int(base.max()) + 1 + (K + 1) + K * MQ)
         self.key, sub = jax.random.split(self.key)
-        fork_tokens, fan_idx_rows, spec_tokens, spec_logits, self.kv_cache = (
+        fork_tokens, fan_idx_rows, spec_tokens, spec_logits, glue_logits, self.kv_cache = (
             tree_build_program(
                 self.params, self.kv_cache,
                 jnp.asarray(glue_ids.reshape(-1)), jnp.asarray(base),
@@ -381,6 +382,11 @@ class DraftRunner(ModelRunner):
                 use_pallas=self.use_pallas,
             )
         )
+
+        # Debug/test hook: glue logits at depth j must equal the chain logits
+        # that produced spec_j (same tokens, positions, KV) — the reference's
+        # glue-vs-cached equivalence invariant (tests.py:68-126).
+        self._last_glue_logits = glue_logits[:B]
 
         # Cache population: keys host-side, logits stay on the draft device.
         seq_ids = np.repeat(req.cache_keys[:, 0], MQ)               # [B*MQ]

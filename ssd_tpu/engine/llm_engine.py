@@ -141,7 +141,9 @@ class LLMEngine:
 
     def create_inference_step(self, config: Config) -> InferenceStep:
         if not config.speculate:
-            return AutoRegressiveStep(self.scheduler, self.model_runner)
+            return AutoRegressiveStep(
+                self.scheduler, self.model_runner, multi_step=config.multi_step
+            )
 
         from ssd_tpu.engine.verifier import Verifier
 

@@ -166,7 +166,7 @@ def sample_tokens(logits, temperatures, key):
 @partial(
     jax.jit,
     static_argnames=("arch", "block_size", "ctx_pad", "K", "sampler_x", "fan_out",
-                     "tree_sampling", "use_pallas"),
+                     "tree_sampling", "use_pallas", "extra_write"),
     donate_argnames=("kv_cache",),
 )
 def chain_decode_step(
@@ -187,12 +187,14 @@ def chain_decode_step(
     fan_out: int = 3,
     tree_sampling: bool = False,
     use_pallas: bool = False,
+    extra_write: bool = True,
 ):
-    """K+1 sequential single-token decodes as ONE program (lax.scan over
+    """K (+1) sequential single-token decodes as ONE program (lax.scan over
     depth): the draft chain of sync spec decode (reference
     speculator_sync.py:47-67 runs K+1 separate forwards; here the whole chain
-    is a single XLA dispatch). The final forward exists only to write the
-    K-th token's KV, matching the reference.
+    is a single XLA dispatch). With extra_write, a final forward writes the
+    K-th token's KV, matching the reference draft; AR multi-step decoding
+    skips it (the next dispatch rewrites that slot anyway).
 
     Returns (tokens [B, K], logits_q [B, K, V], updated cache).
     """
@@ -238,8 +240,9 @@ def chain_decode_step(
         )
         return (kv, next_tok), (next_tok, logits)
 
+    n_steps = K + 1 if extra_write else K
     (kv_cache, _), (toks, logits) = jax.lax.scan(
-        step, (kv_cache, first_tokens), jnp.arange(K + 1)
+        step, (kv_cache, first_tokens), jnp.arange(n_steps)
     )
     # Step i consumes t_i, emits (t_{i+1}, logits_i): keep t_1..t_K and
     # logits_0..logits_{K-1}.
@@ -493,7 +496,7 @@ class ModelRunner:
             return token_list, logits_out, acts_out
         return token_list, logits_out
 
-    def run_chain(self, seqs: list[Sequence], K: int):
+    def run_chain(self, seqs: list[Sequence], K: int, extra_write: bool | None = None):
         """Draft speculation chain: K+1 decodes in one dispatch. Sequences must
         already carry the recovery token as their last token. Returns
         (tokens [B, K] np, logits_q [B, K, V] device array)."""
@@ -512,7 +515,8 @@ class ModelRunner:
             ctx0[i] = seq.num_tokens
             temps[i] = (
                 seq.draft_temperature
-                if seq.draft_temperature is not None else seq.temperature
+                if draft and seq.draft_temperature is not None
+                else seq.temperature
             )
         ctx_pad = self._ctx_bucket(int(ctx0.max()) + K + 1)
         self.key, sub = jax.random.split(self.key)
@@ -522,6 +526,7 @@ class ModelRunner:
             jnp.asarray(ctx0), jnp.asarray(temps), sub,
             arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad, K=K,
             use_pallas=self.use_pallas,
+            extra_write=self.is_draft if extra_write is None else extra_write,
         )
         return np.asarray(tokens)[:B], logits_q[:B]
 

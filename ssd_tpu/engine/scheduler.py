@@ -38,6 +38,7 @@ class Scheduler:
         self.block_size = config.kvcache_block_size
         self.verbose = config.verbose
         self.draft_async = config.draft_async
+        self.multi_step = config.multi_step
         self.block_manager = BlockManager(
             config.num_kvcache_blocks,
             config.kvcache_block_size,
@@ -114,11 +115,18 @@ class Scheduler:
             target_lookahead_len = self.K + 1
             draft_lookahead_len = self.K + 1
         else:
+            # AR multi-step: the chain writes multi_step+1 KV positions
+            # beyond the trunk; clamp near max_model_len so sequences at the
+            # boundary stay schedulable.
             target_lookahead_len = 1
             draft_lookahead_len = None
 
         while self.running and num_seqs_decoded < self.max_num_seqs:
             seq = self.running.popleft()
+            if not self.speculate and self.multi_step > 1:
+                target_lookahead_len = max(
+                    1, min(self.multi_step, self.max_model_len - seq.num_tokens)
+                )
             while not self.bms_can_append(seq, target_lookahead_len, draft_lookahead_len):
                 if self.running:
                     self.preempt(self.running.pop())
@@ -177,6 +185,36 @@ class Scheduler:
                     last_block.update(h, ids)
                     self.block_manager.hash_to_block_id[h] = last_block.block_id
 
+    # --- AR multi-step postprocess -----------------------------------------
+    def postprocess_multi(self, seqs: list[Sequence], suffixes: list[list[int]]):
+        """Commit up to multi_step sampled tokens per sequence: truncate at
+        EOS / max_new / max_model_len, roll back over-allocated blocks, and
+        finalize full-block prefix hashes (the AR analogue of
+        postprocess_speculate)."""
+        for seq, suffix in zip(seqs, suffixes):
+            new_suffix, finished = self._handle_eos_and_max_new_tokens(seq, suffix)
+            n = len(new_suffix)
+            required = (seq.num_tokens + n + self.block_size - 1) // self.block_size
+            if len(seq.block_table) > required:
+                excess = len(seq.block_table) - required
+                self.block_manager.deallocate_ids(seq.block_table[-excess:])
+                seq.block_table = seq.block_table[:-excess]
+
+            seq.token_ids.extend(new_suffix)
+            seq.num_tokens += n
+            seq.last_token = new_suffix[-1]
+            seq.num_cached_tokens += n
+
+            for i in range(len(seq.block_table)):
+                if (i + 1) * self.block_size <= seq.num_tokens:
+                    if self.block_manager.blocks[seq.block_table[i]].hash == -1:
+                        self._finalize_block(self.block_manager, seq, seq.block_table, i)
+
+            if finished:
+                seq.status = SequenceStatus.FINISHED
+                self.block_manager.deallocate(seq)
+                self.running.remove(seq)
+
     # --- speculative postprocess helpers ---
     def _handle_eos_and_max_new_tokens(
         self, seq: Sequence, new_suffix: list[int]
@@ -216,12 +254,13 @@ class Scheduler:
                 setattr(seq, table_name, table[:-excess])
 
     def _finalize_block(self, bm: BlockManager, seq: Sequence, block_table: list[int], i: int):
+        """Chain-hash completed block i into the prefix cache."""
         ids = seq.block(i)
-        prefix = bm.blocks[block_table[-2]].hash if len(block_table) > 1 else -1
+        prefix = bm.blocks[block_table[i - 1]].hash if i > 0 else -1
         h = bm.compute_hash(ids, prefix)
-        last = bm.blocks[block_table[-1]]
-        last.update(h, ids)
-        bm.hash_to_block_id[h] = last.block_id
+        blk = bm.blocks[block_table[i]]
+        blk.update(h, ids)
+        bm.hash_to_block_id[h] = blk.block_id
 
     def _update_sequence_metadata(self, seq: Sequence, new_suffix: list[int], recovery_token: int):
         n = len(new_suffix)

@@ -32,9 +32,11 @@ class InferenceStep(ABC):
 
 class AutoRegressiveStep(InferenceStep):
 
-    def __init__(self, scheduler: Scheduler, model_runner: ModelRunner):
+    def __init__(self, scheduler: Scheduler, model_runner: ModelRunner,
+                 multi_step: int = 1):
         super().__init__(scheduler)
         self.model_runner = model_runner
+        self.multi_step = multi_step
 
     def step(self, seqs: list[Sequence], is_prefill: bool) -> int:
         token_ids = self.model_runner.run(seqs, is_prefill)
@@ -45,7 +47,20 @@ class AutoRegressiveStep(InferenceStep):
         return self.step(seqs, is_prefill=True)
 
     def decode(self, seqs: list[Sequence]) -> int:
-        return self.step(seqs, is_prefill=False)
+        # Multi-step: M sampled tokens per dispatch as one lax.scan chain;
+        # EOS/max-len overshoot is truncated and rolled back by the
+        # scheduler, like a rejected speculation.
+        M = max(1, min(
+            self.multi_step,
+            self.scheduler.max_model_len - max(s.num_tokens for s in seqs),
+        ))
+        if M <= 1:
+            return self.step(seqs, is_prefill=False)
+        tokens, _ = self.model_runner.run_chain(seqs, K=M)
+        suffixes = [[int(t) for t in row] for row in tokens]
+        before = sum(s.num_tokens for s in seqs)
+        self.scheduler.postprocess_multi(seqs, suffixes)
+        return sum(s.num_tokens for s in seqs) - before
 
 
 class SpecDecodeStep(InferenceStep):

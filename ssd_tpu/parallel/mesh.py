@@ -23,11 +23,45 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(devices=None, tp_size: int | None = None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+def make_mesh(devices=None, tp_size: int | None = None, dp_size: int = 1) -> Mesh:
+    """1-D ("tp",) mesh, or 2-D ("dp", "tp") when dp_size > 1 (batch-sharded
+    serving replicas sharing tp-sharded weights)."""
+    devices = list(devices) if devices is not None else jax.devices()
     if tp_size is not None:
-        devices = devices[:tp_size]
+        devices = devices[: tp_size * dp_size]
+    if dp_size > 1:
+        assert len(devices) % dp_size == 0
+        arr = np.asarray(devices).reshape(dp_size, len(devices) // dp_size)
+        return Mesh(arr, axis_names=("dp", "tp"))
     return Mesh(np.asarray(devices), axis_names=("tp",))
+
+
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None):
+    """Join a multi-host JAX runtime (DCN). The reference cannot scale past
+    one node (config.py:55); here every host runs the same program and
+    jax.devices() spans the whole slice afterwards."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_hybrid_mesh(tp_per_host: int | None = None) -> Mesh:
+    """Multi-host mesh with DCN as the outer ("dcn") axis and ICI as the
+    inner ("tp") axis, so per-layer all-reduces ride ICI and only the rare
+    cross-host collectives touch DCN."""
+    from jax.experimental import mesh_utils
+
+    n_local = tp_per_host or jax.local_device_count()
+    n_hosts = jax.device_count() // n_local
+    arr = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(1, n_local),
+        dcn_mesh_shape=(n_hosts, 1),
+    )
+    return Mesh(arr, axis_names=("dcn", "tp"))
 
 
 _PARAM_SPECS = {
