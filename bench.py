@@ -45,23 +45,26 @@ def main():
     from ssd_tpu.llm import LLM
     from ssd_tpu.sampling_params import SamplingParams
 
-    multi_step = int(os.environ.get("SSD_BENCH_MULTI_STEP", "8"))
+    multi_step = int(os.environ.get("SSD_BENCH_MULTI_STEP", "16"))
     engine = LLM(
         model_dir,
         init_random=True,
         dtype="bfloat16",
         max_model_len=2048,
         max_num_batched_tokens=4096,
-        max_num_seqs=max(4, batch),
+        max_num_seqs=batch,
         kvcache_block_size=64,
         multi_step=multi_step,
+        ctx_bucket_policy="single",
     )
 
     rng = np.random.default_rng(0)
     prompts = [rng.integers(10, 50000, size=128).tolist() for _ in range(batch)]
     sp = SamplingParams(temperature=0.0, max_new_tokens=out_len, ignore_eos=True)
 
-    # Warmup (compile) with a short run.
+    # Warmup: pre-compile all decode buckets + a short generate for the
+    # prefill buckets, outside the timed window.
+    engine.warmup()
     engine.generate(
         [p[:] for p in prompts],
         SamplingParams(temperature=0.0, max_new_tokens=4, ignore_eos=True),
@@ -78,16 +81,21 @@ def main():
         if metrics["decode_total_time"] > 0 else total_out / wall
     )
 
+    import jax
+
+    backend = jax.default_backend()
     hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_history.json")
-    prev = None
+    hist, prev = {}, None
     if os.path.exists(hist_path):
         try:
-            prev = json.load(open(hist_path)).get("decode_tok_s")
+            hist = json.load(open(hist_path))
+            prev = hist.get(f"decode_tok_s_{backend}")
         except Exception:
-            prev = None
+            hist = {}
     try:
-        json.dump({"decode_tok_s": decode_tps}, open(hist_path, "w"))
+        hist[f"decode_tok_s_{backend}"] = decode_tps
+        json.dump(hist, open(hist_path, "w"))
     except Exception:
         pass
 

@@ -18,6 +18,8 @@ __all__ = [
     "Sequence",
     "SequenceStatus",
     "LLM",
+    "LLMEngine",
+    "METRICS",
 ]
 
 
@@ -27,4 +29,8 @@ def __getattr__(name):
         from ssd_tpu.llm import LLM
 
         return LLM
+    if name in ("LLMEngine", "METRICS"):
+        from ssd_tpu.engine import llm_engine
+
+        return getattr(llm_engine, name)
     raise AttributeError(name)

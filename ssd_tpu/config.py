@@ -82,6 +82,12 @@ class Config:
     # lax.scan program (EOS overshoot is truncated and rolled back like a
     # rejected speculation). Amortises per-step dispatch/host latency.
     multi_step: int = 1
+    # Context-length shape buckets for the jitted decode programs:
+    # "pow2" = power-of-two growth (fewer wasted pages, more compiles);
+    # "single" = one bucket at max_model_len (one compile per program —
+    # weight reads dominate decode at small batch, so the extra KV-page scans
+    # are cheap).
+    ctx_bucket_policy: str = "pow2"
 
     # spec config args
     draft_hf_config: ModelConfig | None = None

@@ -347,6 +347,21 @@ class EagleDraftRunner(DraftRunner):
     def prefill_from_payload(self, input_id_lists, block_tables,
                              acts_list=None):
         assert acts_list is not None, "EAGLE prefill needs target activations"
+        if self.config.debug_mode and not getattr(self, "_debug_saved", False):
+            # Reference debug capture (eagle3_draft_llama3.py:279-311): save
+            # the conditioned prefill inputs for offline comparison.
+            import os
+
+            os.makedirs("debug_outputs", exist_ok=True)
+            np.savez(
+                "debug_outputs/draft_prefill_inputs.npz",
+                input_ids=np.asarray(input_id_lists[0], dtype=np.int64),
+                target_hidden_states=np.asarray(acts_list[0]),
+                d_model_target=self.arch.d_model_target,
+                eagle_layers=np.asarray(self._eagle_cfg.eagle_layers),
+            )
+            self._debug_saved = True
+            print("[DEBUG] saved debug_outputs/draft_prefill_inputs.npz", flush=True)
         act_dim = self.arch.num_eagle_layers * self.arch.d_model_target
         for i, ids in enumerate(input_id_lists):
             # Token j+1 conditioned on target act j: feed ids[1:], acts[:-1]

@@ -38,9 +38,27 @@ METRICS = {
 }
 
 
+def _enable_persistent_compile_cache():
+    """XLA persistent compilation cache: shape-bucketed programs compile once
+    per machine, not once per process (the jit analogue of the reference
+    capturing CUDA graphs at init, model_runner.py:278-302)."""
+    import jax
+
+    try:
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser("~/.cache/ssd_tpu/xla_cache"),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 class LLMEngine:
 
     def __init__(self, model, **kwargs):
+        _enable_persistent_compile_cache()
         config_fields = {f.name for f in fields(Config)}
         config_kwargs = {k: v for k, v in kwargs.items() if k in config_fields}
         config = Config(model, **config_kwargs)
@@ -103,6 +121,32 @@ class LLMEngine:
         self.scheduler = Scheduler(config, draft_cfg=self.draft_cfg)
         self._exiting = False
 
+    def warmup(self):
+        """Pre-compile all decode-side shape buckets (call once before
+        latency-sensitive serving; prefill buckets still compile on first
+        use per prompt-length bucket)."""
+        from ssd_tpu.engine.model_runner import next_pow2
+
+        cfg = self.config
+        top = next_pow2(cfg.max_num_seqs)
+        batch_pads, b = [], 1
+        while b <= top:
+            batch_pads.append(b)
+            b *= 2
+        q_lens = [1]
+        chain_Ks = []
+        if cfg.speculate:
+            q_lens.append(cfg.speculate_k + 1)
+        elif cfg.multi_step > 1:
+            chain_Ks.append(cfg.multi_step)
+        self.model_runner.warmup_buckets(
+            q_lens=q_lens, chain_Ks=chain_Ks, batch_pads=batch_pads
+        )
+        if self.draft_runner is not None:
+            self.draft_runner.warmup_buckets(
+                q_lens=[1], chain_Ks=[cfg.speculate_k], batch_pads=batch_pads
+            )
+
     def exit(self, hard: bool = False):
         if self._exiting:
             return
@@ -118,7 +162,11 @@ class LLMEngine:
             prompt = self.tokenizer.encode(prompt)
         self.scheduler.add(Sequence(prompt, sampling_params))
 
-    def step(self, step: InferenceStep):
+    def step(self, step: InferenceStep | None = None):
+        if step is None:  # reference-style no-arg stepping (llm_engine.py:193)
+            if not hasattr(self, "_default_step"):
+                self._default_step = self.create_inference_step(self.config)
+            step = self._default_step
         t = perf_counter()
         seqs, is_prefill = self.scheduler.schedule()
         ttl_tokens = step.prefill(seqs) if is_prefill else step.decode(seqs)

@@ -370,8 +370,11 @@ class ModelRunner:
         return out
 
     def _ctx_bucket(self, need: int) -> int:
+        limit = self.max_blocks * self.block_size
+        if self.config.ctx_bucket_policy == "single":
+            return limit
         pad = max(self.block_size, next_pow2(need))
-        return min(pad, self.max_blocks * self.block_size)
+        return min(pad, limit)
 
     # --- phases ---
 
@@ -529,6 +532,54 @@ class ModelRunner:
             extra_write=self.is_draft if extra_write is None else extra_write,
         )
         return np.asarray(tokens)[:B], logits_q[:B]
+
+    def _ctx_buckets(self) -> list[int]:
+        limit = self.max_blocks * self.block_size
+        if self.config.ctx_bucket_policy == "single":
+            return [limit]
+        out, c = [], self.block_size
+        while c < limit:
+            out.append(c)
+            c *= 2
+        out.append(limit)
+        return sorted(set(out))
+
+    def warmup_buckets(self, q_lens=(1,), chain_Ks=(), batch_pads=(1,)):
+        """Pre-compile every (batch bucket, ctx bucket) shape the decode-side
+        programs can hit, with ghost-only batches (slot=-1, table=-1) so the
+        KV cache passes through untouched. The jit analogue of the
+        reference's CUDA-graph capture at init (model_runner.py:278-302);
+        combined with the persistent XLA cache this removes all mid-run
+        compilation stalls."""
+        last = None
+        for B_pad in batch_pads:
+            bt = jnp.full((B_pad, self.max_blocks), -1, jnp.int32)
+            ctx1 = jnp.ones(B_pad, jnp.int32)
+            temps = jnp.ones(B_pad, jnp.float32)
+            key = jax.random.PRNGKey(0)
+            for ctx_pad in self._ctx_buckets():
+                for q in q_lens:
+                    T = B_pad * q
+                    ghost = jnp.full(T, -1, jnp.int32)
+                    last, _, _, self.kv_cache = decode_step(
+                        self.params, self.kv_cache,
+                        jnp.zeros(T, jnp.int32), jnp.zeros(T, jnp.int32),
+                        ghost, bt, ctx1, temps, key,
+                        arch=self.arch, block_size=self.block_size,
+                        ctx_pad=ctx_pad, q_len=q, use_pallas=self.use_pallas,
+                        eagle_layers=self.eagle_layers,
+                    )
+                for K in chain_Ks:
+                    last, _, self.kv_cache = chain_decode_step(
+                        self.params, self.kv_cache,
+                        jnp.zeros(B_pad, jnp.int32), jnp.zeros(B_pad, jnp.int32),
+                        bt, ctx1, temps, key,
+                        arch=self.arch, block_size=self.block_size,
+                        ctx_pad=ctx_pad, K=K, use_pallas=self.use_pallas,
+                        extra_write=self.is_draft,
+                    )
+        if last is not None:
+            jax.block_until_ready(last)
 
     def run(self, seqs: list[Sequence], is_prefill: bool, last_only: bool = True,
             return_logits: bool = False):
