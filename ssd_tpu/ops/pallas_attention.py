@@ -197,9 +197,10 @@ def _tree_attn_kernel(
     # scalar prefetch
     bt_ref,      # [B, M] int32
     ctx_ref,     # [B] int32 attended length at this step
-    fan_ref,     # [B, MQ] int32 glue depth per tree row
     step_ref,    # [1] int32 tree depth s
     # blocks
+    fan_ref,     # [1, MQ] int32 glue depth per tree row (VMEM: Mosaic only
+                 #   allows scalar loads from SMEM, so this is a tensor input)
     q_ref,       # [1, 1, MQ*G, hd]
     kv_ref,      # [2, 1, BS, hd]
     o_ref,       # [1, 1, MQ*G, hd]
@@ -237,10 +238,10 @@ def _tree_attn_kernel(
     step = step_ref[0]
     prefix = ctx - (K + 1) - (step + 1) * MQ
 
-    # fan_idx per row: gather fan_ref[b, r] via compare-reduce (vector gather
-    # from SMEM is not supported).
+    # fan_idx per row: gather fan_ref[0, r] via compare-reduce (no vector
+    # gather primitive on TPU).
     fan_row = jax.lax.broadcasted_iota(jnp.int32, (R, MQ), 1)
-    fan_tbl = fan_ref[b, :][None, :]                             # [1, MQ]
+    fan_tbl = fan_ref[0, :][None, :]                             # [1, MQ]
     fan = jnp.sum(jnp.where(fan_row == row, fan_tbl, 0), axis=1, keepdims=True)
 
     in_prefix = pos < prefix
@@ -289,23 +290,27 @@ def tree_attention(
     qg = _regroup_q(q, Hkv)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(B, Hkv, 1, num_pages),
         in_specs=[
             pl.BlockSpec(
+                (1, MQ),
+                lambda b, h, t, p, bt, ctx, st: (b, 0),
+            ),
+            pl.BlockSpec(
                 (1, 1, MQ * G, hd),
-                lambda b, h, t, p, bt, ctx, fan, st: (b, h, 0, 0),
+                lambda b, h, t, p, bt, ctx, st: (b, h, 0, 0),
             ),
             pl.BlockSpec(
                 (2, 1, block_size, hd),
-                lambda b, h, t, p, bt, ctx, fan, st: (
+                lambda b, h, t, p, bt, ctx, st: (
                     0, h, jnp.maximum(bt[b, p], 0), 0
                 ),
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, MQ * G, hd),
-            lambda b, h, t, p, bt, ctx, fan, st: (b, h, 0, 0),
+            lambda b, h, t, p, bt, ctx, st: (b, h, 0, 0),
         ),
         scratch_shapes=[
             pltpu.VMEM((MQ * G, 1), jnp.float32),
@@ -325,8 +330,8 @@ def tree_attention(
     )(
         block_tables.astype(jnp.int32),
         context_lens.astype(jnp.int32),
-        fan_idx_rows.astype(jnp.int32),
         jnp.atleast_1d(step).astype(jnp.int32),
+        fan_idx_rows.astype(jnp.int32),
         qg,
         kv_layer,
     )
