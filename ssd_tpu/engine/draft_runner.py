@@ -258,28 +258,41 @@ class DraftRunner(ModelRunner):
 
     def prefill_from_payload(self, input_id_lists: list[list[int]],
                              block_tables: np.ndarray):
-        from ssd_tpu.engine.model_runner import prefill_step
+        """Whole-payload draft prefill in one dispatch (reference
+        draft_async_prefill runs one varlen forward, draft_runner.py:51-101)."""
+        from ssd_tpu.engine.model_runner import batched_prefill_step
+        from ssd_tpu.utils.native import prepare_prefill
 
+        B = len(input_id_lists)
+        B_pad = next_pow2(B)
+        lens = [len(ids) for ids in input_id_lists]
+        s_pad = next_pow2(max(8, max(lens)))
+        input_ids = np.zeros((B_pad, s_pad), dtype=np.int32)
+        positions = np.zeros((B_pad, s_pad), dtype=np.int32)
+        slot_map = np.full((B_pad, s_pad), -1, dtype=np.int32)
+        context_lens = np.ones(B_pad, dtype=np.int32)
+        qeff = np.ones(B_pad, dtype=np.int32)
+        bt = np.full((B_pad, block_tables.shape[1]), -1, dtype=np.int32)
+        bt[:B] = block_tables
         for i, ids in enumerate(input_id_lists):
-            n = len(ids)
-            s_pad = next_pow2(max(8, n))
-            input_ids = np.zeros(s_pad, dtype=np.int32)
-            input_ids[:n] = ids
-            positions = np.zeros(s_pad, dtype=np.int32)
-            positions[:n] = np.arange(n)
-            bt_row = block_tables[i]
-            slot_map = np.full(s_pad, -1, dtype=np.int32)
-            blk = positions[:n] // self.block_size
-            slot_map[:n] = bt_row[blk] * self.block_size + positions[:n] % self.block_size
-            ctx_pad = self._ctx_bucket(n)
-            _, _, self.kv_cache = prefill_step(
-                self.params, self.kv_cache,
-                jnp.asarray(input_ids), jnp.asarray(positions),
-                jnp.asarray(slot_map), jnp.asarray(bt_row[None, :]),
-                jnp.int32(n), jnp.int32(n),
-                arch=self.arch, block_size=self.block_size,
-                ctx_pad=ctx_pad, num_new_pad=s_pad,
+            n = lens[i]
+            input_ids[i, :n] = ids
+            positions[i], slot_map[i] = prepare_prefill(
+                bt[i], 0, n, self.block_size, s_pad
             )
+            context_lens[i] = n
+            qeff[i] = n
+        ctx_pad = self._ctx_bucket(int(context_lens.max()))
+        self.key, sub = jax.random.split(self.key)
+        _, _, _, self.kv_cache = batched_prefill_step(
+            self.params, self.kv_cache,
+            jnp.asarray(input_ids.reshape(-1)), jnp.asarray(positions.reshape(-1)),
+            jnp.asarray(slot_map.reshape(-1)), jnp.asarray(bt),
+            jnp.asarray(context_lens), jnp.asarray(qeff),
+            jnp.ones(B_pad, jnp.float32), sub,
+            arch=self.arch, block_size=self.block_size,
+            ctx_pad=ctx_pad, s_pad=s_pad, use_pallas=self.use_pallas,
+        )
 
     # --- spec-request service (reference hit_cache_and_respond, :186-286) ---
 

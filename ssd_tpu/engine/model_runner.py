@@ -46,60 +46,6 @@ def next_pow2(n: int) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("arch", "block_size", "ctx_pad", "num_new_pad", "use_pallas",
-                     "eagle_layers"),
-    donate_argnames=("kv_cache",),
-)
-def prefill_step(
-    params,
-    kv_cache,
-    input_ids,      # [S_pad]
-    positions,      # [S_pad]
-    slot_map,       # [S_pad]
-    block_table,    # [1, M]
-    context_len,    # [] int32, total length incl. new tokens
-    num_new,        # [] int32, true new-token count
-    *,
-    arch: Arch,
-    block_size: int,
-    ctx_pad: int,
-    num_new_pad: int,
-    use_pallas: bool = False,
-    eagle_layers: tuple[int, ...] | None = None,
-):
-    """Single-sequence (possibly prefix-cached) prefill. Returns (last-token
-    logits [V], eagle acts [S_pad, 3D] or None, updated cache)."""
-    scale = arch.head_dim ** -0.5
-
-    def attn_call(q, k, v, kv_layer):
-        kv_layer = att.store_kv(kv_layer, k, v, slot_map)
-        if use_pallas:
-            from ssd_tpu.ops import pallas_attention as patt
-
-            o = patt.paged_attention(
-                q[None], kv_layer, block_table,
-                jnp.reshape(context_len, (1,)), jnp.reshape(num_new, (1,)),
-                block_size, ctx_pad, scale,
-            )
-        else:
-            o = att.prefill_attention(
-                q[None], kv_layer, block_table, context_len, num_new,
-                block_size, ctx_pad, scale,
-            )
-        return o[0], kv_layer
-
-    out = forward_hidden(
-        params, kv_cache, input_ids, positions, attn_call, arch,
-        eagle_layers=eagle_layers,
-    )
-    hidden, kv_cache = out[0], out[1]
-    acts = out[2] if eagle_layers else None
-    logits = compute_logits(params, hidden, arch, gather_idx=(num_new - 1)[None])
-    return logits[0], acts, kv_cache
-
-
-@partial(
-    jax.jit,
     static_argnames=("arch", "block_size", "ctx_pad", "q_len", "use_pallas",
                      "eagle_layers"),
     donate_argnames=("kv_cache",),
@@ -158,9 +104,66 @@ def decode_step(
     return tokens, logits, acts, kv_cache
 
 
-@jax.jit
-def sample_tokens(logits, temperatures, key):
-    return sample(logits, temperatures, key)
+@partial(
+    jax.jit,
+    static_argnames=("arch", "block_size", "ctx_pad", "s_pad", "use_pallas",
+                     "eagle_layers"),
+    donate_argnames=("kv_cache",),
+)
+def batched_prefill_step(
+    params,
+    kv_cache,
+    input_ids,      # [B*s_pad]
+    positions,      # [B*s_pad]
+    slot_map,       # [B*s_pad]
+    block_tables,   # [B, M]
+    context_lens,   # [B] total length incl. new tokens
+    qeff,           # [B] true new-token count per sequence
+    temperatures,   # [B]
+    key,
+    *,
+    arch: Arch,
+    block_size: int,
+    ctx_pad: int,
+    s_pad: int,
+    use_pallas: bool = False,
+    eagle_layers: tuple[int, ...] | None = None,
+):
+    """Whole-batch (possibly prefix-cached, ragged) prefill as ONE dispatch:
+    per-sequence true lengths flow through the paged-attention qeff contract,
+    replacing the reference's varlen flash-attention prefill
+    (runner_helpers.py:123-180). Returns (first sampled tokens [B],
+    last-token logits [B, V], eagle acts [B*s_pad, 3D] | None, cache)."""
+    B = block_tables.shape[0]
+    scale = arch.head_dim ** -0.5
+
+    def attn_call(q, k, v, kv_layer):
+        kv_layer = att.store_kv(kv_layer, k, v, slot_map)
+        qr = q.reshape(B, s_pad, arch.num_heads, arch.head_dim)
+        if use_pallas:
+            from ssd_tpu.ops import pallas_attention as patt
+
+            o = patt.paged_attention(
+                qr, kv_layer, block_tables, context_lens, qeff,
+                block_size, ctx_pad, scale,
+            )
+        else:
+            o = att.paged_attention(
+                qr, kv_layer, block_tables, context_lens, block_size,
+                ctx_pad, scale, qeff=qeff,
+            )
+        return o.reshape(B * s_pad, arch.num_heads, arch.head_dim), kv_layer
+
+    out = forward_hidden(
+        params, kv_cache, input_ids, positions, attn_call, arch,
+        eagle_layers=eagle_layers,
+    )
+    hidden, kv_cache = out[0], out[1]
+    acts = out[2] if eagle_layers else None
+    gather_idx = jnp.arange(B) * s_pad + jnp.maximum(qeff - 1, 0)
+    logits = compute_logits(params, hidden, arch, gather_idx=gather_idx)  # [B, V]
+    tokens = sample(logits, temperatures, key)
+    return tokens, logits, acts, kv_cache
 
 
 @partial(
@@ -358,10 +361,6 @@ class ModelRunner:
 
     # --- host-side input prep (runner_helpers.py equivalents) ---
 
-    def _slot_for(self, seq: Sequence, pos: int, draft: bool) -> int:
-        table = seq.draft_block_table if draft else seq.block_table
-        return table[pos // self.block_size] * self.block_size + pos % self.block_size
-
     def _block_table_array(self, seqs: list[Sequence], draft: bool) -> np.ndarray:
         out = np.full((len(seqs), self.max_blocks), -1, dtype=np.int32)
         for i, seq in enumerate(seqs):
@@ -380,50 +379,61 @@ class ModelRunner:
 
     def run_prefill(self, seqs: list[Sequence], last_only: bool = True,
                     return_acts: bool = False):
-        """Prefill each scheduled sequence; returns sampled first tokens [B]
-        (and, with return_acts in EAGLE mode, per-seq activation arrays
-        [num_tokens, 3D] on the host)."""
+        """Prefill the whole scheduled batch in ONE dispatch (ragged lengths
+        via per-seq qeff); returns sampled first tokens [B] (and, with
+        return_acts in EAGLE mode, per-seq activation arrays [num_tokens, 3D]
+        on the host)."""
+        from ssd_tpu.utils.native import prepare_prefill
+
         draft = self.is_draft
-        logits_rows = []
-        acts_rows = []
+        B = len(seqs)
+        B_pad = next_pow2(B)
+        cached_list, n_new_list = [], []
         for seq in seqs:
             cached = seq.num_draft_cached_tokens if draft else seq.num_cached_tokens
             if self.eagle_layers and cached > 0:
                 # The draft needs conditioning acts for EVERY prompt token;
                 # recompute prefix-cached spans (KV rewrite is idempotent).
                 cached = 0
-            new_ids = seq.token_ids[cached:]
-            n_new = len(new_ids)
-            s_pad = next_pow2(max(8, n_new))
-            input_ids = np.zeros(s_pad, dtype=np.int32)
-            input_ids[:n_new] = new_ids
-            bt = self._block_table_array([seq], draft)
-            from ssd_tpu.utils.native import prepare_prefill
+            cached_list.append(cached)
+            n_new_list.append(seq.num_tokens - cached)
+        s_pad = next_pow2(max(8, max(n_new_list)))
 
-            positions, slot_map = prepare_prefill(
-                bt[0], cached, n_new, self.block_size, s_pad
+        input_ids = np.zeros((B_pad, s_pad), dtype=np.int32)
+        positions = np.zeros((B_pad, s_pad), dtype=np.int32)
+        slot_map = np.full((B_pad, s_pad), -1, dtype=np.int32)
+        context_lens = np.ones(B_pad, dtype=np.int32)
+        qeff = np.ones(B_pad, dtype=np.int32)
+        temps = np.ones(B_pad, dtype=np.float32)
+        bt = np.full((B_pad, self.max_blocks), -1, dtype=np.int32)
+        bt[:B] = self._block_table_array(seqs, draft)
+        for i, seq in enumerate(seqs):
+            cached, n_new = cached_list[i], n_new_list[i]
+            input_ids[i, :n_new] = seq.token_ids[cached:]
+            positions[i], slot_map[i] = prepare_prefill(
+                bt[i], cached, n_new, self.block_size, s_pad
             )
-            ctx_pad = self._ctx_bucket(seq.num_tokens)
+            context_lens[i] = seq.num_tokens
+            qeff[i] = n_new
+            temps[i] = seq.temperature
 
-            logits, acts, self.kv_cache = prefill_step(
-                self.params, self.kv_cache,
-                jnp.asarray(input_ids), jnp.asarray(positions), jnp.asarray(slot_map),
-                jnp.asarray(bt), jnp.int32(seq.num_tokens), jnp.int32(n_new),
-                arch=self.arch, block_size=self.block_size,
-                ctx_pad=ctx_pad, num_new_pad=s_pad, use_pallas=self.use_pallas,
-                eagle_layers=self.eagle_layers,
-            )
-            logits_rows.append(logits)
-            if return_acts and acts is not None:
-                acts_rows.append(np.asarray(acts[:n_new]))
-
-        stacked = jnp.stack(logits_rows)
-        temps = jnp.asarray([s.temperature for s in seqs], dtype=jnp.float32)
+        ctx_pad = self._ctx_bucket(int(context_lens.max()))
         self.key, sub = jax.random.split(self.key)
-        tokens = sample_tokens(stacked, temps, sub)
+        tokens, _, acts, self.kv_cache = batched_prefill_step(
+            self.params, self.kv_cache,
+            jnp.asarray(input_ids.reshape(-1)), jnp.asarray(positions.reshape(-1)),
+            jnp.asarray(slot_map.reshape(-1)), jnp.asarray(bt),
+            jnp.asarray(context_lens), jnp.asarray(qeff), jnp.asarray(temps), sub,
+            arch=self.arch, block_size=self.block_size,
+            ctx_pad=ctx_pad, s_pad=s_pad, use_pallas=self.use_pallas,
+            eagle_layers=self.eagle_layers,
+        )
+        token_list = np.asarray(tokens)[:B].tolist()
         if return_acts:
-            return np.asarray(tokens).tolist(), acts_rows
-        return np.asarray(tokens).tolist()
+            acts_np = np.asarray(acts).reshape(B_pad, s_pad, -1)
+            acts_rows = [acts_np[i, : n_new_list[i]] for i in range(B)]
+            return token_list, acts_rows
+        return token_list
 
     def _prepare_multi_query(self, seqs: list[Sequence], q_len: int, draft: bool):
         """Tensorise a uniform q_len-per-seq decode batch, padded to a pow-2
