@@ -157,10 +157,19 @@ def paged_attention(
                 (1, 1, TQ, hd),
                 lambda b, h, t, p, bt, ctx, qe: (b, h, t, 0),
             ),
+            # Pages past a sequence's true length clamp to its last real page:
+            # Pallas skips the DMA when the block index repeats across grid
+            # steps, so ctx_pad overscan costs ~nothing (the mask already
+            # zeroes those positions).
             pl.BlockSpec(
                 (2, 1, block_size, hd),
                 lambda b, h, t, p, bt, ctx, qe: (
-                    0, h, jnp.maximum(bt[b, p], 0), 0
+                    0, h,
+                    jnp.maximum(
+                        bt[b, jnp.minimum(p, jnp.maximum(ctx[b] - 1, 0) // block_size)],
+                        0,
+                    ),
+                    0,
                 ),
             ),
         ],
@@ -301,10 +310,17 @@ def tree_attention(
                 (1, 1, MQ * G, hd),
                 lambda b, h, t, p, bt, ctx, st: (b, h, 0, 0),
             ),
+            # Same page-clamp trick as paged_attention: repeated block index
+            # -> DMA skipped for pages past the true context.
             pl.BlockSpec(
                 (2, 1, block_size, hd),
                 lambda b, h, t, p, bt, ctx, st: (
-                    0, h, jnp.maximum(bt[b, p], 0), 0
+                    0, h,
+                    jnp.maximum(
+                        bt[b, jnp.minimum(p, jnp.maximum(ctx[b] - 1, 0) // block_size)],
+                        0,
+                    ),
+                    0,
                 ),
             ),
         ],
