@@ -120,6 +120,12 @@ class LLMEngine:
 
         self.scheduler = Scheduler(config, draft_cfg=self.draft_cfg)
         self._exiting = False
+        # Best-effort teardown of the draft controller on interpreter exit
+        # (reference llm_engine.py:124 atexit hook).
+        import atexit
+        import weakref
+
+        atexit.register(lambda ref=weakref.ref(self): ref() and ref().exit())
 
     def warmup(self):
         """Pre-compile all decode-side shape buckets (call once before

@@ -25,7 +25,8 @@ class Sequence:
 
     _ATTRIBUTES = [
         "seq_id", "status", "token_ids", "last_token", "num_tokens",
-        "num_prompt_tokens", "num_cached_tokens", "block_table",
+        "num_prompt_tokens", "orig_num_prompt_tokens", "num_cached_tokens",
+        "block_table",
         "last_spec_step_accepted_len", "draft_block_table",
         "num_draft_cached_tokens", "temperature", "draft_temperature",
         "max_new_tokens", "ignore_eos", "recovery_token_id",
@@ -40,7 +41,14 @@ class Sequence:
         self.token_ids = list(token_ids)
         self.last_token = token_ids[-1]
         self.num_tokens = len(self.token_ids)
+        # num_prompt_tokens is the scheduler's re-prefill boundary and moves
+        # on preemption (completions are absorbed as "new prompt", reference
+        # scheduler.py:141); orig_num_prompt_tokens is the REQUEST's prompt
+        # boundary and never moves, so outputs and max_new_tokens accounting
+        # survive preemption (the reference silently drops pre-preemption
+        # completions and over-generates).
         self.num_prompt_tokens = len(token_ids)
+        self.orig_num_prompt_tokens = len(token_ids)
         self.num_cached_tokens = 0
         self.block_table: list[int] = []
         # -1 on the first request forces a draft tree-cache miss.
@@ -73,15 +81,15 @@ class Sequence:
 
     @property
     def num_completion_tokens(self):
-        return self.num_tokens - self.num_prompt_tokens
+        return self.num_tokens - self.orig_num_prompt_tokens
 
     @property
     def prompt_token_ids(self):
-        return self.token_ids[: self.num_prompt_tokens]
+        return self.token_ids[: self.orig_num_prompt_tokens]
 
     @property
     def completion_token_ids(self):
-        return self.token_ids[self.num_prompt_tokens:]
+        return self.token_ids[self.orig_num_prompt_tokens:]
 
     @property
     def num_cached_blocks(self):
