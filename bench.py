@@ -54,6 +54,9 @@ def main():
         max_num_batched_tokens=4096,
         max_num_seqs=batch,
         kvcache_block_size=64,
+        # Size the pool to the workload: bigger pools cost per-dispatch time
+        # on runtimes that copy donated buffers (see memory notes).
+        num_kvcache_blocks=max(64, 40 * batch),
         multi_step=multi_step,
         ctx_bucket_policy="single",
     )

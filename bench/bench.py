@@ -65,6 +65,8 @@ def parse_arguments():
     p.add_argument("--x", type=float, default=None, help="sampler_x coefficient")
 
     # Datasets
+    p.add_argument("--example", action="store_true",
+                   help="use a few real chat prompts and print the generations")
     p.add_argument("--humaneval", action="store_true")
     p.add_argument("--alpaca", action="store_true")
     p.add_argument("--c4", action="store_true")
@@ -168,7 +170,28 @@ def main():
     else:
         model_name, model_path, draft_path = get_model_paths(args)
 
-    prompts = generate_benchmark_inputs(args, model_path)
+    if args.example:
+        texts = [
+            "Explain the Chudnovsky algorithm to compute pi.",
+            "Write a haiku about paged attention.",
+            "List three ways to overlap communication with compute on TPUs.",
+        ][: min(args.numseqs, 8)]
+        try:
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(model_path)
+            prompts = [
+                tok.apply_chat_template(
+                    [{"role": "user", "content": t}], add_generation_prompt=True
+                )
+                for t in texts
+            ]
+        except Exception:
+            print("Warning: no tokenizer; --example falling back to random ids",
+                  flush=True)
+            prompts = generate_benchmark_inputs(args, model_path)[: len(texts)]
+    else:
+        prompts = generate_benchmark_inputs(args, model_path)
     num_reqs = len(prompts)
 
     llm = LLM(model_path, **create_llm_kwargs(args, draft_path))
@@ -201,6 +224,9 @@ def main():
               flush=True)
         print(f"Total: {total_tokens} tokens in {total_time:.2f}s "
               f"= {tput:.1f} tok/s end-to-end", flush=True)
+        if args.example:
+            for o in outputs:
+                print(f"\n--- {o['text'][:400]}", flush=True)
         log_wandb(args, run_name, metrics, total_tokens, total_time, tput)
 
     llm.exit()
