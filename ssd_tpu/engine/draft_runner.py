@@ -43,7 +43,12 @@ import jax
 import jax.numpy as jnp
 
 from ssd_tpu.config import Config
-from ssd_tpu.engine.model_runner import ModelRunner, chain_decode_step, next_pow2
+from ssd_tpu.engine.model_runner import (
+    ModelRunner,
+    chain_decode_step,
+    next_pow2,
+    slot_of,
+)
 from ssd_tpu.models.transformer import Arch, compute_logits, forward_hidden
 from ssd_tpu.ops import attention as att
 from ssd_tpu.ops.sampler import sample
@@ -100,17 +105,10 @@ def tree_build_program(
     Kp1 = K + 1
     scale = arch.head_dim ** -0.5
 
-    def slot_of(positions_flat, b_of_row):
-        """Flat cache slot for each (row, position); -1 where table is -1."""
-        blk = positions_flat // block_size
-        blk_ids = block_tables[b_of_row, blk]
-        slot = blk_ids * block_size + positions_flat % block_size
-        return jnp.where(blk_ids < 0, -1, slot).astype(jnp.int32)
-
     # ---- glue decode: one K+1 multi-query forward per sequence ----
     b_glue = jnp.repeat(jnp.arange(B), Kp1)
     glue_positions = (base_positions[:, None] + jnp.arange(Kp1)[None, :]).reshape(-1)
-    glue_slots = slot_of(glue_positions, b_glue)
+    glue_slots = slot_of(block_tables, glue_positions, b_glue, block_size)
     glue_ctx = base_positions + Kp1  # attends [0, base+i] for query i
 
     def glue_attn(q, k, v, kv_layer):
@@ -159,7 +157,7 @@ def tree_build_program(
         kv, tok = carry
         rope_pos = base_n + fan_n + 1 + s
         write_pos = base_n + Kp1 + s * MQ_LEN + r_flat
-        slots = slot_of(write_pos, b_flat)
+        slots = slot_of(block_tables, write_pos, b_flat, block_size)
         ctx = base_positions + Kp1 + (s + 1) * MQ_LEN   # [B]
 
         def attn(q, k, v, kv_layer):

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ssd_tpu.config import Config
 from ssd_tpu.engine.draft_runner import DraftRunner, SpecRequest
-from ssd_tpu.engine.model_runner import next_pow2
+from ssd_tpu.engine.model_runner import next_pow2, slot_of
 from ssd_tpu.models.eagle3 import (
     EagleArch,
     eagle_forward,
@@ -41,13 +41,6 @@ from ssd_tpu.models.eagle3 import (
 from ssd_tpu.ops import attention as att
 from ssd_tpu.ops.sampler import sample
 from ssd_tpu.ops.spec_math import fan_index, get_forked_recovery_tokens
-
-
-def _slot_of(block_tables, positions_flat, b_of_row, block_size):
-    blk = positions_flat // block_size
-    blk_ids = block_tables[b_of_row, blk]
-    slot = blk_ids * block_size + positions_flat % block_size
-    return jnp.where(blk_ids < 0, -1, slot).astype(jnp.int32)
 
 
 def _paged_attn(q4, kv_layer, block_tables, ctx, qeff, block_size, ctx_pad,
@@ -139,7 +132,7 @@ def eagle_chain_program(
         kv, tok, cond = carry
         positions = base_positions + i
         ctx = base_positions + 1 + i
-        slots = _slot_of(block_tables, positions, b_idx, block_size)
+        slots = slot_of(block_tables, positions, b_idx, block_size)
 
         def attn_call(q, k, v, kv_layer):
             kv_layer = att.store_kv(kv_layer, k, v, slots)
@@ -216,7 +209,7 @@ def eagle_tree_build_program(
     b_glue = jnp.repeat(jnp.arange(B), W)
     j = jnp.tile(jnp.arange(W), B)
     positions = (base_positions - n_ext)[b_glue] + j        # [B*W]
-    slots = _slot_of(block_tables, positions, b_glue, block_size)
+    slots = slot_of(block_tables, positions, b_glue, block_size)
     slots = jnp.where(j < qeff[b_glue], slots, -1)          # ghost pad rows
     glue_ctx = base_positions + 1 + K                       # [B]
 
@@ -272,7 +265,7 @@ def eagle_tree_build_program(
         kv, tok, tcond = carry
         rope_pos = base_n + fan_n + 1 + s
         write_pos = base_n + Kp1 + s * MQ_LEN + r_flat
-        slots_s = _slot_of(block_tables, write_pos, b_flat, block_size)
+        slots_s = slot_of(block_tables, write_pos, b_flat, block_size)
         ctx = base_positions + Kp1 + (s + 1) * MQ_LEN
 
         def attn(q, k, v, kv_layer):

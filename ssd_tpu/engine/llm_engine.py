@@ -166,6 +166,18 @@ class LLMEngine:
         if isinstance(prompt, str):
             assert self.tokenizer is not None, "string prompts need a tokenizer"
             prompt = self.tokenizer.encode(prompt)
+        if not prompt:
+            raise ValueError("empty prompt")
+        if len(prompt) >= self.config.max_model_len:
+            raise ValueError(
+                f"prompt length {len(prompt)} leaves no room for generation "
+                f"(max_model_len={self.config.max_model_len})"
+            )
+        if len(prompt) > self.config.max_num_batched_tokens:
+            raise ValueError(
+                f"prompt length {len(prompt)} exceeds max_num_batched_tokens="
+                f"{self.config.max_num_batched_tokens}"
+            )
         self.scheduler.add(Sequence(prompt, sampling_params))
 
     def step(self, step: InferenceStep | None = None):
@@ -185,10 +197,10 @@ class LLMEngine:
             METRICS["decode_total_time"] += time_taken
             METRICS["decode_total_tokens"] += ttl_tokens
 
-        return [
-            (seq.seq_id, seq.completion_token_ids)
-            for seq in seqs if seq.is_finished
-        ]
+        finished = [seq for seq in seqs if seq.is_finished]
+        finished.extend(self.scheduler.newly_finished)
+        self.scheduler.newly_finished = []
+        return [(seq.seq_id, seq.completion_token_ids) for seq in finished]
 
     def is_finished(self):
         return self.scheduler.is_finished()

@@ -40,6 +40,15 @@ def next_pow2(n: int) -> int:
     return p
 
 
+def slot_of(block_tables, positions_flat, b_of_row, block_size: int):
+    """Flat cache slot for each (row, position); -1 where the table entry is
+    -1 (ghost rows / padding). Shared by the chain, tree, and EAGLE programs."""
+    blk = positions_flat // block_size
+    blk_ids = block_tables[b_of_row, blk]
+    slot = blk_ids * block_size + positions_flat % block_size
+    return jnp.where(blk_ids < 0, -1, slot).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # Jitted step programs (module-level so jax.jit caches across runner calls)
 # ---------------------------------------------------------------------------
@@ -208,18 +217,10 @@ def chain_decode_step(
         kv, tok = carry
         positions = start_positions + i
         context_lens = start_context_lens + i
-        blk = positions // block_size
-        slot_map = (
-            jnp.take_along_axis(block_tables, blk[:, None], axis=1)[:, 0]
-            * block_size + positions % block_size
-        )
-        slot_map = jnp.where(
-            jnp.take_along_axis(block_tables, blk[:, None], axis=1)[:, 0] < 0,
-            -1, slot_map,
-        )
+        slot_map = slot_of(block_tables, positions, jnp.arange(B), block_size)
 
         def attn_call(q, k, v, kv_layer):
-            kv_layer = att.store_kv(kv_layer, k, v, slot_map.astype(jnp.int32))
+            kv_layer = att.store_kv(kv_layer, k, v, slot_map)
             qr = q.reshape(B, 1, arch.num_heads, arch.head_dim)
             if use_pallas:
                 from ssd_tpu.ops import pallas_attention as patt
@@ -331,7 +332,10 @@ class ModelRunner:
             * jnp.dtype(self.dtype).itemsize
         )
         try:
-            stats = jax.local_devices()[0].memory_stats()
+            # Size from THIS runner's device (the pinned draft chip differs
+            # from the target's device 0).
+            dev = self.device if self.device is not None else jax.local_devices()[0]
+            stats = dev.memory_stats()
             limit = stats["bytes_limit"] * self.config.hbm_memory_utilization
             avail = int(limit) - stats["bytes_in_use"]
         except Exception:
@@ -395,6 +399,9 @@ class ModelRunner:
                 # The draft needs conditioning acts for EVERY prompt token;
                 # recompute prefix-cached spans (KV rewrite is idempotent).
                 cached = 0
+            # Fully prefix-cached prompt: recompute the last token so real
+            # last-token logits exist to sample the first output from.
+            cached = min(cached, seq.num_tokens - 1)
             cached_list.append(cached)
             n_new_list.append(seq.num_tokens - cached)
         s_pad = next_pow2(max(8, max(n_new_list)))

@@ -59,6 +59,9 @@ class Scheduler:
 
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
+        # Sequences finished during schedule() (context-limit boundary);
+        # drained by the engine so their outputs are still reported.
+        self.newly_finished: list[Sequence] = []
 
     def is_finished(self) -> bool:
         return not self.waiting and not self.running
@@ -121,8 +124,16 @@ class Scheduler:
             target_lookahead_len = 1
             draft_lookahead_len = None
 
+        max_lookahead = max(target_lookahead_len, draft_lookahead_len or 0)
         while self.running and num_seqs_decoded < self.max_num_seqs:
             seq = self.running.popleft()
+            if seq.num_tokens + max_lookahead > self.max_model_len:
+                # Within lookahead of the context limit: no step of this mode
+                # can ever run, so finish gracefully at the boundary instead
+                # of preempt-looping forever (the reference livelocks here).
+                self._finish(seq, remove_running=False)
+                self.newly_finished.append(seq)
+                continue
             if not self.speculate and self.multi_step > 1:
                 target_lookahead_len = max(
                     1, min(self.multi_step, self.max_model_len - seq.num_tokens)
@@ -141,7 +152,25 @@ class Scheduler:
                 scheduled_seqs.append(seq)
 
         self.running.extendleft(reversed(scheduled_seqs))
+        if not scheduled_seqs and not self.running and self.waiting:
+            # Nothing schedulable and the pool is idle: the head request can
+            # never be served (needs more blocks than exist). Fail loudly
+            # instead of spinning.
+            head = self.waiting[0]
+            if not self.bms_can_allocate(head) and not self.block_manager.used_block_ids:
+                raise RuntimeError(
+                    f"request seq {head.seq_id} needs {head.num_blocks} KV "
+                    f"blocks but only {self.block_manager.num_free} exist"
+                )
         return scheduled_seqs, False
+
+    def _finish(self, seq: Sequence, remove_running: bool = True):
+        seq.status = SequenceStatus.FINISHED
+        self.block_manager.deallocate(seq)
+        if self.speculate:
+            self.draft_block_manager.deallocate(seq)
+        if remove_running:
+            self.running.remove(seq)
 
     def preempt(self, seq: Sequence):
         seq.status = SequenceStatus.WAITING
@@ -165,12 +194,12 @@ class Scheduler:
                 seq.num_cached_tokens = seq.num_prompt_tokens
             else:
                 seq.num_cached_tokens += 1
-            if (not seq.ignore_eos and token_id == self.eos) or (
-                seq.num_completion_tokens == seq.max_new_tokens
+            if (
+                (not seq.ignore_eos and token_id == self.eos)
+                or seq.num_completion_tokens == seq.max_new_tokens
+                or seq.num_tokens >= self.max_model_len
             ):
-                seq.status = SequenceStatus.FINISHED
-                self.block_manager.deallocate(seq)
-                self.running.remove(seq)
+                self._finish(seq)
             else:
                 # If a block just completed, hash it into the prefix cache.
                 block_table = seq.block_table
@@ -194,26 +223,18 @@ class Scheduler:
         for seq, suffix in zip(seqs, suffixes):
             new_suffix, finished = self._handle_eos_and_max_new_tokens(seq, suffix)
             n = len(new_suffix)
-            required = (seq.num_tokens + n + self.block_size - 1) // self.block_size
-            if len(seq.block_table) > required:
-                excess = len(seq.block_table) - required
-                self.block_manager.deallocate_ids(seq.block_table[-excess:])
-                seq.block_table = seq.block_table[:-excess]
+            self._rollback_table(self.block_manager, seq, "block_table",
+                                 seq.num_tokens + n)
 
             seq.token_ids.extend(new_suffix)
             seq.num_tokens += n
             seq.last_token = new_suffix[-1]
             seq.num_cached_tokens += n
 
-            for i in range(len(seq.block_table)):
-                if (i + 1) * self.block_size <= seq.num_tokens:
-                    if self.block_manager.blocks[seq.block_table[i]].hash == -1:
-                        self._finalize_block(self.block_manager, seq, seq.block_table, i)
+            self._finalize_full_blocks(self.block_manager, seq, seq.block_table)
 
             if finished:
-                seq.status = SequenceStatus.FINISHED
-                self.block_manager.deallocate(seq)
-                self.running.remove(seq)
+                self._finish(seq)
 
     # --- speculative postprocess helpers ---
     def _handle_eos_and_max_new_tokens(
@@ -237,21 +258,21 @@ class Scheduler:
         assert seq.num_completion_tokens <= seq.max_new_tokens
         return new_suffix, finished
 
+    def _rollback_table(self, bm: BlockManager, seq: Sequence, table_name: str,
+                        final_num_tokens: int):
+        """Free blocks allocated beyond what final_num_tokens needs."""
+        required = (final_num_tokens + self.block_size - 1) // self.block_size
+        table = getattr(seq, table_name)
+        if len(table) > required:
+            excess = len(table) - required
+            bm.deallocate_ids(table[-excess:])
+            setattr(seq, table_name, table[:-excess])
+
     def _update_kv_caches(self, seq: Sequence, new_suffix: list[int]):
         """Roll back KV blocks over-allocated during speculation."""
-        required_blocks = (
-            seq.num_tokens + len(new_suffix) + self.block_size - 1
-        ) // self.block_size
-
-        for bm, table_name in (
-            (self.block_manager, "block_table"),
-            (self.draft_block_manager, "draft_block_table"),
-        ):
-            table = getattr(seq, table_name)
-            if len(table) > required_blocks:
-                excess = len(table) - required_blocks
-                bm.deallocate_ids(table[-excess:])
-                setattr(seq, table_name, table[:-excess])
+        final = seq.num_tokens + len(new_suffix)
+        self._rollback_table(self.block_manager, seq, "block_table", final)
+        self._rollback_table(self.draft_block_manager, seq, "draft_block_table", final)
 
     def _finalize_block(self, bm: BlockManager, seq: Sequence, block_table: list[int], i: int):
         """Chain-hash completed block i into the prefix cache."""
@@ -261,6 +282,13 @@ class Scheduler:
         blk = bm.blocks[block_table[i]]
         blk.update(h, ids)
         bm.hash_to_block_id[h] = blk.block_id
+
+    def _finalize_full_blocks(self, bm: BlockManager, seq: Sequence, block_table: list[int]):
+        """Hash every token-complete block that is not yet in the prefix cache."""
+        for i in range(len(block_table)):
+            if (i + 1) * self.block_size <= seq.num_tokens:
+                if bm.blocks[block_table[i]].hash == -1:
+                    self._finalize_block(bm, seq, block_table, i)
 
     def _update_sequence_metadata(self, seq: Sequence, new_suffix: list[int], recovery_token: int):
         n = len(new_suffix)
@@ -276,13 +304,8 @@ class Scheduler:
         assert seq.last_block_num_tokens == seq.last_block_num_tokens_draft
         assert seq.block_table and seq.draft_block_table
 
-        new_total = seq.num_tokens
-        for i in range(len(seq.block_table)):
-            if (i + 1) * self.block_size <= new_total:
-                if self.block_manager.blocks[seq.block_table[i]].hash == -1:
-                    self._finalize_block(self.block_manager, seq, seq.block_table, i)
-                if self.draft_block_manager.blocks[seq.draft_block_table[i]].hash == -1:
-                    self._finalize_block(self.draft_block_manager, seq, seq.draft_block_table, i)
+        self._finalize_full_blocks(self.block_manager, seq, seq.block_table)
+        self._finalize_full_blocks(self.draft_block_manager, seq, seq.draft_block_table)
 
     def postprocess_speculate(
         self,
@@ -312,7 +335,4 @@ class Scheduler:
                     seq.extend_token_ids = None
 
             if finished:
-                seq.status = SequenceStatus.FINISHED
-                self.block_manager.deallocate(seq)
-                self.draft_block_manager.deallocate(seq)
-                self.running.remove(seq)
+                self._finish(seq)

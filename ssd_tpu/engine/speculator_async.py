@@ -110,7 +110,6 @@ class SpeculatorAsync(SpeculatorBase):
         for i, seq in enumerate(seqs):
             for t in resp.tokens[i].tolist():
                 seq.append_token(int(t))
-            seq.num_draft_cached_tokens += K + 1
 
         return SpeculateResult(
             speculations=speculations,

@@ -41,8 +41,6 @@ class SpeculatorSync(SpeculatorBase):
         for i, seq in enumerate(seqs):
             for t in tokens[i].tolist():
                 seq.append_token(int(t))
-            # K+1 forwards each wrote one draft-cache position.
-            seq.num_draft_cached_tokens += K + 1
 
         speculations = np.concatenate(
             [np.asarray(recovery, dtype=np.int64)[:, None], tokens.astype(np.int64)],

@@ -47,6 +47,8 @@ class AutoRegressiveStep(InferenceStep):
         return self.step(seqs, is_prefill=True)
 
     def decode(self, seqs: list[Sequence]) -> int:
+        if not seqs:
+            return 0  # everything preempted this step; next step re-prefills
         # Multi-step: M sampled tokens per dispatch as one lax.scan chain;
         # EOS/max-len overshoot is truncated and rolled back by the
         # scheduler, like a rejected speculation.
@@ -90,13 +92,12 @@ class SpecDecodeStep(InferenceStep):
         return sum(len(s) for s in seqs)
 
     def decode(self, seqs: list[Sequence]) -> int:
-        # Save lightweight state; speculate()/verify() mutate token bookkeeping
-        # that postprocess_speculate needs in original form (step.py:97-101).
-        saved = [
-            (len(s.token_ids), s.num_tokens, s.last_token,
-             s.num_draft_cached_tokens, s.num_cached_tokens)
-            for s in seqs
-        ]
+        if not seqs:
+            return 0  # everything preempted this step; next step re-prefills
+        # Save lightweight state; speculate() appends the recovery + draft
+        # tokens, which postprocess_speculate needs in original form
+        # (step.py:97-101).
+        saved = [(len(s.token_ids), s.num_tokens, s.last_token) for s in seqs]
 
         # SSD_PROFILE=1: per-phase breakdown (reference step.py:92,155-161).
         prof = os.environ.get("SSD_PROFILE", "0") == "1"
@@ -108,12 +109,10 @@ class SpecDecodeStep(InferenceStep):
         out_result = self.verifier.verify(seqs, speculate_result, eagle=self.eagle)
         t2 = perf_counter()
 
-        for seq, (n_tok, nt, lt, ndc, nct) in zip(seqs, saved):
+        for seq, (n_tok, nt, lt) in zip(seqs, saved):
             del seq.token_ids[n_tok:]
             seq.num_tokens = nt
             seq.last_token = lt
-            seq.num_draft_cached_tokens = ndc
-            seq.num_cached_tokens = nct
 
         self.scheduler.postprocess_speculate(
             seqs,

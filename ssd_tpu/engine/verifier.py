@@ -78,9 +78,6 @@ class Verifier(VerifierBase):
                 seqs, q_len=K + 1, return_logits=True
             )  # [B, K+1, V] device array
 
-        for s in seqs:
-            s.num_cached_tokens += K + 1
-
         temps_t = np.asarray([s.temperature for s in seqs], dtype=np.float32)
         temps_q = np.asarray(
             [

@@ -1,0 +1,91 @@
+"""Regression tests for review findings: fully-cached prompts, context-limit
+boundary termination, and request validation."""
+
+import numpy as np
+import pytest
+
+from ssd_tpu import SamplingParams
+from ssd_tpu.llm import LLM
+from tests.utils_models import hf_greedy, make_tiny_llama, random_prompt, rng
+
+
+@pytest.fixture(scope="module")
+def target_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_target")
+    make_tiny_llama(d, seed=0)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def draft_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_draft")
+    make_tiny_llama(d, layers=1, hidden=32, intermediate=64, heads=4, kv_heads=2, seed=7)
+    return str(d)
+
+
+def test_fully_prefix_cached_prompt_token_exact(target_dir):
+    """A prompt whose length is an exact block multiple is fully prefix-cached
+    on re-submission; the first sampled token must still come from real
+    last-token logits (the qeff=0 ghost-row bug)."""
+    engine = LLM(
+        target_dir, dtype="float32", max_model_len=256,
+        max_num_batched_tokens=1024, kvcache_block_size=16,
+        num_kvcache_blocks=64, max_num_seqs=2,
+    )
+    prompt = random_prompt(rng(900), 32, 33)  # len 32 = 2 full blocks
+    assert len(prompt) % 16 == 0
+    want = hf_greedy(target_dir, prompt, 16)
+    sp = SamplingParams(temperature=0.0, max_new_tokens=16, ignore_eos=True)
+    out1, _ = engine.generate([list(prompt)], sp, use_tqdm=False)
+    out2, _ = engine.generate([list(prompt)], sp, use_tqdm=False)  # cached hit
+    assert out1[0]["token_ids"] == want
+    assert out2[0]["token_ids"] == want
+
+
+def test_spec_context_boundary_terminates(target_dir, draft_dir):
+    """Async SSD with max_new_tokens reaching into the megaspec-lookahead dead
+    zone near max_model_len must terminate with a truncated completion, not
+    livelock (the reference preempt-loops forever here)."""
+    engine = LLM(
+        target_dir, draft=draft_dir, speculate=True, draft_async=True,
+        speculate_k=2, async_fan_out=2, dtype="float32",
+        max_model_len=64,  # megaspec lookahead = 3 + 2*6 = 15 -> dead zone
+        max_num_batched_tokens=1024, kvcache_block_size=16,
+        num_kvcache_blocks=96, max_num_seqs=2, max_steps=200,
+    )
+    prompt = random_prompt(rng(901), 20, 24)
+    outs, _ = engine.generate(
+        [list(prompt)],
+        SamplingParams(temperature=0.0, max_new_tokens=60, ignore_eos=True),
+        use_tqdm=False,
+    )
+    engine.exit()
+    got = outs[0]["token_ids"]
+    assert 1 <= len(got) < 60  # truncated at the boundary, not hung
+    want = hf_greedy(target_dir, prompt, len(got))
+    assert got == want  # the tokens it did produce are exact
+
+
+def test_oversized_prompt_rejected(target_dir):
+    engine = LLM(
+        target_dir, dtype="float32", max_model_len=64,
+        max_num_batched_tokens=1024, kvcache_block_size=16,
+        num_kvcache_blocks=32, max_num_seqs=2,
+    )
+    with pytest.raises(ValueError, match="no room"):
+        engine.add_request(list(range(3, 70)), SamplingParams(max_new_tokens=4))
+    with pytest.raises(ValueError, match="empty"):
+        engine.add_request([], SamplingParams(max_new_tokens=4))
+
+
+def test_unserveable_request_raises(target_dir):
+    """A prompt needing more KV blocks than exist must raise, not spin."""
+    engine = LLM(
+        target_dir, dtype="float32", max_model_len=256,
+        max_num_batched_tokens=1024, kvcache_block_size=16,
+        num_kvcache_blocks=2, max_num_seqs=1,  # 32 slots total
+    )
+    engine.add_request(list(range(3, 60)), SamplingParams(max_new_tokens=4))
+    with pytest.raises(RuntimeError, match="KV"):
+        for _ in range(50):
+            engine.step()
