@@ -55,3 +55,24 @@ def test_qwen3_sync_sd_greedy_token_exact(qwen_dir, qwen_draft_dir):
     )
     assert outs[0]["token_ids"] == want
     assert metrics["accepted_suffix_lens_with_recovery"]
+
+
+def test_qwen3_async_ssd_greedy_token_exact(qwen_dir, qwen_draft_dir):
+    """Reference flagship Qwen config (--qwen --size 32 --spec --async with a
+    0.6B draft) at tiny scale: async SSD must stay greedy token-exact."""
+    engine = LLM(
+        qwen_dir, draft=qwen_draft_dir, speculate=True, draft_async=True,
+        speculate_k=3, async_fan_out=2, dtype="float32", max_model_len=256,
+        max_num_batched_tokens=1024, kvcache_block_size=16,
+        num_kvcache_blocks=96, max_num_seqs=2,
+    )
+    prompt = random_prompt(rng(25), 8, 24)
+    want = hf_greedy(qwen_dir, prompt, 32)
+    outs, metrics = engine.generate(
+        [list(prompt)],
+        SamplingParams(temperature=0.0, max_new_tokens=32, ignore_eos=True),
+        use_tqdm=False,
+    )
+    engine.exit()
+    assert outs[0]["token_ids"] == want
+    assert metrics["cache_hits"]

@@ -1,0 +1,95 @@
+"""Multi-host (multi-process) validation: the decode step runs as a
+multi-controller SPMD program over a global ("dcn", "tp") mesh spanning two
+processes — the topology the 70B target uses across hosts (SURVEY §7.2 step
+8; the reference is hard-capped to one node, config.py:55).
+
+Each worker initialises jax.distributed (Gloo over localhost), shards the
+parameters over the global tp axis, runs one paged decode step, and prints
+the sampled tokens; they must match a single-process run bit-for-bit."""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+WORKER = textwrap.dedent("""
+    import os, sys
+    mode, port, local_devices = sys.argv[1], sys.argv[2], sys.argv[3]
+    pid = int(sys.argv[4])
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}"
+    )
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    if mode == "dist":
+        jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                                   num_processes=2, process_id=pid)
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ssd_tpu.config import ModelConfig
+    from ssd_tpu.engine.model_runner import decode_step
+    from ssd_tpu.models.transformer import Arch, init_params
+    from ssd_tpu.parallel.mesh import shard_params
+
+    mc = ModelConfig(model_type="llama", vocab_size=256, hidden_size=64,
+                     intermediate_size=128, num_hidden_layers=2,
+                     num_attention_heads=4, num_key_value_heads=2,
+                     max_position_embeddings=256, rope_theta=10000.0)
+    arch = Arch.from_model_config(mc)
+    assert jax.device_count() == 4, jax.device_count()
+    # Global mesh: hosts on the outer dcn axis, tp within each host; params
+    # shard over tp (per ssd_tpu.parallel.mesh specs), replicate over dcn.
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 2), ("dcn", "tp"))
+    params = shard_params(init_params(arch, jax.random.PRNGKey(0), jnp.float32), mesh)
+    rep = NamedSharding(mesh, P())
+    kv = jnp.zeros((2, 2, 2, 512, 16), jnp.float32, device=rep)
+    put = lambda x: jax.device_put(jnp.asarray(x), rep)
+    tokens, logits, _, kv = decode_step(
+        params, kv,
+        put(np.array([7, 9], np.int32)), put(np.array([3, 3], np.int32)),
+        put(np.array([3, 16 + 3], np.int32)),
+        put(np.pad(np.array([[0], [1]], np.int32), ((0, 0), (0, 7)),
+                   constant_values=-1)),
+        put(np.array([4, 4], np.int32)), put(np.zeros(2, np.float32)),
+        jax.random.PRNGKey(1),
+        arch=arch, block_size=16, ctx_pad=64, q_len=1,
+    )
+    print("TOKENS", list(np.asarray(tokens)), flush=True)
+""")
+
+
+def _tokens_line(text: str) -> str:
+    return [l for l in text.splitlines() if l.startswith("TOKENS")][0]
+
+
+@pytest.mark.skipif(os.environ.get("SSD_SKIP_MULTIHOST") == "1",
+                    reason="multihost disabled")
+def test_two_process_dcn_tp_decode_matches_single_process():
+    port = str(29500 + os.getpid() % 500)
+
+    ref = subprocess.run(
+        [sys.executable, "-c", WORKER, "single", port, "4", "0"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo",
+    )
+    assert ref.returncode == 0, ref.stdout + ref.stderr
+    want = _tokens_line(ref.stdout)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, "dist", port, "2", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd="/root/repo",
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        assert p.returncode == 0, out[-2000:]
+        outs.append(out)
+    got = _tokens_line(outs[0])
+    assert got == want, f"{got} != {want}"
