@@ -151,3 +151,40 @@ def test_acceptance_rate_statistics():
     )
     acc, _ = run_verify(logits, logits[:, :K], specs, [1.0] * B, [1.0] * B, hits=[1] * B)
     assert np.all(acc == K)
+
+
+def test_output_distribution_equals_target():
+    """The exactness theorem: with draft tokens sampled from q and verify()'s
+    accept/recovery rule, the distribution of the first emitted token equals
+    the target distribution p exactly (rejection-sampling correctness,
+    reference verify.py:51-167)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssd_tpu.ops.verify import verify
+
+    V, K, N = 8, 1, 20000
+    rng_np = np.random.default_rng(0)
+    logits_p = jnp.asarray(rng_np.normal(size=(1, K + 1, V)).astype(np.float32))
+    logits_q = jnp.asarray(rng_np.normal(size=(1, K, V)).astype(np.float32))
+    p = np.asarray(jax.nn.softmax(logits_p[0, 0]))
+    q = np.asarray(jax.nn.softmax(logits_q[0, 0]))
+    temps = jnp.ones(1, jnp.float32)
+    hits = jnp.ones(1, jnp.int64)
+
+    def one_trial(key):
+        k_draft, k_verify = jax.random.split(key)
+        draft_tok = jax.random.categorical(k_draft, logits_q[0, 0])
+        spec = jnp.stack([jnp.int32(0), draft_tok.astype(jnp.int32)])[None, :]
+        accept, recovery = verify(
+            logits_p, logits_q, spec, temps, temps, hits, k_verify
+        )
+        return jnp.where(accept[0] >= 1, draft_tok, recovery[0])
+
+    keys = jax.random.split(jax.random.PRNGKey(42), N)
+    emitted = np.asarray(jax.vmap(one_trial)(keys))
+    emp = np.bincount(emitted, minlength=V) / N
+    tv = 0.5 * np.abs(emp - p).sum()
+    assert tv < 0.02, f"total variation {tv:.4f}: emitted dist != target p"
+    # Sanity: the draft distribution is NOT p (the test would be vacuous).
+    assert 0.5 * np.abs(q - p).sum() > 0.1
