@@ -22,32 +22,32 @@ def main():
     out_len = int(os.environ.get("SSD_BENCH_OUT_LEN", "128"))
     batch = int(os.environ.get("SSD_BENCH_BATCH", "1"))
 
-    # Llama-3.2-1B geometry.
-    model_dir = "/tmp/ssd_bench_model_1b"
+    # Llama-3.2-1B geometry (SSD_BENCH_TINY=1 shrinks it for CPU smokes).
+    tiny = os.environ.get("SSD_BENCH_TINY") == "1"
+    model_dir = "/tmp/ssd_bench_model_tiny" if tiny else "/tmp/ssd_bench_model_1b"
     os.makedirs(model_dir, exist_ok=True)
     with open(os.path.join(model_dir, "config.json"), "w") as f:
         json.dump({
             "model_type": "llama",
-            "vocab_size": 128256,
-            "hidden_size": 2048,
-            "intermediate_size": 8192,
-            "num_hidden_layers": 16,
-            "num_attention_heads": 32,
-            "num_key_value_heads": 8,
-            "head_dim": 64,
+            "vocab_size": 512 if tiny else 128256,
+            "hidden_size": 128 if tiny else 2048,
+            "intermediate_size": 256 if tiny else 8192,
+            "num_hidden_layers": 2 if tiny else 16,
+            "num_attention_heads": 4 if tiny else 32,
+            "num_key_value_heads": 2 if tiny else 8,
+            "head_dim": 32 if tiny else 64,
             "max_position_embeddings": 4096,
             "rms_norm_eps": 1e-5,
             "rope_theta": 500000.0,
             "tie_word_embeddings": True,
-            "eos_token_id": 128001,
+            "eos_token_id": 128001 if not tiny else 2,
         }, f)
 
     from ssd_tpu.llm import LLM
     from ssd_tpu.sampling_params import SamplingParams
 
     multi_step = int(os.environ.get("SSD_BENCH_MULTI_STEP", "16"))
-    engine = LLM(
-        model_dir,
+    kw = dict(
         init_random=True,
         dtype="bfloat16",
         max_model_len=2048,
@@ -57,9 +57,16 @@ def main():
         # Size the pool to the workload: bigger pools cost per-dispatch time
         # on runtimes that copy donated buffers (see memory notes).
         num_kvcache_blocks=max(64, 40 * batch),
-        multi_step=multi_step,
         ctx_bucket_policy="single",
     )
+    if mode in ("sd", "ssd"):
+        # Self-draft speculation: exercises the full spec machinery (chain /
+        # tree / verify) with deterministic full acceptance.
+        kw.update(speculate=True, draft=model_dir, speculate_k=4,
+                  draft_async=(mode == "ssd"), async_fan_out=2)
+    else:
+        kw.update(multi_step=multi_step)
+    engine = LLM(model_dir, **kw)
 
     rng = np.random.default_rng(0)
     prompts = [rng.integers(10, 50000, size=128).tolist() for _ in range(batch)]
@@ -93,11 +100,11 @@ def main():
     if os.path.exists(hist_path):
         try:
             hist = json.load(open(hist_path))
-            prev = hist.get(f"decode_tok_s_{backend}")
+            prev = hist.get(f"decode_tok_s_{backend}_{mode}")
         except Exception:
             hist = {}
     try:
-        hist[f"decode_tok_s_{backend}"] = decode_tps
+        hist[f"decode_tok_s_{backend}_{mode}"] = decode_tps
         json.dump(hist, open(hist_path, "w"))
     except Exception:
         pass

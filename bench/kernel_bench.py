@@ -1,0 +1,101 @@
+"""Kernel roofline bench: achieved HBM bandwidth of the paged-attention
+kernels vs the chip's peak (BASELINE.md gate 3: "speed-of-light per chip").
+
+Small-batch decode attention is bandwidth-bound: per step it must read the
+attended KV (2 * ctx * Hkv * hd * dtype bytes per sequence per layer-call)
+and the query tiles. We time the standalone kernel over many chained
+dispatches with a data readback (block_until_ready is unreliable over
+tunneled runtimes) and report GB/s and % of peak.
+
+  python -m bench.kernel_bench --ctx 2048 --batch 8 --heads 8 --kv-heads 8 \
+      --hd 128 --block 256 --peak-gbs 819
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_arguments():
+    p = argparse.ArgumentParser(description="Paged attention kernel roofline")
+    p.add_argument("--ctx", type=int, default=2048)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--q", type=int, default=1, help="queries per seq (1=decode, K+1=verify)")
+    p.add_argument("--heads", type=int, default=8)
+    p.add_argument("--kv-heads", type=int, default=8)
+    p.add_argument("--hd", type=int, default=128)
+    p.add_argument("--block", type=int, default=256)
+    p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--peak-gbs", type=float, default=819.0,
+                   help="HBM peak GB/s (v5e=819, v5p=2765, v4=1228)")
+    p.add_argument("--impl", choices=["pallas", "jnp", "both"], default="both")
+    return p.parse_args()
+
+
+def run_impl(impl, args):
+    from ssd_tpu.ops import attention as att
+    from ssd_tpu.ops import pallas_attention as patt
+
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    B, Q, Hq, Hkv, hd = args.batch, args.q, args.heads, args.kv_heads, args.hd
+    bs, ctx = args.block, args.ctx
+    M = ctx // bs
+    S = B * ctx + bs
+    rng = np.random.default_rng(0)
+    kv = jnp.asarray(rng.normal(size=(2, Hkv, S, hd)), dt)
+    q = jnp.asarray(rng.normal(size=(B, Q, Hq, hd)), dt)
+    bt = jnp.asarray(
+        rng.permutation(B * M).reshape(B, M).astype(np.int32) + 1
+    )
+    ctx_lens = jnp.full((B,), ctx, jnp.int32)
+    qeff = jnp.full((B,), Q, jnp.int32)
+    scale = hd ** -0.5
+
+    if impl == "pallas":
+        interp = jax.default_backend() != "tpu"  # CPU: interpret mode only
+        fn = jax.jit(lambda qq: patt.paged_attention(
+            qq, kv, bt, ctx_lens, qeff, bs, ctx, scale, interpret=interp))
+    else:
+        fn = jax.jit(lambda qq: att.paged_attention(
+            qq, kv, bt, ctx_lens, bs, ctx, scale))
+
+    np.asarray(fn(q))  # compile + sync
+    t0 = time.perf_counter()
+    out = q
+    for _ in range(args.iters):
+        out = fn(out[:, :, :, :])  # chain via q to defeat CSE
+    np.asarray(out)
+    dt_s = (time.perf_counter() - t0) / args.iters
+
+    itemsize = 2 if args.dtype == "bf16" else 4
+    bytes_moved = (
+        2 * B * ctx * Hkv * hd * itemsize          # K+V read
+        + 2 * B * Q * Hq * hd * itemsize           # q read + o write
+    )
+    gbs = bytes_moved / dt_s / 1e9
+    print(
+        f"[{impl}] B={B} Q={Q} ctx={ctx} Hq/Hkv={Hq}/{Hkv} hd={hd} "
+        f"{args.dtype}: {dt_s*1e3:.3f} ms, {gbs:.1f} GB/s "
+        f"({100*gbs/args.peak_gbs:.1f}% of {args.peak_gbs:.0f} GB/s peak)",
+        flush=True,
+    )
+    return gbs
+
+
+def main():
+    args = parse_arguments()
+    print(f"devices: {jax.devices()}", flush=True)
+    impls = ["pallas", "jnp"] if args.impl == "both" else [args.impl]
+    for impl in impls:
+        run_impl(impl, args)
+
+
+if __name__ == "__main__":
+    main()
