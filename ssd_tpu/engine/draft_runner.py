@@ -491,6 +491,38 @@ class DraftServer:
             raise RuntimeError("draft server failed") from resp
         return resp
 
+    def warmup(self, batch_pads=(1,)):
+        """Pre-compile the draft's jit-chain and tree-build programs with a
+        ghost request per batch bucket (seq_id -1 never matches a real cache
+        key; block tables are -1 so no KV is written), then reset the cache."""
+        K = self.runner.K
+        for B in batch_pads:
+            req = SpecRequest(
+                cache_keys=np.stack(
+                    [np.full(B, -1), np.full(B, -2), np.zeros(B)], axis=1
+                ).astype(np.int64),
+                num_tokens=np.ones(B, dtype=np.int64),
+                block_tables=np.full((B, self.runner.max_blocks), -1, np.int32),
+                temperatures=np.zeros(B, np.float32),
+                recovery_acts=(
+                    np.zeros((B, self.runner.arch.num_eagle_layers
+                              * self.runner.arch.d_model_target), np.float32)
+                    if hasattr(self.runner.arch, "d_model_target") else None
+                ),
+                extend_counts=np.zeros(B, np.int64),
+                extend_acts=None,
+                extend_token_ids=np.zeros((B, K), np.int64),
+            )
+            if req.recovery_acts is not None:
+                req = SpecRequest(**{
+                    **req.__dict__,
+                    "extend_acts": np.zeros(
+                        (B, K, req.recovery_acts.shape[1]), np.float32
+                    ),
+                })
+            self.speculate(req)
+        self.runner.reset_tree_cache()
+
     def shutdown(self):
         if self._thread.is_alive():
             self._req_q.put(("exit", None))

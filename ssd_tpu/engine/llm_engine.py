@@ -45,6 +45,11 @@ def _enable_persistent_compile_cache():
     import jax
 
     try:
+        if jax.default_backend() != "tpu":
+            # CPU AOT cache entries are machine-feature sensitive (SIGILL
+            # risk when the container migrates); only TPU compiles are worth
+            # caching anyway.
+            return
         if not jax.config.jax_compilation_cache_dir:
             jax.config.update(
                 "jax_compilation_cache_dir",
@@ -152,6 +157,8 @@ class LLMEngine:
             self.draft_runner.warmup_buckets(
                 q_lens=[1], chain_Ks=[cfg.speculate_k], batch_pads=batch_pads
             )
+        if self.draft_server is not None:
+            self.draft_server.warmup(batch_pads=batch_pads)
 
     def exit(self, hard: bool = False):
         if self._exiting:
