@@ -141,3 +141,21 @@ def test_async_ssd_sampler_x_runs(target_dir, draft_dir):
     )
     engine.exit()
     assert len(outs[0]["token_ids"]) == 16
+
+
+def test_async_ssd_mixed_lengths_finish_midstream(target_dir, draft_dir):
+    """Sequences with different max_new_tokens leave the batch at different
+    steps; the shrinking handshake batch must stay token-exact for all."""
+    engine = async_engine(target_dir, draft_dir, k=2, f=2)
+    prompts = [random_prompt(rng(800 + i), 8, 16) for i in range(3)]
+    lens = [8, 20, 32]
+    wants = [hf_greedy(target_dir, p, n) for p, n in zip(prompts, lens)]
+    outs, _ = engine.generate(
+        [list(p) for p in prompts],
+        [SamplingParams(temperature=0.0, max_new_tokens=n, ignore_eos=True)
+         for n in lens],
+        use_tqdm=False,
+    )
+    engine.exit()
+    for out, want in zip(outs, wants):
+        assert out["token_ids"] == want
