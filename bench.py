@@ -100,11 +100,11 @@ def main():
     if os.path.exists(hist_path):
         try:
             hist = json.load(open(hist_path))
-            prev = hist.get(f"decode_tok_s_{backend}_{mode}")
+            prev = hist.get(f"decode_tok_s_{backend}_{mode}_b{batch}_o{out_len}")
         except Exception:
             hist = {}
     try:
-        hist[f"decode_tok_s_{backend}_{mode}"] = decode_tps
+        hist[f"decode_tok_s_{backend}_{mode}_b{batch}_o{out_len}"] = decode_tps
         json.dump(hist, open(hist_path, "w"))
     except Exception:
         pass

@@ -165,8 +165,10 @@ def main():
     from ssd_tpu.llm import LLM
 
     if args.model_path:
+        from bench.bench_helpers import resolve_draft_path
+
         model_name, model_path = args.model_path, args.model_path
-        draft_path = args.draft if args.draft else model_path
+        draft_path = resolve_draft_path(args.draft) if args.draft else model_path
     else:
         model_name, model_path, draft_path = get_model_paths(args)
 
@@ -198,11 +200,12 @@ def main():
 
     sweep_configs = json.loads(args.sweep) if args.sweep else [{}]
     assert isinstance(sweep_configs, list)
+    init_max_seqs = llm.config.max_num_seqs
 
     for si, cfg in enumerate(sweep_configs):
         temp = cfg.get("temp", args.temp)
         b = cfg.get("b", args.b)
-        assert b <= llm.config.max_num_seqs, "sweep b exceeds initial max_num_seqs"
+        assert b <= init_max_seqs, "sweep b exceeds initial max_num_seqs"
         llm.config.max_num_seqs = b
         llm.scheduler.max_num_seqs = b
 

@@ -45,6 +45,17 @@ def snapshot_path(base: str) -> str:
     raise FileNotFoundError(f"no model snapshot (config.json) under {base}")
 
 
+def resolve_draft_path(draft: str, cache_dir: str = HF_CACHE_DIR) -> str:
+    """Resolve a --draft value that is either a model dir or a size key."""
+    if os.path.isdir(draft):
+        return snapshot_path(draft)
+    table = {**LLAMA_SIZES, **QWEN_SIZES}
+    if draft in table:
+        org = LLAMA_ORG if draft in LLAMA_SIZES else QWEN_ORG
+        return snapshot_path(os.path.join(cache_dir, f"models--{org}--{table[draft]}"))
+    raise ValueError(f"--draft {draft!r} is neither a directory nor a size in {sorted(table)}")
+
+
 def get_model_paths(args, cache_dir: str = HF_CACHE_DIR):
     """Resolve (model_name, model_path, draft_path) from --size/--llama/--qwen."""
     if args.llama:
@@ -56,16 +67,8 @@ def get_model_paths(args, cache_dir: str = HF_CACHE_DIR):
     model_name = table[args.size]
     model_path = snapshot_path(os.path.join(cache_dir, f"models--{org}--{model_name}"))
 
-    if args.draft is not None and os.path.isdir(args.draft):
-        draft_path = snapshot_path(args.draft)
-    elif args.draft is not None:
-        dtable = {**LLAMA_SIZES, **QWEN_SIZES}
-        if args.draft not in dtable:
-            raise ValueError(f"draft size {args.draft} not in {sorted(dtable)}")
-        dorg = LLAMA_ORG if args.draft in LLAMA_SIZES else QWEN_ORG
-        draft_path = snapshot_path(
-            os.path.join(cache_dir, f"models--{dorg}--{dtable[args.draft]}")
-        )
+    if args.draft is not None:
+        draft_path = resolve_draft_path(args.draft, cache_dir)
     else:
         dorg, dname = default_draft
         draft_path = snapshot_path(os.path.join(cache_dir, f"models--{dorg}--{dname}"))
@@ -102,7 +105,9 @@ def load_dataset_token_ids(dataset_name, model_path, num_prompts, input_len,
                     )
                 else:
                     toks = tokenizer.encode(text, add_special_tokens=False)
-                prompts.append(toks[: max(len(toks), input_len)][:input_len] or toks[:1])
+                if not toks:
+                    continue  # empty text row
+                prompts.append(toks[:input_len])
         return prompts
     except Exception as e:
         print(f"Warning: failed loading {dataset_name}: {e}", flush=True)
@@ -116,12 +121,15 @@ def random_token_prompts(num, input_len, hi=10000):
 def generate_benchmark_inputs(args, model_path):
     """Token-id prompts for the selected dataset flags (random fallback)."""
     chosen = [d for d in ("humaneval", "alpaca", "c4", "ultrafeedback") if getattr(args, d)]
+    # EAGLE drafts are trained on chat-formatted data; always wrap
+    # (reference bench_helpers.py use_chat_template = chat_template or eagle).
+    chat = args.chat_template or getattr(args, "eagle", False)
     if args.all:
         prompts = []
         for name in ("humaneval", "alpaca", "gsm8k", "ultrafeedback"):
             got = load_dataset_token_ids(
                 name, model_path, args.numseqs, args.input_len,
-                args.chat_template, args.prompt_offset,
+                chat, args.prompt_offset,
             )
             prompts.extend(got if got else random_token_prompts(args.numseqs, args.input_len))
         return prompts
@@ -130,6 +138,6 @@ def generate_benchmark_inputs(args, model_path):
     name = chosen[0] if chosen else "gsm8k"
     got = load_dataset_token_ids(
         name, model_path, args.numseqs, args.input_len,
-        args.chat_template, args.prompt_offset,
+        chat, args.prompt_offset,
     )
     return got if got else random_token_prompts(args.numseqs, args.input_len)

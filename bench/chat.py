@@ -102,8 +102,10 @@ def ssd_chat(args):
     from ssd_tpu.llm import LLM
 
     if args.model_path:
+        from bench.bench_helpers import resolve_draft_path
+
         model_path = args.model_path
-        draft_path = args.draft or model_path
+        draft_path = resolve_draft_path(args.draft) if args.draft else model_path
     else:
         _, model_path, draft_path = get_model_paths(args)
 

@@ -99,7 +99,10 @@ def first_divergence(a, b):
 def main():
     args = parse_arguments()
     if args.model_path:
-        model_path, draft_path = args.model_path, args.draft or args.model_path
+        from bench.bench_helpers import resolve_draft_path
+
+        model_path = args.model_path
+        draft_path = resolve_draft_path(args.draft) if args.draft else model_path
     else:
         _, model_path, draft_path = get_model_paths(args)
 
@@ -124,6 +127,13 @@ def main():
     if args.server:
         srv = server_completion(args, args.prompt)
         print(f"[server] {srv[:120]!r}...", flush=True)
+        ar_text, _ = run_mode(model_path, draft_path, args.prompt, args, "ar")
+        if srv.strip() == ar_text.strip():
+            print("ar == server: EXACT MATCH", flush=True)
+        else:
+            ok = False
+            div = first_divergence(ar_text, srv)
+            print(f"ar != server: first divergence at char {div}", flush=True)
 
     return 0 if ok else 1
 

@@ -75,7 +75,6 @@ def wait_healthy(port: int, timeout: int) -> bool:
 
 def main():
     args = parse_arguments()
-    binary = "vllm" if args.engine == "vllm" else "python"
     if args.engine == "vllm" and shutil.which("vllm") is None:
         print("vllm is not installed on this host; install it or point "
               "bench.baseline_eval_client at a remote server.", flush=True)
