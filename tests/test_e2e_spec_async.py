@@ -159,3 +159,20 @@ def test_async_ssd_mixed_lengths_finish_midstream(target_dir, draft_dir):
     engine.exit()
     for out, want in zip(outs, wants):
         assert out["token_ids"] == want
+
+
+def test_async_ssd_warmup_then_exact(target_dir, draft_dir):
+    """LLM.warmup() pre-compiles decode/chain/tree buckets with ghost
+    batches; it must leave no state that disturbs exactness."""
+    engine = async_engine(target_dir, draft_dir, k=2, f=2)
+    engine.warmup()
+    assert engine.draft_server.runner.tree_cache_keys.shape[0] == 0
+    prompt = random_prompt(rng(801), 8, 16)
+    want = hf_greedy(target_dir, prompt, 16)
+    outs, _ = engine.generate(
+        [list(prompt)],
+        SamplingParams(temperature=0.0, max_new_tokens=16, ignore_eos=True),
+        use_tqdm=False,
+    )
+    engine.exit()
+    assert outs[0]["token_ids"] == want
