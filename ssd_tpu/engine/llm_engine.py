@@ -132,10 +132,10 @@ class LLMEngine:
 
         atexit.register(lambda ref=weakref.ref(self): ref() and ref().exit())
 
-    def warmup(self):
+    def warmup(self, prefill_s_pads: tuple[int, ...] = ()):
         """Pre-compile all decode-side shape buckets (call once before
-        latency-sensitive serving; prefill buckets still compile on first
-        use per prompt-length bucket)."""
+        latency-sensitive serving). Pass the expected prompt-length pow-2
+        buckets via prefill_s_pads to also pre-compile prefill (TTFT)."""
         from ssd_tpu.engine.model_runner import next_pow2
 
         cfg = self.config
@@ -151,7 +151,8 @@ class LLMEngine:
         elif cfg.multi_step > 1:
             chain_Ks.append(cfg.multi_step)
         self.model_runner.warmup_buckets(
-            q_lens=q_lens, chain_Ks=chain_Ks, batch_pads=batch_pads
+            q_lens=q_lens, chain_Ks=chain_Ks, batch_pads=batch_pads,
+            prefill_s_pads=prefill_s_pads,
         )
         if self.draft_runner is not None:
             self.draft_runner.warmup_buckets(

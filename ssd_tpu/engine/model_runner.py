@@ -561,7 +561,8 @@ class ModelRunner:
         out.append(limit)
         return sorted(set(out))
 
-    def warmup_buckets(self, q_lens=(1,), chain_Ks=(), batch_pads=(1,)):
+    def warmup_buckets(self, q_lens=(1,), chain_Ks=(), batch_pads=(1,),
+                       prefill_s_pads=()):
         """Pre-compile every (batch bucket, ctx bucket) shape the decode-side
         programs can hit, with ghost-only batches (slot=-1, table=-1) so the
         KV cache passes through untouched. The jit analogue of the
@@ -594,6 +595,18 @@ class ModelRunner:
                         arch=self.arch, block_size=self.block_size,
                         ctx_pad=ctx_pad, K=K, use_pallas=self.use_pallas,
                         extra_write=self.is_draft,
+                    )
+                for s_pad in prefill_s_pads:
+                    last, _, _, self.kv_cache = batched_prefill_step(
+                        self.params, self.kv_cache,
+                        jnp.zeros(B_pad * s_pad, jnp.int32),
+                        jnp.zeros(B_pad * s_pad, jnp.int32),
+                        jnp.full(B_pad * s_pad, -1, jnp.int32),
+                        bt, ctx1, ctx1, temps, key,
+                        arch=self.arch, block_size=self.block_size,
+                        ctx_pad=ctx_pad, s_pad=s_pad,
+                        use_pallas=self.use_pallas,
+                        eagle_layers=self.eagle_layers,
                     )
         if last is not None:
             jax.block_until_ready(last)
