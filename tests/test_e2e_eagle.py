@@ -129,3 +129,51 @@ def test_eagle_batched_and_hits(target_dir, eagle_dir):
     for out, want in zip(outs, wants):
         assert out["token_ids"] == want
     assert metrics["cache_hits"], "async handshake not exercised"
+
+
+def test_eagle_preemption_under_pressure_token_exact(target_dir, eagle_dir):
+    """KV pressure in EAGLE mode: preemption must clear the extend/conditioning
+    carries (scheduler.preempt) and re-prefill conditioned state exactly."""
+    engine = LLM(
+        target_dir,
+        draft=eagle_dir,
+        speculate=True,
+        draft_async=True,
+        use_eagle=True,
+        jit_speculate=True,
+        speculate_k=2,
+        async_fan_out=2,
+        eagle_layers=[0, 2, 4],
+        dtype="float32",
+        max_model_len=160,
+        max_num_batched_tokens=1024,
+        kvcache_block_size=16,
+        num_kvcache_blocks=22,  # tight: 2 seqs + megaspec lookahead can't fit
+        max_num_seqs=2,
+    )
+    prompts = [random_prompt(rng(950 + i), 16, 24) for i in range(2)]
+    wants = [hf_greedy(target_dir, p, 32) for p in prompts]
+    outs, _ = engine.generate(
+        [list(p) for p in prompts],
+        SamplingParams(temperature=0.0, max_new_tokens=32, ignore_eos=True),
+        use_tqdm=False,
+    )
+    engine.exit()
+    for out, want in zip(outs, wants):
+        assert out["token_ids"] == want
+
+
+def test_eagle_mixed_lengths_token_exact(target_dir, eagle_dir):
+    engine = eagle_engine(target_dir, eagle_dir)
+    prompts = [random_prompt(rng(960 + i), 8, 16) for i in range(2)]
+    lens = [12, 28]
+    wants = [hf_greedy(target_dir, p, n) for p, n in zip(prompts, lens)]
+    outs, _ = engine.generate(
+        [list(p) for p in prompts],
+        [SamplingParams(temperature=0.0, max_new_tokens=n, ignore_eos=True)
+         for n in lens],
+        use_tqdm=False,
+    )
+    engine.exit()
+    for out, want in zip(outs, wants):
+        assert out["token_ids"] == want
