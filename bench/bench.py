@@ -46,6 +46,8 @@ def parse_arguments():
     p.add_argument("--eagle", action="store_true")
     p.add_argument("--k", type=int, default=6)
     p.add_argument("--async", dest="draft_async", action="store_true")
+    p.add_argument("--ddp", type=int, default=1,
+                   help="draft data parallelism (replica chips)")
     p.add_argument("--f", type=int, default=3)
     p.add_argument("--flh", type=int, nargs="+", default=None)
     p.add_argument("--flm", type=int, nargs="+", default=None)
@@ -111,6 +113,7 @@ def create_llm_kwargs(args, draft_path):
         speculate=args.spec,
         speculate_k=args.k,
         draft_async=args.draft_async,
+        draft_dp=args.ddp,
         async_fan_out=args.f,
         verbose=args.verbose,
         draft=draft_path,

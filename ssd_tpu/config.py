@@ -97,6 +97,10 @@ class Config:
     draft_async: bool = False
 
     # async spec only
+    # Draft data parallelism: replicate the draft over this many dedicated
+    # chips, splitting the request batch by seq_id (the reference's roadmap
+    # feature, README.md:130 "Draft data parallel").
+    draft_dp: int = 1
     async_fan_out: int = 3
     fan_out_list: list[int] | None = None
     fan_out_list_miss: list[int] | None = None
@@ -122,9 +126,12 @@ class Config:
 
     @property
     def tp_size(self) -> int:
-        """Devices used for target tensor parallelism (last device hosts the
-        async draft, mirroring reference llm_engine.py:62)."""
-        return self.num_devices if not self.draft_async else max(1, self.num_devices - 1)
+        """Devices used for target tensor parallelism (the last draft_dp
+        devices host the async draft replicas, mirroring reference
+        llm_engine.py:62)."""
+        if not self.draft_async:
+            return self.num_devices
+        return max(1, self.num_devices - self.draft_dp)
 
     def __post_init__(self):
         assert os.path.isdir(self.model), f"model path does not exist: {self.model}"
@@ -139,6 +146,7 @@ class Config:
                 self.max_model_len, self.draft_hf_config.max_position_embeddings
             )
             if self.draft_async:
+                assert self.draft_dp >= 1
                 if self.fan_out_list is None:
                     self.fan_out_list = [self.async_fan_out] * (self.speculate_k + 1)
                 if self.fan_out_list_miss is None:

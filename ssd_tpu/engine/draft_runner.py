@@ -411,30 +411,65 @@ class DraftRunner(ModelRunner):
 
 
 class DraftServer:
-    """Controller thread owning the DraftRunner; the process/NCCL topology of
-    the reference (llm_engine.py:82-89) collapses to a queue + a device."""
+    """Controller thread owning the draft replica runner(s); the process/NCCL
+    topology of the reference (llm_engine.py:82-89) collapses to a queue + a
+    device per replica.
+
+    With draft_dp > 1 (the reference's roadmap "draft data parallel",
+    README.md:130), requests split by seq_id % dp across replica chips; each
+    replica serves its rows and rebuilds its own speculation tree — the
+    per-replica programs are async dispatches on distinct devices, so they
+    run concurrently."""
 
     def __init__(self, config: Config, draft_cfg: Config, init_random=False):
         devices = jax.devices()
-        device = devices[-1] if len(devices) > config.tp_size else None
+        self.dp = config.draft_dp if config.draft_async else 1
+        if len(devices) >= config.tp_size + self.dp:
+            replica_devices = devices[-self.dp:]
+        else:
+            replica_devices = [None] * self.dp  # share the target device(s)
         if config.use_eagle:
             from ssd_tpu.engine.eagle_runner import EagleDraftRunner
 
             runner_cls = EagleDraftRunner
         else:
             runner_cls = DraftRunner
-        self.runner = runner_cls(
-            draft_cfg,
-            hf_config=config.draft_hf_config,
-            init_random=init_random,
-            device=device,
-        )
+        self.runners = [
+            runner_cls(
+                draft_cfg,
+                hf_config=config.draft_hf_config,
+                init_random=init_random,
+                device=replica_devices[r],
+            )
+            for r in range(self.dp)
+        ]
+        self.runner = self.runners[0]
         self._req_q: queue.Queue = queue.Queue()
         self._resp_q: queue.Queue = queue.Queue()
         self._step_times: list[float] = []
         self._dead = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def _replica_rows(self, seq_ids: np.ndarray) -> list[np.ndarray]:
+        """Row indices per replica (seq_id % dp routing; negative ghost ids
+        go to replica 0)."""
+        rep = np.maximum(seq_ids, 0) % self.dp
+        return [np.nonzero(rep == r)[0] for r in range(self.dp)]
+
+    @staticmethod
+    def _slice_req(req: SpecRequest, idx: np.ndarray) -> SpecRequest:
+        take = lambda a: None if a is None else a[idx]
+        return SpecRequest(
+            cache_keys=req.cache_keys[idx],
+            num_tokens=req.num_tokens[idx],
+            block_tables=req.block_tables[idx],
+            temperatures=req.temperatures[idx],
+            recovery_acts=take(req.recovery_acts),
+            extend_counts=take(req.extend_counts),
+            extend_acts=take(req.extend_acts),
+            extend_token_ids=take(req.extend_token_ids),
+        )
 
     def _loop(self):
         while True:
@@ -443,23 +478,47 @@ class DraftServer:
                 break
             try:
                 if cmd == "prefill":
-                    self.runner.prefill_from_payload(*payload)
+                    input_id_lists, block_tables, seq_ids, acts_list = payload
+                    for r, idx in enumerate(self._replica_rows(seq_ids)):
+                        if len(idx) == 0:
+                            continue
+                        args = (
+                            [input_id_lists[i] for i in idx],
+                            block_tables[idx],
+                        )
+                        if acts_list is not None:
+                            args = args + ([acts_list[i] for i in idx],)
+                        self.runners[r].prefill_from_payload(*args)
                 elif cmd == "spec":
                     prof = os.environ.get("SSD_PROFILE_DRAFT", "0") == "1" or (
                         os.environ.get("SSD_PROFILE", "0") == "1"
                     )
                     t0 = perf_counter()
-                    resp = self.runner.service(payload)
-                    if prof:
-                        jax.block_until_ready(resp.logits_q)
+                    rows = self._replica_rows(payload.cache_keys[:, 0])
+                    parts = []
+                    for r, idx in enumerate(rows):
+                        if len(idx) == 0:
+                            parts.append(None)
+                            continue
+                        sub = self._slice_req(payload, idx)
+                        # Each replica's programs dispatch asynchronously on
+                        # its own chip: the dp services run concurrently.
+                        parts.append((sub, self.runners[r].service(sub)))
                     t1 = perf_counter()
-                    # Unblock the target before building the next tree: the
-                    # tree build below overlaps with the target's verify.
-                    self._resp_q.put(resp)
-                    self.runner.reset_tree_cache()
-                    self.runner.build_tree(payload, resp)
+                    # Unblock the target before building the next trees: the
+                    # builds below overlap with the target's verify.
+                    self._resp_q.put(
+                        [(rows[r], p[1]) for r, p in enumerate(parts) if p]
+                    )
+                    for r, p in enumerate(parts):
+                        if p is None:
+                            continue
+                        self.runners[r].reset_tree_cache()
+                        self.runners[r].build_tree(p[0], p[1])
                     if prof:
-                        jax.block_until_ready(self.runner.tree_cache_logits)
+                        for r, p in enumerate(parts):
+                            if p is not None:
+                                jax.block_until_ready(self.runners[r].tree_cache_logits)
                         t2 = perf_counter()
                         print(
                             f"[PROFILE draft] service={(t1-t0)*1000:.2f}ms "
@@ -476,14 +535,18 @@ class DraftServer:
                 break
 
     def prefill(self, input_id_lists: list[list[int]], block_tables: np.ndarray,
+                seq_ids: np.ndarray | None = None,
                 acts_list: list[np.ndarray] | None = None):
         assert not self._dead, "draft server died"
-        payload = (input_id_lists, block_tables)
-        if acts_list is not None:
-            payload = payload + (acts_list,)
-        self._req_q.put(("prefill", payload))
+        if seq_ids is None:
+            seq_ids = np.zeros(len(input_id_lists), dtype=np.int64)
+        self._req_q.put(
+            ("prefill", (input_id_lists, block_tables, np.asarray(seq_ids), acts_list))
+        )
 
-    def speculate(self, req: SpecRequest) -> SpecResponse:
+    def speculate(self, req: SpecRequest) -> list[tuple[np.ndarray, SpecResponse]]:
+        """Returns [(row_indices, SpecResponse)] parts covering every row of
+        the request (one part per non-empty replica)."""
         assert not self._dead, "draft server died"
         self._req_q.put(("spec", req))
         resp = self._resp_q.get()
@@ -492,14 +555,17 @@ class DraftServer:
         return resp
 
     def warmup(self, batch_pads=(1,)):
-        """Pre-compile the draft's jit-chain and tree-build programs with a
-        ghost request per batch bucket (seq_id -1 never matches a real cache
-        key; block tables are -1 so no KV is written), then reset the cache."""
+        """Pre-compile every replica's jit-chain and tree-build programs with
+        a ghost request per batch bucket (ghost keys never match a real cache
+        key; block tables are -1 so no KV is written), then reset caches."""
         K = self.runner.K
-        for B in batch_pads:
+        for B_each in batch_pads:
+            B = B_each * self.dp
+            # seq_ids 0..dp-1 repeated: every replica gets B_each ghost rows.
+            seq_ids = np.arange(B, dtype=np.int64) % self.dp
             req = SpecRequest(
                 cache_keys=np.stack(
-                    [np.full(B, -1), np.full(B, -2), np.zeros(B)], axis=1
+                    [seq_ids, np.full(B, -2), np.zeros(B)], axis=1
                 ).astype(np.int64),
                 num_tokens=np.ones(B, dtype=np.int64),
                 block_tables=np.full((B, self.runner.max_blocks), -1, np.int32),
@@ -521,7 +587,8 @@ class DraftServer:
                     ),
                 })
             self.speculate(req)
-        self.runner.reset_tree_cache()
+        for r in self.runners:
+            r.reset_tree_cache()
 
     def shutdown(self):
         if self._thread.is_alive():

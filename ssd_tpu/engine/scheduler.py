@@ -48,20 +48,30 @@ class Scheduler:
         )
         if self.speculate:
             assert draft_cfg is not None
-            self.draft_block_manager = BlockManager(
-                draft_cfg.num_kvcache_blocks,
-                draft_cfg.kvcache_block_size,
-                is_draft=True,
-                speculate_k=self.K,
-                verbose=self.verbose,
-                max_model_len=self.max_model_len,
-            )
+            # One allocator per draft replica (draft data parallelism splits
+            # the batch by seq_id across replica chips, each with its own
+            # KV cache — the reference's roadmap feature, README.md:130).
+            self.draft_dp = config.draft_dp if config.draft_async else 1
+            self.draft_block_managers = [
+                BlockManager(
+                    draft_cfg.num_kvcache_blocks,
+                    draft_cfg.kvcache_block_size,
+                    is_draft=True,
+                    speculate_k=self.K,
+                    verbose=self.verbose,
+                    max_model_len=self.max_model_len,
+                )
+                for _ in range(self.draft_dp)
+            ]
 
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
         # Sequences finished during schedule() (context-limit boundary);
         # drained by the engine so their outputs are still reported.
         self.newly_finished: list[Sequence] = []
+
+    def _draft_bm(self, seq: Sequence) -> BlockManager:
+        return self.draft_block_managers[seq.seq_id % self.draft_dp]
 
     def is_finished(self) -> bool:
         return not self.waiting and not self.running
@@ -74,7 +84,7 @@ class Scheduler:
     ) -> bool:
         target_ok = self.block_manager.can_append(seq, target_lookahead_len)
         if self.speculate:
-            draft_ok = self.draft_block_manager.can_append(seq, draft_lookahead_len)
+            draft_ok = self._draft_bm(seq).can_append(seq, draft_lookahead_len)
         else:
             assert draft_lookahead_len is None
             draft_ok = True
@@ -82,7 +92,7 @@ class Scheduler:
 
     def bms_can_allocate(self, seq: Sequence) -> bool:
         return self.block_manager.can_allocate(seq) and (
-            not self.speculate or self.draft_block_manager.can_allocate(seq)
+            not self.speculate or self._draft_bm(seq).can_allocate(seq)
         )
 
     def schedule(self) -> tuple[list[Sequence], bool]:
@@ -97,7 +107,7 @@ class Scheduler:
                 break
             self.block_manager.allocate(seq)
             if self.speculate:
-                self.draft_block_manager.allocate(seq)
+                self._draft_bm(seq).allocate(seq)
             num_batched_tokens += remain
             seq.status = SequenceStatus.RUNNING
             self.waiting.popleft()
@@ -148,7 +158,7 @@ class Scheduler:
                 num_seqs_decoded += 1
                 self.block_manager.may_append(seq, target_lookahead_len)
                 if self.speculate:
-                    self.draft_block_manager.may_append(seq, draft_lookahead_len)
+                    self._draft_bm(seq).may_append(seq, draft_lookahead_len)
                 scheduled_seqs.append(seq)
 
         self.running.extendleft(reversed(scheduled_seqs))
@@ -168,7 +178,7 @@ class Scheduler:
         seq.status = SequenceStatus.FINISHED
         self.block_manager.deallocate(seq)
         if self.speculate:
-            self.draft_block_manager.deallocate(seq)
+            self._draft_bm(seq).deallocate(seq)
         if remove_running:
             self.running.remove(seq)
 
@@ -177,7 +187,7 @@ class Scheduler:
         seq.recovery_token_id = None
         self.block_manager.deallocate(seq)
         if self.speculate:
-            self.draft_block_manager.deallocate(seq)
+            self._draft_bm(seq).deallocate(seq)
         self.waiting.appendleft(seq)
         # Absorb completions as "new prompt" so they re-cache on next prefill.
         seq.num_prompt_tokens = seq.num_tokens
@@ -272,7 +282,7 @@ class Scheduler:
         """Roll back KV blocks over-allocated during speculation."""
         final = seq.num_tokens + len(new_suffix)
         self._rollback_table(self.block_manager, seq, "block_table", final)
-        self._rollback_table(self.draft_block_manager, seq, "draft_block_table", final)
+        self._rollback_table(self._draft_bm(seq), seq, "draft_block_table", final)
 
     def _finalize_block(self, bm: BlockManager, seq: Sequence, block_table: list[int], i: int):
         """Chain-hash completed block i into the prefix cache."""
@@ -305,7 +315,7 @@ class Scheduler:
         assert seq.block_table and seq.draft_block_table
 
         self._finalize_full_blocks(self.block_manager, seq, seq.block_table)
-        self._finalize_full_blocks(self.draft_block_manager, seq, seq.draft_block_table)
+        self._finalize_full_blocks(self._draft_bm(seq), seq, seq.draft_block_table)
 
     def postprocess_speculate(
         self,

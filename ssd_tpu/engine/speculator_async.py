@@ -51,6 +51,7 @@ class SpeculatorAsync(SpeculatorBase):
         self.draft_server.prefill(
             [list(seq.token_ids) for seq in seqs],
             self._block_tables(seqs),
+            seq_ids=np.asarray([seq.seq_id for seq in seqs], dtype=np.int64),
             acts_list=verify_result.eagle_acts,  # per-seq [n, 3D] or None
         )
         return SpeculateResult([], [])
@@ -92,7 +93,7 @@ class SpeculatorAsync(SpeculatorBase):
                     extend_acts[i, :n] = seq.extend_eagle_acts[:n]
                     extend_ids[i, :n] = seq.extend_token_ids[:n]
 
-        resp = self.draft_server.speculate(SpecRequest(
+        parts = self.draft_server.speculate(SpecRequest(
             cache_keys=keys,
             num_tokens=num_tokens,
             block_tables=self._block_tables(seqs),
@@ -103,16 +104,33 @@ class SpeculatorAsync(SpeculatorBase):
             extend_token_ids=extend_ids,
         ))
 
-        # Draft-chip -> target-chip transfer of the [B,K,V] logits.
-        logits_q = jax.device_put(resp.logits_q, self.target_sharding)
+        # Reassemble replica parts in request-row order; each part's logits
+        # move replica-chip -> target-chip(s) directly (no extra hop).
+        tokens = np.zeros((B, K), dtype=np.int64)
+        cache_hits = np.zeros(B, dtype=np.int64)
+        part_logits = []
+        for rows, resp in parts:
+            tokens[rows] = resp.tokens
+            cache_hits[rows] = resp.cache_hits
+            part_logits.append(
+                (rows, jax.device_put(resp.logits_q, self.target_sharding))
+            )
+        if len(part_logits) == 1:
+            logits_q = part_logits[0][1]
+        else:
+            V = part_logits[0][1].shape[-1]
+            logits_q = jnp.zeros((B, K, V), part_logits[0][1].dtype)
+            for rows, lp in part_logits:
+                logits_q = logits_q.at[jnp.asarray(rows)].set(lp)
+            logits_q = jax.device_put(logits_q, self.target_sharding)
 
-        speculations = np.concatenate([keys[:, 2:3], resp.tokens], axis=1)  # [B, K+1]
+        speculations = np.concatenate([keys[:, 2:3], tokens], axis=1)  # [B, K+1]
         for i, seq in enumerate(seqs):
-            for t in resp.tokens[i].tolist():
+            for t in tokens[i].tolist():
                 seq.append_token(int(t))
 
         return SpeculateResult(
             speculations=speculations,
             logits_q=logits_q,
-            cache_hits=resp.cache_hits,
+            cache_hits=cache_hits,
         )

@@ -176,3 +176,40 @@ def test_async_ssd_warmup_then_exact(target_dir, draft_dir):
     )
     engine.exit()
     assert outs[0]["token_ids"] == want
+
+
+def test_async_ssd_draft_dp2_token_exact(target_dir, draft_dir):
+    """Draft data parallelism (reference roadmap README.md:130): two draft
+    replicas on their own devices split the batch by seq_id; outputs must
+    stay greedy token-exact and both replicas must serve rows."""
+    engine = LLM(
+        target_dir,
+        draft=draft_dir,
+        speculate=True,
+        draft_async=True,
+        draft_dp=2,
+        num_devices=3,  # tp=1 target + 2 draft replica devices
+        speculate_k=2,
+        async_fan_out=2,
+        dtype="float32",
+        max_model_len=256,
+        max_num_batched_tokens=1024,
+        kvcache_block_size=16,
+        num_kvcache_blocks=96,
+        max_num_seqs=4,
+    )
+    assert len(engine.draft_server.runners) == 2
+    d0 = engine.draft_server.runners[0].device
+    d1 = engine.draft_server.runners[1].device
+    assert d0 is not None and d1 is not None and d0 != d1
+    prompts = [random_prompt(rng(990 + i), 8, 20) for i in range(3)]
+    wants = [hf_greedy(target_dir, p, 24) for p in prompts]
+    outs, metrics = engine.generate(
+        [list(p) for p in prompts],
+        SamplingParams(temperature=0.0, max_new_tokens=24, ignore_eos=True),
+        use_tqdm=False,
+    )
+    engine.exit()
+    for out, want in zip(outs, wants):
+        assert out["token_ids"] == want
+    assert metrics["cache_hits"]
