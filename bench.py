@@ -4,9 +4,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Runs a Llama-3.2-1B-shaped random-weight model (checkpoints are not available
 in the build environment) through the full engine path — paged KV, continuous
-batching, jitted decode — and reports decode tokens/sec. vs_baseline is the
-ratio against the most recent value recorded in bench_history.json (1.0 on
-first run).
+batching, jitted decode — and reports decode tokens/sec.
+
+Methodology (round-2 hardening): two-pass (a cache-fill warmup generate
+compiles every bucket outside the timed window), then SSD_BENCH_REPS measured
+generates (default 3) reduced by median — the tunneled-TPU RTT varies run to
+run, so a single shot is not trustworthy. vs_baseline is the ratio against the
+BEST value previously recorded for this exact (backend, mode, batch, out_len)
+key in bench_history.json (1.0 on first run); history keys are per-backend so
+CPU smokes never pollute the TPU baseline.
 """
 
 import json
@@ -81,35 +87,49 @@ def main():
         use_tqdm=False,
     )
 
-    t0 = time.perf_counter()
-    outs, metrics = engine.generate([p[:] for p in prompts], sp, use_tqdm=False)
-    wall = time.perf_counter() - t0
-
-    total_out = sum(len(o["token_ids"]) for o in outs)
-    decode_tps = (
-        metrics["decode_total_tokens"] / metrics["decode_total_time"]
-        if metrics["decode_total_time"] > 0 else total_out / wall
-    )
+    reps = int(os.environ.get("SSD_BENCH_REPS", "3"))
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        outs, metrics = engine.generate(
+            [p[:] for p in prompts], sp, use_tqdm=False
+        )
+        wall = time.perf_counter() - t0
+        total_out = sum(len(o["token_ids"]) for o in outs)
+        samples.append(
+            metrics["decode_total_tokens"] / metrics["decode_total_time"]
+            if metrics["decode_total_time"] > 0 else total_out / wall
+        )
+    decode_tps = float(np.median(samples))
 
     import jax
 
     backend = jax.default_backend()
     hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_history.json")
-    hist, prev = {}, None
+    key = f"decode_tok_s_{backend}_{mode}_b{batch}_o{out_len}"
+    hist, best = {}, None
     if os.path.exists(hist_path):
         try:
             hist = json.load(open(hist_path))
-            prev = hist.get(f"decode_tok_s_{backend}_{mode}_b{batch}_o{out_len}")
+            entry = hist.get(key)
+            if isinstance(entry, dict):            # round-2 format
+                best = entry.get("best")
+            elif isinstance(entry, (int, float)):  # round-1 format: bare last
+                best = entry
         except Exception:
             hist = {}
     try:
-        hist[f"decode_tok_s_{backend}_{mode}_b{batch}_o{out_len}"] = decode_tps
-        json.dump(hist, open(hist_path, "w"))
+        hist[key] = {
+            "last": round(decode_tps, 2),
+            "best": round(max(decode_tps, best) if best else decode_tps, 2),
+            "samples": [round(s, 2) for s in samples],
+        }
+        json.dump(hist, open(hist_path, "w"), indent=1)
     except Exception:
         pass
 
-    vs = decode_tps / prev if prev else 1.0
+    vs = decode_tps / best if best else 1.0
     print(json.dumps({
         "metric": f"decode_throughput_llama1b_{mode}_b{batch}",
         "value": round(decode_tps, 2),
