@@ -79,90 +79,107 @@ class Scheduler:
     def add(self, seq: Sequence):
         self.waiting.append(seq)
 
+    def bms_can_allocate(self, seq: Sequence) -> bool:
+        if not self.block_manager.can_allocate(seq):
+            return False
+        return not self.speculate or self._draft_bm(seq).can_allocate(seq)
+
     def bms_can_append(
         self, seq: Sequence, target_lookahead_len: int, draft_lookahead_len: int | None = None
     ) -> bool:
-        target_ok = self.block_manager.can_append(seq, target_lookahead_len)
         if self.speculate:
-            draft_ok = self._draft_bm(seq).can_append(seq, draft_lookahead_len)
-        else:
-            assert draft_lookahead_len is None
-            draft_ok = True
-        return target_ok and draft_ok
-
-    def bms_can_allocate(self, seq: Sequence) -> bool:
-        return self.block_manager.can_allocate(seq) and (
-            not self.speculate or self._draft_bm(seq).can_allocate(seq)
-        )
+            return self.block_manager.can_append(
+                seq, target_lookahead_len
+            ) and self._draft_bm(seq).can_append(seq, draft_lookahead_len)
+        assert draft_lookahead_len is None
+        return self.block_manager.can_append(seq, target_lookahead_len)
 
     def schedule(self) -> tuple[list[Sequence], bool]:
-        # --- prefill admission (FCFS) ---
-        scheduled_seqs: list[Sequence] = []
-        num_batched_tokens = 0
+        """One scheduling decision: a prefill batch if any request can be
+        admitted, else a decode batch. Returns (seqs, is_prefill)."""
+        admitted = self._admit_prefills()
+        if admitted:
+            return admitted, True
+        return self._schedule_decode(), False
 
-        while self.waiting:
-            seq = self.waiting[0]
-            remain = len(seq) - seq.num_cached_tokens
-            if num_batched_tokens + remain > self.max_num_batched_tokens or not self.bms_can_allocate(seq):
+    def _admit_prefills(self) -> list[Sequence]:
+        """FCFS admission from the waiting queue, bounded by the per-dispatch
+        token budget AND max_num_seqs (one padded prefill program serves the
+        whole batch, so both caps bound its compiled size)."""
+        batch: list[Sequence] = []
+        token_budget = self.max_num_batched_tokens
+        while self.waiting and len(batch) < self.max_num_seqs:
+            head = self.waiting[0]
+            cost = len(head) - head.num_cached_tokens
+            # A (re-)prefill larger than the whole budget can never be
+            # admitted under the cap — once it reaches the batch head, run it
+            # alone rather than livelocking (deviation from the reference,
+            # which spins forever; this arises when preemption absorbs
+            # completions into the prompt and the prompt outgrows the budget).
+            solo = not batch and cost > self.max_num_batched_tokens
+            if not solo and cost > token_budget:
                 break
-            self.block_manager.allocate(seq)
+            if not self.bms_can_allocate(head):
+                break
+            self.block_manager.allocate(head)
             if self.speculate:
-                self._draft_bm(seq).allocate(seq)
-            num_batched_tokens += remain
-            seq.status = SequenceStatus.RUNNING
+                self._draft_bm(head).allocate(head)
+            token_budget -= cost
+            head.status = SequenceStatus.RUNNING
             self.waiting.popleft()
-            self.running.append(seq)
-            scheduled_seqs.append(seq)
-        if scheduled_seqs:
-            return scheduled_seqs, True
+            self.running.append(head)
+            batch.append(head)
+            if solo:
+                break
+        return batch
 
-        # --- decode scheduling with preemption ---
-        num_seqs_decoded = 0
-        sync_spec = self.speculate and not self.draft_async
-        async_spec = self.speculate and self.draft_async
+    def _lookaheads(self) -> tuple[int, int | None]:
+        """KV slots each mode may write beyond the committed trunk this step:
+        (target, draft)."""
+        if not self.speculate:
+            return 1, None
+        if self.draft_async:
+            return self.K + 1, compute_megaspec_lookahead(self.MQ_LEN, self.K)
+        return self.K + 1, self.K + 1
 
-        if async_spec:
-            target_lookahead_len = self.K + 1
-            draft_lookahead_len = compute_megaspec_lookahead(self.MQ_LEN, self.K)
-        elif sync_spec:
-            target_lookahead_len = self.K + 1
-            draft_lookahead_len = self.K + 1
-        else:
-            # AR multi-step: the chain writes multi_step+1 KV positions
-            # beyond the trunk; clamp near max_model_len so sequences at the
-            # boundary stay schedulable.
-            target_lookahead_len = 1
-            draft_lookahead_len = None
+    def _reserve(self, seq: Sequence, target_la: int, draft_la: int | None) -> bool:
+        """Reserve this step's lookahead blocks for seq, evicting victims from
+        the back of the running queue until they fit. False if seq itself had
+        to be preempted (no victims left)."""
+        while not self.bms_can_append(seq, target_la, draft_la):
+            victim = self.running.pop() if self.running else seq
+            self.preempt(victim)
+            if victim is seq:
+                return False
+        self.block_manager.may_append(seq, target_la)
+        if self.speculate:
+            self._draft_bm(seq).may_append(seq, draft_la)
+        return True
 
-        max_lookahead = max(target_lookahead_len, draft_lookahead_len or 0)
-        while self.running and num_seqs_decoded < self.max_num_seqs:
+    def _schedule_decode(self) -> list[Sequence]:
+        target_la, draft_la = self._lookaheads()
+        horizon = max(target_la, draft_la or 0)
+        batch: list[Sequence] = []
+        while self.running and len(batch) < self.max_num_seqs:
             seq = self.running.popleft()
-            if seq.num_tokens + max_lookahead > self.max_model_len:
+            if seq.num_tokens + horizon > self.max_model_len:
                 # Within lookahead of the context limit: no step of this mode
                 # can ever run, so finish gracefully at the boundary instead
                 # of preempt-looping forever (the reference livelocks here).
                 self._finish(seq, remove_running=False)
                 self.newly_finished.append(seq)
                 continue
+            la = target_la
             if not self.speculate and self.multi_step > 1:
-                target_lookahead_len = max(
-                    1, min(self.multi_step, self.max_model_len - seq.num_tokens)
-                )
-            while not self.bms_can_append(seq, target_lookahead_len, draft_lookahead_len):
-                if self.running:
-                    self.preempt(self.running.pop())
-                else:
-                    self.preempt(seq)
-                    break
-            else:
-                num_seqs_decoded += 1
-                self.block_manager.may_append(seq, target_lookahead_len)
-                if self.speculate:
-                    self._draft_bm(seq).may_append(seq, draft_lookahead_len)
-                scheduled_seqs.append(seq)
+                # AR multi-step: the chain writes multi_step+1 positions past
+                # the trunk; clamp near max_model_len so boundary sequences
+                # stay schedulable.
+                la = max(1, min(self.multi_step, self.max_model_len - seq.num_tokens))
+            if self._reserve(seq, la, draft_la):
+                batch.append(seq)
+        self.running.extendleft(reversed(batch))
 
-        self.running.extendleft(reversed(scheduled_seqs))
-        if not scheduled_seqs and not self.running and self.waiting:
+        if not batch and not self.running and self.waiting:
             # Nothing schedulable and the pool is idle: the head request can
             # never be served (needs more blocks than exist). Fail loudly
             # instead of spinning.
@@ -172,7 +189,7 @@ class Scheduler:
                     f"request seq {head.seq_id} needs {head.num_blocks} KV "
                     f"blocks but only {self.block_manager.num_free} exist"
                 )
-        return scheduled_seqs, False
+        return batch
 
     def _finish(self, seq: Sequence, remove_running: bool = True):
         seq.status = SequenceStatus.FINISHED
@@ -183,18 +200,21 @@ class Scheduler:
             self.running.remove(seq)
 
     def preempt(self, seq: Sequence):
-        seq.status = SequenceStatus.WAITING
-        seq.recovery_token_id = None
+        """Evict seq: free both KV allocations, absorb its completions into
+        the prompt (they re-cache on the next prefill), drop every spec/EAGLE
+        carry, and push it to the FRONT of the waiting queue so FCFS order is
+        preserved."""
         self.block_manager.deallocate(seq)
         if self.speculate:
             self._draft_bm(seq).deallocate(seq)
-        self.waiting.appendleft(seq)
-        # Absorb completions as "new prompt" so they re-cache on next prefill.
+        seq.status = SequenceStatus.WAITING
         seq.num_prompt_tokens = seq.num_tokens
+        seq.recovery_token_id = None
         seq.last_spec_step_accepted_len = -1
         seq.extend_count = 0
         seq.extend_eagle_acts = None
         seq.extend_token_ids = None
+        self.waiting.appendleft(seq)
 
     # --- autoregressive postprocess ---
     def postprocess(self, seqs: list[Sequence], token_ids: list[int], is_prefill: bool):

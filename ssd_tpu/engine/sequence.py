@@ -1,9 +1,15 @@
 """Per-request sequence state.
 
-Parity: /root/reference/ssd/engine/sequence.py:14-120 — same fields and
-bookkeeping (dual target/draft block tables, spec-step bookkeeping, EAGLE
-carries). EAGLE activations are carried as numpy arrays instead of torch
-tensors so the host engine stays framework-free.
+Behavioral parity target: /root/reference/ssd/engine/sequence.py (dual
+target/draft block tables, spec-step bookkeeping, EAGLE carries), expressed
+here as a plain attribute bag whose persistence/cloning is derived from
+``vars()`` rather than a hand-maintained attribute list. EAGLE activations are
+carried as numpy arrays so the host engine stays framework-free.
+
+Block-geometry bookkeeping note: ``last_block_num_tokens`` measures the fill
+of the last *cached* block — the runner consults it between the cached prefix
+and freshly appended tokens, which is why it is defined against
+``num_cached_blocks`` rather than ``num_blocks``.
 """
 
 from copy import copy
@@ -19,61 +25,63 @@ class SequenceStatus(Enum):
     FINISHED = auto()
 
 
+def _blocks_needed(num_tokens: int, block_size: int) -> int:
+    return -(-num_tokens // block_size)
+
+
 class Sequence:
     counter = count()
     block_size = 256  # overwritten from Config at engine init
 
-    _ATTRIBUTES = [
-        "seq_id", "status", "token_ids", "last_token", "num_tokens",
-        "num_prompt_tokens", "orig_num_prompt_tokens", "num_cached_tokens",
-        "block_table",
-        "last_spec_step_accepted_len", "draft_block_table",
-        "num_draft_cached_tokens", "temperature", "draft_temperature",
-        "max_new_tokens", "ignore_eos", "recovery_token_id",
-        "last_target_hidden_state", "extend_eagle_acts", "extend_token_ids",
-        "extend_count",
-    ]
-
     def __init__(self, token_ids: list[int], sampling_params: SamplingParams | None = None):
-        sampling_params = sampling_params or SamplingParams()
+        sp = sampling_params or SamplingParams()
         self.seq_id = next(Sequence.counter)
         self.status = SequenceStatus.WAITING
+
+        # --- token state ---
         self.token_ids = list(token_ids)
-        self.last_token = token_ids[-1]
         self.num_tokens = len(self.token_ids)
+        self.last_token = self.token_ids[-1]
         # num_prompt_tokens is the scheduler's re-prefill boundary and moves
-        # on preemption (completions are absorbed as "new prompt", reference
-        # scheduler.py:141); orig_num_prompt_tokens is the REQUEST's prompt
-        # boundary and never moves, so outputs and max_new_tokens accounting
-        # survive preemption (the reference silently drops pre-preemption
-        # completions and over-generates).
-        self.num_prompt_tokens = len(token_ids)
-        self.orig_num_prompt_tokens = len(token_ids)
+        # on preemption (completions are absorbed as "new prompt");
+        # orig_num_prompt_tokens is the REQUEST's boundary and never moves, so
+        # outputs and max_new_tokens accounting survive preemption (the
+        # reference drops pre-preemption completions and over-generates).
+        self.num_prompt_tokens = self.num_tokens
+        self.orig_num_prompt_tokens = self.num_tokens
+
+        # --- target-model KV state ---
         self.num_cached_tokens = 0
         self.block_table: list[int] = []
-        # -1 on the first request forces a draft tree-cache miss.
-        self.last_spec_step_accepted_len = -1
 
+        # --- draft-model KV state (speculation) ---
         self.draft_block_table: list[int] = []
         self.num_draft_cached_tokens = 0
-
-        self.temperature = sampling_params.temperature
-        self.draft_temperature = sampling_params.draft_temperature
-        self.max_new_tokens = sampling_params.max_new_tokens
-        self.ignore_eos = sampling_params.ignore_eos
-
+        # -1 on the first request forces a draft tree-cache miss.
+        self.last_spec_step_accepted_len = -1
         self.recovery_token_id: int | None = None
-        self.last_target_hidden_state = None  # np.ndarray [3*D_target] (EAGLE)
 
-        self.extend_eagle_acts = None   # np.ndarray [n_ext, 3*D_target] (EAGLE)
-        self.extend_token_ids = None    # np.ndarray [n_ext]
+        # --- sampling knobs (flattened off SamplingParams) ---
+        self.temperature = sp.temperature
+        self.draft_temperature = sp.draft_temperature
+        self.max_new_tokens = sp.max_new_tokens
+        self.ignore_eos = sp.ignore_eos
+
+        # --- EAGLE conditioning carries (numpy, host-side) ---
+        self.last_target_hidden_state = None  # [3*D_target]
+        self.extend_eagle_acts = None         # [n_ext, 3*D_target]
+        self.extend_token_ids = None          # [n_ext]
         self.extend_count = 0
+
+    # --- container protocol ---
 
     def __len__(self):
         return self.num_tokens
 
     def __getitem__(self, key):
         return self.token_ids[key]
+
+    # --- derived views ---
 
     @property
     def is_finished(self):
@@ -91,17 +99,19 @@ class Sequence:
     def completion_token_ids(self):
         return self.token_ids[self.orig_num_prompt_tokens:]
 
-    @property
-    def num_cached_blocks(self):
-        return (self.num_cached_tokens + self.block_size - 1) // self.block_size
+    # --- block geometry ---
 
     @property
     def num_blocks(self):
-        return (self.num_tokens + self.block_size - 1) // self.block_size
+        return _blocks_needed(self.num_tokens, self.block_size)
+
+    @property
+    def num_cached_blocks(self):
+        return _blocks_needed(self.num_cached_tokens, self.block_size)
 
     @property
     def num_draft_cached_blocks(self):
-        return (self.num_draft_cached_tokens + self.block_size - 1) // self.block_size
+        return _blocks_needed(self.num_draft_cached_tokens, self.block_size)
 
     @property
     def last_block_num_tokens(self):
@@ -113,22 +123,30 @@ class Sequence:
 
     def block(self, i: int) -> list[int]:
         assert 0 <= i < self.num_blocks
-        return self.token_ids[i * self.block_size: (i + 1) * self.block_size]
+        lo = i * self.block_size
+        return self.token_ids[lo: lo + self.block_size]
+
+    # --- mutation ---
 
     def append_token(self, token_id: int):
         self.token_ids.append(token_id)
         self.last_token = token_id
         self.num_tokens += 1
 
+    # --- snapshot / clone (all state lives in instance attrs, so persistence
+    # is just vars(); values are shallow-copied so the clone's lists/arrays
+    # detach from the original) ---
+
+    def _state(self) -> dict:
+        return {name: copy(value) for name, value in vars(self).items()}
+
     def clone_spec(self) -> "Sequence":
-        cloned = Sequence.__new__(Sequence)
-        for attr in self._ATTRIBUTES:
-            setattr(cloned, attr, copy(getattr(self, attr)))
-        return cloned
+        dup = object.__new__(Sequence)
+        dup.__dict__.update(self._state())
+        return dup
 
     def __getstate__(self):
-        return {attr: getattr(self, attr) for attr in self._ATTRIBUTES}
+        return self._state()
 
     def __setstate__(self, state):
-        for attr in self._ATTRIBUTES:
-            setattr(self, attr, state.get(attr))
+        self.__dict__.update(state)
