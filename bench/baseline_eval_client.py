@@ -90,14 +90,18 @@ def main():
     wall = time.perf_counter() - t0
 
     n_total = sum(r["n_chunks"] for r in results)
-    decode_time = sum(r["total"] - r["ttft"] for r in results)
+    mean_ttft = sum(r["ttft"] for r in results) / len(results)
+    # Decode throughput against WALL clock (minus the mean prefill ramp): the
+    # old sum-of-per-request-times * concurrency formula overstated whenever
+    # requests didn't fully overlap. n_chunks approximates token counts
+    # (1 SSE chunk ~= 1 token for the servers we target).
     print(json.dumps({
         "server": args.url,
         "numseqs": len(prompts),
-        "output_tokens": n_total,
+        "output_tokens_approx_chunks": n_total,
         "end_to_end_tok_s": round(n_total / wall, 2),
-        "decode_tok_s": round(n_total / max(decode_time, 1e-9) * args.concurrency, 2),
-        "mean_ttft_s": round(sum(r["ttft"] for r in results) / len(results), 3),
+        "decode_tok_s": round(n_total / max(wall - mean_ttft, 1e-9), 2),
+        "mean_ttft_s": round(mean_ttft, 3),
     }))
 
 

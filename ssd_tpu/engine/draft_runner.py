@@ -530,8 +530,11 @@ class DraftServer:
             except Exception as e:  # surface errors to the waiting target
                 traceback.print_exc()
                 self._dead = True
-                if cmd == "spec":
-                    self._resp_q.put(e)
+                # Always park the exception in the response queue: a
+                # speculate() blocked (or racing to block) on _resp_q must
+                # observe the failure even when the dying command was a
+                # prefill, which has no reply of its own.
+                self._resp_q.put(e)
                 break
 
     def prefill(self, input_id_lists: list[list[int]], block_tables: np.ndarray,
@@ -549,7 +552,17 @@ class DraftServer:
         the request (one part per non-empty replica)."""
         assert not self._dead, "draft server died"
         self._req_q.put(("spec", req))
-        resp = self._resp_q.get()
+        # Poll with a timeout so a worker that died without replying (e.g. in
+        # a concurrent prefill) can't strand us: _dead is re-checked each
+        # wakeup, while genuine long waits (first-compile minutes) keep
+        # looping.
+        while True:
+            try:
+                resp = self._resp_q.get(timeout=10.0)
+                break
+            except queue.Empty:
+                if self._dead:
+                    raise RuntimeError("draft server died without replying")
         if isinstance(resp, Exception):
             raise RuntimeError("draft server failed") from resp
         return resp

@@ -4,7 +4,9 @@ The reference uses the xxhash package (/root/reference/ssd/engine/block_manager.
 Here the fast path is a native C++ XXH64 implementation (native/ssd_host.cpp)
 loaded via ctypes; the fallback is blake2b truncated to 64 bits. Hashes only
 need to be deterministic within one process, so the two paths never mix:
-whichever is available at import time is used for the process lifetime.
+whichever is available at FIRST USE is used for the process lifetime. The
+native-library probe (which may shell out to `make`) is deferred to that
+first call so importing this module stays side-effect free.
 """
 
 from __future__ import annotations
@@ -13,12 +15,15 @@ import hashlib
 
 import numpy as np
 
-from ssd_tpu.utils.native import get_lib
-
-_LIB = get_lib() or False
+_LIB = None  # None = not probed yet; False = probed, unavailable
 
 
 def hash64(data: bytes, seed: int = 0) -> int:
+    global _LIB
+    if _LIB is None:
+        from ssd_tpu.utils.native import get_lib
+
+        _LIB = get_lib() or False
     if _LIB:
         return int(_LIB.ssd_xxh64(data, len(data), seed & 0xFFFFFFFFFFFFFFFF))
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
