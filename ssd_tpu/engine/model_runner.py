@@ -52,6 +52,24 @@ def slot_of(block_tables, positions_flat, b_of_row, block_size: int):
 # ---------------------------------------------------------------------------
 # Jitted step programs (module-level so jax.jit caches across runner calls)
 # ---------------------------------------------------------------------------
+#
+# Each phase has two entries: the explicit-argument program (used by tests and
+# the graft entry) and a *_packed variant taking ONE flat int32 array that is
+# sliced apart in-program — slices are free under jit, so packing trades N
+# small host->device transfers per step for a single contiguous one (the TPU
+# analogue of the reference's fused-int64 NCCL payload,
+# /root/reference/ssd/utils/async_helpers/nccl_pack.py:5-32). Float payloads
+# (temperatures) travel as raw bits; the PRNG key is derived in-program from a
+# packed seed so no separate key transfer or host-side split dispatch exists.
+
+
+def _key_from(seed_i32):
+    return jax.random.PRNGKey(seed_i32)
+
+
+def _f32(bits_i32):
+    return jax.lax.bitcast_convert_type(bits_i32, jnp.float32)
+
 
 @partial(
     jax.jit,
@@ -253,6 +271,111 @@ def chain_decode_step(
     return toks[:K].T, logits[:K].transpose(1, 0, 2), kv_cache
 
 
+# --- packed variants: ONE int32 payload per dispatch -----------------------
+
+
+def pack_i32(*arrays) -> np.ndarray:
+    """Concatenate int/float numpy arrays into one flat int32 payload
+    (float32 travels as raw bits)."""
+    parts = []
+    for a in arrays:
+        a = np.ascontiguousarray(a)
+        if a.dtype == np.float32:
+            parts.append(a.view(np.int32).reshape(-1))
+        else:
+            parts.append(a.astype(np.int32, copy=False).reshape(-1))
+    return np.concatenate(parts)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("arch", "block_size", "ctx_pad", "q_len", "B_pad", "M",
+                     "use_pallas", "eagle_layers"),
+    donate_argnames=("kv_cache",),
+)
+def decode_step_packed(
+    params, kv_cache, packed, *,
+    arch: Arch, block_size: int, ctx_pad: int, q_len: int, B_pad: int, M: int,
+    use_pallas: bool = False, eagle_layers: tuple[int, ...] | None = None,
+):
+    """decode_step with its entire per-step metadata in one flat int32 array:
+    [ids(B*q) | pos(B*q) | slots(B*q) | block_tables(B*M) | ctx(B) |
+     temp_bits(B) | seed(1)]."""
+    T = B_pad * q_len
+    bt_end = 3 * T + B_pad * M
+    return decode_step(
+        params, kv_cache,
+        packed[:T], packed[T:2 * T], packed[2 * T:3 * T],
+        packed[3 * T:bt_end].reshape(B_pad, M),
+        packed[bt_end:bt_end + B_pad],
+        _f32(packed[bt_end + B_pad:bt_end + 2 * B_pad]),
+        _key_from(packed[bt_end + 2 * B_pad]),
+        arch=arch, block_size=block_size, ctx_pad=ctx_pad, q_len=q_len,
+        use_pallas=use_pallas, eagle_layers=eagle_layers,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("arch", "block_size", "ctx_pad", "s_pad", "B_pad", "M",
+                     "use_pallas", "eagle_layers"),
+    donate_argnames=("kv_cache",),
+)
+def prefill_step_packed(
+    params, kv_cache, packed, *,
+    arch: Arch, block_size: int, ctx_pad: int, s_pad: int, B_pad: int, M: int,
+    use_pallas: bool = False, eagle_layers: tuple[int, ...] | None = None,
+):
+    """batched_prefill_step with one flat int32 payload:
+    [ids(B*s) | pos(B*s) | slots(B*s) | block_tables(B*M) | ctx(B) | qeff(B) |
+     temp_bits(B) | seed(1)]."""
+    T = B_pad * s_pad
+    bt_end = 3 * T + B_pad * M
+    return batched_prefill_step(
+        params, kv_cache,
+        packed[:T], packed[T:2 * T], packed[2 * T:3 * T],
+        packed[3 * T:bt_end].reshape(B_pad, M),
+        packed[bt_end:bt_end + B_pad],
+        packed[bt_end + B_pad:bt_end + 2 * B_pad],
+        _f32(packed[bt_end + 2 * B_pad:bt_end + 3 * B_pad]),
+        _key_from(packed[bt_end + 3 * B_pad]),
+        arch=arch, block_size=block_size, ctx_pad=ctx_pad, s_pad=s_pad,
+        use_pallas=use_pallas, eagle_layers=eagle_layers,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("arch", "block_size", "ctx_pad", "K", "B_pad", "M",
+                     "sampler_x", "fan_out", "tree_sampling", "use_pallas",
+                     "extra_write"),
+    donate_argnames=("kv_cache",),
+)
+def chain_decode_step_packed(
+    params, kv_cache, packed, *,
+    arch: Arch, block_size: int, ctx_pad: int, K: int, B_pad: int, M: int,
+    sampler_x: float | None = None, fan_out: int = 3,
+    tree_sampling: bool = False, use_pallas: bool = False,
+    extra_write: bool = True,
+):
+    """chain_decode_step with one flat int32 payload:
+    [first(B) | start_pos(B) | block_tables(B*M) | ctx0(B) | temp_bits(B) |
+     seed(1)]."""
+    B = B_pad
+    bt_end = 2 * B + B * M
+    return chain_decode_step(
+        params, kv_cache,
+        packed[:B], packed[B:2 * B],
+        packed[2 * B:bt_end].reshape(B, M),
+        packed[bt_end:bt_end + B],
+        _f32(packed[bt_end + B:bt_end + 2 * B]),
+        _key_from(packed[bt_end + 2 * B]),
+        arch=arch, block_size=block_size, ctx_pad=ctx_pad, K=K,
+        sampler_x=sampler_x, fan_out=fan_out, tree_sampling=tree_sampling,
+        use_pallas=use_pallas, extra_write=extra_write,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Runner
 # ---------------------------------------------------------------------------
@@ -295,6 +418,11 @@ class ModelRunner:
         )
 
         self.key = jax.random.PRNGKey(config.seed + (1 if is_draft else 0))
+        # Host-side PRNG seed chain for the packed step programs: the key is
+        # derived in-program from one packed int32, so no device-side
+        # jax.random.split dispatch (or separate key transfer) happens per
+        # step.
+        self._seed_state = (config.seed * 2654435761 + (1 if is_draft else 0)) & 0x7FFFFFFF
 
         self.params = self._make_params(init_random)
         if mesh is not None:
@@ -308,6 +436,26 @@ class ModelRunner:
         self.num_kvcache_blocks = self._decide_num_blocks()
         config.num_kvcache_blocks = self.num_kvcache_blocks
         self.kv_cache = self._allocate_kv_cache()
+
+        # Multi-controller SPMD (num_hosts > 1): jit inputs must be GLOBAL
+        # arrays, so packed payloads are device_put with a fully-replicated
+        # sharding over the global mesh (every host computes the identical
+        # payload from its identical scheduler state).
+        self._payload_sharding = None
+        if mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._payload_sharding = NamedSharding(mesh, PartitionSpec())
+
+    def _upload(self, payload: np.ndarray):
+        if self._payload_sharding is not None:
+            return jax.device_put(payload, self._payload_sharding)
+        return jnp.asarray(payload)
+
+    def _next_seed(self) -> int:
+        """LCG over int31: one fresh sampling seed per packed dispatch."""
+        self._seed_state = (self._seed_state * 1103515245 + 12345) & 0x7FFFFFFF
+        return self._seed_state
 
     # --- model construction (overridden by the EAGLE draft runner) ---
 
@@ -425,15 +573,13 @@ class ModelRunner:
             temps[i] = seq.temperature
 
         ctx_pad = self._ctx_bucket(int(context_lens.max()))
-        self.key, sub = jax.random.split(self.key)
-        tokens, _, acts, self.kv_cache = batched_prefill_step(
-            self.params, self.kv_cache,
-            jnp.asarray(input_ids.reshape(-1)), jnp.asarray(positions.reshape(-1)),
-            jnp.asarray(slot_map.reshape(-1)), jnp.asarray(bt),
-            jnp.asarray(context_lens), jnp.asarray(qeff), jnp.asarray(temps), sub,
+        payload = pack_i32(input_ids, positions, slot_map, bt, context_lens,
+                           qeff, temps, np.int32([self._next_seed()]))
+        tokens, _, acts, self.kv_cache = prefill_step_packed(
+            self.params, self.kv_cache, self._upload(payload),
             arch=self.arch, block_size=self.block_size,
-            ctx_pad=ctx_pad, s_pad=s_pad, use_pallas=self.use_pallas,
-            eagle_layers=self.eagle_layers,
+            ctx_pad=ctx_pad, s_pad=s_pad, B_pad=B_pad, M=self.max_blocks,
+            use_pallas=self.use_pallas, eagle_layers=self.eagle_layers,
         )
         token_list = np.asarray(tokens)[:B].tolist()
         if return_acts:
@@ -486,14 +632,13 @@ class ModelRunner:
         if temps_override is not None:
             temps[: len(seqs)] = temps_override
         ctx_pad = self._ctx_bucket(int(context_lens.max()))
-        self.key, sub = jax.random.split(self.key)
-        tokens, logits, acts, self.kv_cache = decode_step(
-            self.params, self.kv_cache,
-            jnp.asarray(input_ids), jnp.asarray(positions), jnp.asarray(slot_map),
-            jnp.asarray(bt), jnp.asarray(context_lens), jnp.asarray(temps), sub,
+        payload = pack_i32(input_ids, positions, slot_map, bt, context_lens,
+                           temps, np.int32([self._next_seed()]))
+        tokens, logits, acts, self.kv_cache = decode_step_packed(
+            self.params, self.kv_cache, self._upload(payload),
             arch=self.arch, block_size=self.block_size,
-            ctx_pad=ctx_pad, q_len=q_len, use_pallas=self.use_pallas,
-            eagle_layers=self.eagle_layers,
+            ctx_pad=ctx_pad, q_len=q_len, B_pad=B_pad, M=self.max_blocks,
+            use_pallas=self.use_pallas, eagle_layers=self.eagle_layers,
         )
         B = len(seqs)
         if prof:
@@ -539,13 +684,12 @@ class ModelRunner:
                 else seq.temperature
             )
         ctx_pad = self._ctx_bucket(int(ctx0.max()) + K + 1)
-        self.key, sub = jax.random.split(self.key)
-        tokens, logits_q, self.kv_cache = chain_decode_step(
-            self.params, self.kv_cache,
-            jnp.asarray(first), jnp.asarray(start_pos), jnp.asarray(bt),
-            jnp.asarray(ctx0), jnp.asarray(temps), sub,
+        payload = pack_i32(first, start_pos, bt, ctx0, temps,
+                           np.int32([self._next_seed()]))
+        tokens, logits_q, self.kv_cache = chain_decode_step_packed(
+            self.params, self.kv_cache, self._upload(payload),
             arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad, K=K,
-            use_pallas=self.use_pallas,
+            B_pad=B_pad, M=self.max_blocks, use_pallas=self.use_pallas,
             extra_write=self.is_draft if extra_write is None else extra_write,
         )
         return np.asarray(tokens)[:B], logits_q[:B]
@@ -570,41 +714,44 @@ class ModelRunner:
         combined with the persistent XLA cache this removes all mid-run
         compilation stalls."""
         last = None
+        M = self.max_blocks
         for B_pad in batch_pads:
-            bt = jnp.full((B_pad, self.max_blocks), -1, jnp.int32)
-            ctx1 = jnp.ones(B_pad, jnp.int32)
-            temps = jnp.ones(B_pad, jnp.float32)
-            key = jax.random.PRNGKey(0)
+            bt = np.full((B_pad, M), -1, np.int32)
+            ctx1 = np.ones(B_pad, np.int32)
+            temps = np.ones(B_pad, np.float32)
+            seed = np.int32([0])
             for ctx_pad in self._ctx_buckets():
                 for q in q_lens:
                     T = B_pad * q
-                    ghost = jnp.full(T, -1, jnp.int32)
-                    last, _, _, self.kv_cache = decode_step(
+                    zeros, ghost = np.zeros(T, np.int32), np.full(T, -1, np.int32)
+                    last, _, _, self.kv_cache = decode_step_packed(
                         self.params, self.kv_cache,
-                        jnp.zeros(T, jnp.int32), jnp.zeros(T, jnp.int32),
-                        ghost, bt, ctx1, temps, key,
+                        jnp.asarray(pack_i32(zeros, zeros, ghost, bt, ctx1,
+                                             temps, seed)),
                         arch=self.arch, block_size=self.block_size,
-                        ctx_pad=ctx_pad, q_len=q, use_pallas=self.use_pallas,
+                        ctx_pad=ctx_pad, q_len=q, B_pad=B_pad, M=M,
+                        use_pallas=self.use_pallas,
                         eagle_layers=self.eagle_layers,
                     )
                 for K in chain_Ks:
-                    last, _, self.kv_cache = chain_decode_step(
+                    zb = np.zeros(B_pad, np.int32)
+                    last, _, self.kv_cache = chain_decode_step_packed(
                         self.params, self.kv_cache,
-                        jnp.zeros(B_pad, jnp.int32), jnp.zeros(B_pad, jnp.int32),
-                        bt, ctx1, temps, key,
+                        jnp.asarray(pack_i32(zb, zb, bt, ctx1, temps, seed)),
                         arch=self.arch, block_size=self.block_size,
-                        ctx_pad=ctx_pad, K=K, use_pallas=self.use_pallas,
+                        ctx_pad=ctx_pad, K=K, B_pad=B_pad, M=M,
+                        use_pallas=self.use_pallas,
                         extra_write=self.is_draft,
                     )
                 for s_pad in prefill_s_pads:
-                    last, _, _, self.kv_cache = batched_prefill_step(
+                    T = B_pad * s_pad
+                    zeros, ghost = np.zeros(T, np.int32), np.full(T, -1, np.int32)
+                    last, _, _, self.kv_cache = prefill_step_packed(
                         self.params, self.kv_cache,
-                        jnp.zeros(B_pad * s_pad, jnp.int32),
-                        jnp.zeros(B_pad * s_pad, jnp.int32),
-                        jnp.full(B_pad * s_pad, -1, jnp.int32),
-                        bt, ctx1, ctx1, temps, key,
+                        jnp.asarray(pack_i32(zeros, zeros, ghost, bt, ctx1,
+                                             ctx1, temps, seed)),
                         arch=self.arch, block_size=self.block_size,
-                        ctx_pad=ctx_pad, s_pad=s_pad,
+                        ctx_pad=ctx_pad, s_pad=s_pad, B_pad=B_pad, M=M,
                         use_pallas=self.use_pallas,
                         eagle_layers=self.eagle_layers,
                     )
