@@ -36,6 +36,10 @@ def parse_arguments():
     p.add_argument("--peak-gbs", type=float, default=819.0,
                    help="HBM peak GB/s (v5e=819, v5p=2765, v4=1228)")
     p.add_argument("--impl", choices=["pallas", "jnp", "both"], default="both")
+    p.add_argument("--inloop", action="store_true",
+                   help="chain iters inside ONE program (lax.fori_loop) so "
+                        "per-iter time is pure device time, free of "
+                        "per-dispatch host/tunnel overhead")
     return p.parse_args()
 
 
@@ -60,19 +64,31 @@ def run_impl(impl, args):
 
     if impl == "pallas":
         interp = jax.default_backend() != "tpu"  # CPU: interpret mode only
-        fn = jax.jit(lambda qq: patt.paged_attention(
-            qq, kv, bt, ctx_lens, qeff, bs, ctx, scale, interpret=interp))
+        body = lambda qq: patt.paged_attention(
+            qq, kv, bt, ctx_lens, qeff, bs, ctx, scale, interpret=interp)
     else:
-        fn = jax.jit(lambda qq: att.paged_attention(
-            qq, kv, bt, ctx_lens, bs, ctx, scale))
+        body = lambda qq: att.paged_attention(
+            qq, kv, bt, ctx_lens, bs, ctx, scale)
 
-    np.asarray(fn(q))  # compile + sync
-    t0 = time.perf_counter()
-    out = q
-    for _ in range(args.iters):
-        out = fn(out[:, :, :, :])  # chain via q to defeat CSE
-    np.asarray(out)
-    dt_s = (time.perf_counter() - t0) / args.iters
+    if args.inloop:
+        # One dispatch, iters kernel invocations chained through q: measures
+        # pure device time (the per-dispatch host/tunnel overhead is paid
+        # once and subtracted out by the division).
+        fn = jax.jit(lambda qq: jax.lax.fori_loop(
+            0, args.iters, lambda i, acc: body(acc).astype(acc.dtype), qq))
+        np.asarray(fn(q))  # compile + sync
+        t0 = time.perf_counter()
+        np.asarray(fn(q))
+        dt_s = (time.perf_counter() - t0) / args.iters
+    else:
+        fn = jax.jit(body)
+        np.asarray(fn(q))  # compile + sync
+        t0 = time.perf_counter()
+        out = q
+        for _ in range(args.iters):
+            out = fn(out[:, :, :, :])  # chain via q to defeat CSE
+        np.asarray(out)
+        dt_s = (time.perf_counter() - t0) / args.iters
 
     itemsize = 2 if args.dtype == "bf16" else 4
     bytes_moved = (

@@ -70,6 +70,14 @@ class Config:
     max_model_len: int = 4096
     hbm_memory_utilization: float = 0.7
     num_devices: int = 1
+    # Multi-host (DCN) serving: every host runs the same engine loop as one
+    # controller of a global SPMD program over a hybrid ("dcn", "tp") mesh
+    # (the reference is hard-capped to one node, config.py:55). With
+    # coordinator_address set, the engine joins/initialises the distributed
+    # runtime itself; leave it None if jax.distributed is already initialised.
+    num_hosts: int = 1
+    coordinator_address: str | None = None
+    host_id: int | None = None
     enforce_eager: bool = False  # kept for CLI parity; XLA always compiles
     hf_config: ModelConfig | None = None
     eos: int = -1

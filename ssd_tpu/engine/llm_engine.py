@@ -63,11 +63,18 @@ def _enable_persistent_compile_cache():
 class LLMEngine:
 
     def __init__(self, model, **kwargs):
-        _enable_persistent_compile_cache()
         config_fields = {f.name for f in fields(Config)}
         config_kwargs = {k: v for k, v in kwargs.items() if k in config_fields}
         config = Config(model, **config_kwargs)
         self.config = config
+        if config.num_hosts > 1 and config.coordinator_address is not None:
+            # Must run before ANY backend touch (including the compile-cache
+            # probe below).
+            from ssd_tpu.parallel.mesh import init_multihost
+
+            init_multihost(config.coordinator_address, config.num_hosts,
+                           config.host_id)
+        _enable_persistent_compile_cache()
         Sequence.block_size = config.kvcache_block_size
 
         assert config.kvcache_block_size >= 2 * config.speculate_k + 2, (
@@ -86,9 +93,17 @@ class LLMEngine:
 
         self._init_random = kwargs.get("init_random", False)
 
-        # Target runner: single SPMD program over the tp mesh.
+        # Target runner: single SPMD program over the tp mesh (hybrid
+        # dcn x tp when serving across hosts).
         mesh = None
-        if config.tp_size > 1:
+        if config.num_hosts > 1:
+            assert not config.draft_async, (
+                "async draft is not supported with num_hosts > 1 yet"
+            )
+            from ssd_tpu.parallel.mesh import make_hybrid_mesh
+
+            mesh = make_hybrid_mesh(num_hosts=config.num_hosts)
+        elif config.tp_size > 1:
             from ssd_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(tp_size=config.tp_size)

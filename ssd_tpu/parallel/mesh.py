@@ -49,18 +49,31 @@ def init_multihost(coordinator_address: str | None = None,
     )
 
 
-def make_hybrid_mesh(tp_per_host: int | None = None) -> Mesh:
+def make_hybrid_mesh(tp_per_host: int | None = None,
+                     num_hosts: int | None = None) -> Mesh:
     """Multi-host mesh with DCN as the outer ("dcn") axis and ICI as the
-    inner ("tp") axis, so per-layer all-reduces ride ICI and only the rare
-    cross-host collectives touch DCN."""
-    from jax.experimental import mesh_utils
+    inner ("tp") axis, so dense per-layer all-reduces ride ICI and only the
+    hierarchical reduction step touches DCN. On a real TPU slice the layout
+    comes from mesh_utils (ICI-topology aware); elsewhere — including
+    single-process emulation of an n-host mesh on virtual devices — it is a
+    host-major reshape of jax.devices(), which matches the multi-process
+    global device order so the two produce bit-identical programs."""
+    devices = jax.devices()
+    if num_hosts is None:
+        n_local = tp_per_host or jax.local_device_count()
+        num_hosts = max(1, len(devices) // n_local)
+    else:
+        n_local = tp_per_host or (len(devices) // num_hosts)
 
-    n_local = tp_per_host or jax.local_device_count()
-    n_hosts = jax.device_count() // n_local
-    arr = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(1, n_local),
-        dcn_mesh_shape=(n_hosts, 1),
-    )
+    if jax.default_backend() == "tpu" and jax.process_count() > 1:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, n_local),
+            dcn_mesh_shape=(num_hosts, 1),
+        ).reshape(num_hosts, n_local)
+    else:
+        arr = np.asarray(devices[: num_hosts * n_local]).reshape(num_hosts, n_local)
     return Mesh(arr, axis_names=("dcn", "tp"))
 
 
@@ -91,16 +104,32 @@ def param_specs(params: dict) -> dict:
     return specs
 
 
+def _axes_size(mesh: Mesh, name) -> int:
+    names = name if isinstance(name, tuple) else (name,)
+    size = 1
+    for n in names:
+        size *= mesh.shape[n]
+    return size
+
+
 def _compatible_spec(x, spec: P, mesh: Mesh) -> P:
-    """Drop sharded axes that don't divide the dimension (e.g. tp > kv heads
-    in GQA: replicate KV instead of sharding it)."""
+    """Adapt a spec to the mesh: on a hybrid ("dcn", "tp") mesh the model axes
+    shard over BOTH (so a 70B's memory scales across hosts); axes whose size
+    the dimension doesn't divide fall back to "tp" alone, then to replication
+    (e.g. tp > kv heads in GQA: replicate KV instead of sharding it)."""
+    hybrid = "dcn" in mesh.axis_names
     axes = []
     for dim, name in zip(x.shape, spec):
         if name is None:
             axes.append(None)
             continue
-        size = mesh.shape[name]
-        axes.append(name if dim % size == 0 else None)
+        candidates = [("dcn", name), name] if (hybrid and name == "tp") else [name]
+        chosen = None
+        for cand in candidates:
+            if dim % _axes_size(mesh, cand) == 0:
+                chosen = cand
+                break
+        axes.append(chosen)
     return P(*axes)
 
 
@@ -116,8 +145,13 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
 
 
 def kv_sharding(mesh: Mesh, num_kv_heads: int | None = None) -> NamedSharding:
-    """KV cache [L, 2, H_kv, S, hd] sharded over kv heads; replicated when tp
-    does not divide the kv-head count."""
-    if num_kv_heads is not None and num_kv_heads % mesh.shape["tp"] != 0:
-        return NamedSharding(mesh, P(None))
-    return NamedSharding(mesh, P(None, None, "tp", None, None))
+    """KV cache [L, 2, H_kv, S, hd] sharded over kv heads; falls back from
+    ("dcn","tp") to "tp" to replication when the kv-head count doesn't
+    divide."""
+    if num_kv_heads is None:
+        return NamedSharding(mesh, P(None, None, "tp", None, None))
+    hybrid = "dcn" in mesh.axis_names
+    for cand in ([("dcn", "tp")] if hybrid else []) + ["tp"]:
+        if num_kv_heads % _axes_size(mesh, cand) == 0:
+            return NamedSharding(mesh, P(None, None, cand, None, None))
+    return NamedSharding(mesh, P(None))

@@ -93,3 +93,76 @@ def test_two_process_dcn_tp_decode_matches_single_process():
         outs.append(out)
     got = _tokens_line(outs[0])
     assert got == want, f"{got} != {want}"
+
+
+# --- full engine loop over two processes (VERDICT r1 item 4) ---------------
+
+WORKER_GEN = textwrap.dedent("""
+    import os, sys
+    mode, port, local_devices, pid, model_dir = sys.argv[1:6]
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}"
+    )
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from ssd_tpu.llm import LLM
+    from ssd_tpu.sampling_params import SamplingParams
+
+    kw = dict(init_random=False, dtype="float32", max_model_len=128,
+              max_num_seqs=2, kvcache_block_size=16, num_kvcache_blocks=32,
+              num_hosts=2)
+    if mode == "dist":
+        # The ENGINE joins the distributed runtime (Config wiring under test).
+        kw.update(coordinator_address=f"localhost:{port}", host_id=int(pid))
+    eng = LLM(model_dir, **kw)
+    prompts = [[1, 5, 9, 2, 7], [4, 4, 8], [3, 1, 2, 6, 6, 6, 1], [9, 9]]
+    outs, _ = eng.generate(
+        prompts,
+        SamplingParams(temperature=0.0, max_new_tokens=12, ignore_eos=True),
+        use_tqdm=False,
+    )
+    print("GEN", [o["token_ids"] for o in outs], flush=True)
+""")
+
+
+def _gen_line(text: str) -> str:
+    return [l for l in text.splitlines() if l.startswith("GEN")][0]
+
+
+@pytest.mark.skipif(os.environ.get("SSD_SKIP_MULTIHOST") == "1",
+                    reason="multihost disabled")
+def test_two_process_generate_matches_single_process(tmp_path):
+    """Continuous batching (max_num_seqs=2 over 4 prompts: prefill waves +
+    decode) through LLM(num_hosts=2): two engine controllers over a global
+    (dcn=2, tp=2) mesh must produce the same tokens as one controller
+    emulating the same mesh on 4 local devices."""
+    from tests.utils_models import make_tiny_llama
+
+    model_dir = str(tmp_path / "m")
+    make_tiny_llama(model_dir, seed=11)
+    port = str(29500 + (os.getpid() + 101) % 500)
+
+    ref = subprocess.run(
+        [sys.executable, "-c", WORKER_GEN, "single", port, "4", "0", model_dir],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert ref.returncode == 0, ref.stdout + ref.stderr
+    want = _gen_line(ref.stdout)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER_GEN, "dist", port, "2", str(i),
+             model_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd="/root/repo",
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out[-2000:]
+        outs.append(out)
+    for out in outs:
+        got = _gen_line(out)
+        assert got == want, f"{got} != {want}"
