@@ -1,0 +1,93 @@
+"""Wall-clock proof of the async SSD overlap (VERDICT r1 item 8a): the draft
+server replies to the target BEFORE dispatching the next tree builds, so the
+tree build's wall-clock overlaps the target's verify. The reference gets this
+overlap from a separate draft GPU process (speculator_async.py); here it falls
+out of the reply-then-build ordering in DraftServer._loop."""
+
+import threading
+import time
+from time import perf_counter
+
+from ssd_tpu import SamplingParams
+from ssd_tpu.llm import LLM
+from tests.utils_models import make_tiny_llama
+
+
+def test_tree_build_overlaps_target_verify(tmp_path_factory):
+    target = tmp_path_factory.mktemp("ov_target")
+    draft = tmp_path_factory.mktemp("ov_draft")
+    make_tiny_llama(target, seed=0)
+    make_tiny_llama(draft, layers=1, seed=1)
+
+    engine = LLM(
+        str(target),
+        draft=str(draft),
+        speculate=True,
+        speculate_k=2,
+        draft_async=True,
+        async_fan_out=2,
+        dtype="float32",
+        max_model_len=128,
+        max_num_batched_tokens=512,
+        kvcache_block_size=16,
+        num_kvcache_blocks=64,
+        max_num_seqs=2,
+        seed=0,
+    )
+    server = engine.draft_server
+    runner = server.runners[0]
+
+    events = []  # (name, round-robin time)
+    lock = threading.Lock()
+
+    orig_build = runner.build_tree
+
+    def slow_build(req, parts):
+        with lock:
+            events.append(("build_start", perf_counter()))
+        out = orig_build(req, parts)
+        time.sleep(0.05)  # make the build window unambiguous vs timer noise
+        with lock:
+            events.append(("build_end", perf_counter()))
+        return out
+
+    runner.build_tree = slow_build
+
+    orig_spec = server.speculate
+
+    def timed_speculate(req):
+        out = orig_spec(req)
+        with lock:
+            # The target thread resumes (and begins verify) here.
+            events.append(("reply", perf_counter()))
+        return out
+
+    server.speculate = timed_speculate
+
+    engine.generate(
+        [[1, 5, 9, 2], [7, 3, 2]],
+        SamplingParams(temperature=0.0, max_new_tokens=24, ignore_eos=True),
+        use_tqdm=False,
+    )
+    engine.exit()
+
+    replies = [t for n, t in events if n == "reply"]
+    builds = [
+        (s, e)
+        for (n1, s), (n2, e) in zip(events, events[1:])
+        if n1 == "build_start" and n2 == "build_end"
+    ]
+    assert replies and builds, f"no overlap events recorded: {events}"
+
+    # For each build window, the target must already have been unblocked
+    # (reply released) before the build finished — i.e. the verify that
+    # consumes that reply runs DURING the build.
+    overlapped = sum(
+        1
+        for s, e in builds
+        if any(s - 0.5 < r < e - 0.04 for r in replies)
+    )
+    assert overlapped >= max(1, len(builds) // 2), (
+        f"builds={builds[:4]}... replies={replies[:4]}... "
+        f"only {overlapped}/{len(builds)} builds overlapped a target resume"
+    )
