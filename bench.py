@@ -21,6 +21,67 @@ import sys
 import time
 
 
+def build_spec_checkpoints(model_dir: str) -> tuple[str, str]:
+    """Write (once) a target/draft checkpoint pair for the spec bench: the
+    target's layers >= L/4 have wo = down = 0 (exact residual passthrough),
+    and the draft shares the live layers + embeddings, so greedy outputs
+    agree token-for-token while the draft costs ~1/4 of the target."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        cfg = json.load(f)
+    L = cfg["num_hidden_layers"]
+    Ld = max(1, L // 4)
+    tdir, ddir = model_dir + "_spec_target", model_dir + "_spec_draft"
+    t_file = os.path.join(tdir, "model.safetensors")
+    d_file = os.path.join(ddir, "model.safetensors")
+    for d, n_layers in ((tdir, L), (ddir, Ld)):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump({**cfg, "num_hidden_layers": n_layers}, f)
+    if os.path.exists(t_file) and os.path.exists(d_file):
+        return tdir, ddir
+
+    rng = np.random.default_rng(0)
+    D, I, V = cfg["hidden_size"], cfg["intermediate_size"], cfg["vocab_size"]
+    Hq, Hkv = cfg["num_attention_heads"], cfg["num_key_value_heads"]
+    hd = cfg.get("head_dim") or D // Hq
+
+    def w(*shape):
+        return (rng.standard_normal(shape, dtype=np.float32) * 0.02).astype(np.float16)
+
+    target = {
+        "model.embed_tokens.weight": w(V, D),
+        "model.norm.weight": np.ones((D,), np.float16),
+    }
+    draft = dict(target)
+    for i in range(L):
+        live = i < Ld
+        pre = f"model.layers.{i}."
+        layer = {
+            pre + "input_layernorm.weight": np.ones((D,), np.float16),
+            pre + "post_attention_layernorm.weight": np.ones((D,), np.float16),
+            pre + "self_attn.q_proj.weight": w(Hq * hd, D),
+            pre + "self_attn.k_proj.weight": w(Hkv * hd, D),
+            pre + "self_attn.v_proj.weight": w(Hkv * hd, D),
+            pre + "self_attn.o_proj.weight": (
+                w(D, Hq * hd) if live else np.zeros((D, Hq * hd), np.float16)
+            ),
+            pre + "mlp.gate_proj.weight": w(I, D),
+            pre + "mlp.up_proj.weight": w(I, D),
+            pre + "mlp.down_proj.weight": (
+                w(D, I) if live else np.zeros((D, I), np.float16)
+            ),
+        }
+        target.update(layer)
+        if live:
+            draft.update(layer)
+    save_file(target, t_file)
+    save_file(draft, d_file)
+    return tdir, ddir
+
+
 def main():
     import numpy as np
 
@@ -66,10 +127,24 @@ def main():
         ctx_bucket_policy="single",
     )
     if mode in ("sd", "ssd"):
-        # Self-draft speculation: exercises the full spec machinery (chain /
-        # tree / verify) with deterministic full acceptance.
-        kw.update(speculate=True, draft=model_dir, speculate_k=4,
+        # Speculation with a genuinely smaller draft (L/4 layers, same width).
+        # With random weights a small draft would accept at chance level, so
+        # the checkpoints are constructed for functional equality instead: the
+        # target's upper layers have zero output projections (residual
+        # passthrough -> its logits equal its own L/4-layer prefix), and the
+        # draft IS that prefix. Acceptance is 100% like the old self-draft
+        # mode, but the draft now genuinely costs 1/4 of the target, so sync
+        # SD can beat AR on one chip — while the target still reads every
+        # byte of its weights each forward, and weights flow through the real
+        # safetensors loader. SSD_BENCH_SELF_DRAFT=1 restores self-drafting.
+        if os.environ.get("SSD_BENCH_SELF_DRAFT") == "1":
+            target_dir = draft_dir = model_dir
+        else:
+            target_dir, draft_dir = build_spec_checkpoints(model_dir)
+        kw.update(speculate=True, draft=draft_dir, speculate_k=4,
                   draft_async=(mode == "ssd"), async_fan_out=2)
+        kw["init_random"] = target_dir == model_dir
+        model_dir = target_dir
     else:
         kw.update(multi_step=multi_step)
     engine = LLM(model_dir, **kw)

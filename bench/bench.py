@@ -71,6 +71,7 @@ def parse_arguments():
                    help="use a few real chat prompts and print the generations")
     p.add_argument("--humaneval", action="store_true")
     p.add_argument("--alpaca", action="store_true")
+    p.add_argument("--gsm8k", action="store_true")
     p.add_argument("--c4", action="store_true")
     p.add_argument("--ultrafeedback", action="store_true")
     p.add_argument("--random", action="store_true")

@@ -120,7 +120,7 @@ def random_token_prompts(num, input_len, hi=10000):
 
 def generate_benchmark_inputs(args, model_path):
     """Token-id prompts for the selected dataset flags (random fallback)."""
-    chosen = [d for d in ("humaneval", "alpaca", "c4", "ultrafeedback") if getattr(args, d)]
+    chosen = [d for d in ("humaneval", "alpaca", "gsm8k", "c4", "ultrafeedback") if getattr(args, d)]
     # EAGLE drafts are trained on chat-formatted data; always wrap
     # (reference bench_helpers.py use_chat_template = chat_template or eagle).
     chat = args.chat_template or getattr(args, "eagle", False)
