@@ -96,6 +96,13 @@ class Config:
     # weight reads dominate decode at small batch, so the extra KV-page scans
     # are cheap).
     ctx_bucket_policy: str = "pow2"
+    # Pre-compile every decode-side shape bucket at engine init (the analogue
+    # of the reference capturing its CUDA graphs at init,
+    # model_runner.py:278-302). None = auto: on for the TPU backend, where a
+    # mid-serving bucket compile stalls decoding for minutes; off on CPU.
+    # Combined with the persistent XLA cache the cost is paid once per
+    # machine.
+    warmup_on_init: bool | None = None
 
     # spec config args
     draft_hf_config: ModelConfig | None = None

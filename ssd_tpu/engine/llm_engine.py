@@ -139,6 +139,15 @@ class LLMEngine:
             config.eos = self.tokenizer.eos_token_id
 
         self.scheduler = Scheduler(config, draft_cfg=self.draft_cfg)
+
+        warm = config.warmup_on_init
+        if warm is None:
+            import jax
+
+            warm = jax.default_backend() == "tpu"
+        if warm:
+            self.warmup()
+
         self._exiting = False
         # Best-effort teardown of the draft controller on interpreter exit
         # (reference llm_engine.py:124 atexit hook).
