@@ -35,7 +35,10 @@ def parse_arguments():
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--peak-gbs", type=float, default=819.0,
                    help="HBM peak GB/s (v5e=819, v5p=2765, v4=1228)")
-    p.add_argument("--impl", choices=["pallas", "jnp", "both"], default="both")
+    p.add_argument("--impl", choices=["pallas", "pallas2", "jnp", "both", "all"],
+                   default="both")
+    p.add_argument("--ppc", type=int, default=8,
+                   help="pages per chunk for the v2 kernel")
     p.add_argument("--inloop", action="store_true",
                    help="chain iters inside ONE program (lax.fori_loop) so "
                         "per-iter time is pure device time, free of "
@@ -53,7 +56,7 @@ def run_impl(impl, args):
     M = ctx // bs
     S = B * ctx + bs
     rng = np.random.default_rng(0)
-    kv = jnp.asarray(rng.normal(size=(2, Hkv, S, hd)), dt)
+    kv = jnp.asarray(rng.normal(size=(Hkv, S, 2 * hd)), dt)
     q = jnp.asarray(rng.normal(size=(B, Q, Hq, hd)), dt)
     bt = jnp.asarray(
         rng.permutation(B * M).reshape(B, M).astype(np.int32) + 1
@@ -62,10 +65,14 @@ def run_impl(impl, args):
     qeff = jnp.full((B,), Q, jnp.int32)
     scale = hd ** -0.5
 
+    interp = jax.default_backend() != "tpu"  # CPU: interpret mode only
     if impl == "pallas":
-        interp = jax.default_backend() != "tpu"  # CPU: interpret mode only
         body = lambda qq: patt.paged_attention(
             qq, kv, bt, ctx_lens, qeff, bs, ctx, scale, interpret=interp)
+    elif impl == "pallas2":
+        body = lambda qq: patt.paged_attention_v2(
+            qq, kv, bt, ctx_lens, qeff, bs, ctx, scale,
+            pages_per_chunk=args.ppc, interpret=interp)
     else:
         body = lambda qq: att.paged_attention(
             qq, kv, bt, ctx_lens, bs, ctx, scale)
@@ -97,7 +104,8 @@ def run_impl(impl, args):
     )
     gbs = bytes_moved / dt_s / 1e9
     print(
-        f"[{impl}] B={B} Q={Q} ctx={ctx} Hq/Hkv={Hq}/{Hkv} hd={hd} "
+        f"[{impl}{'' if impl != 'pallas2' else ':ppc' + str(args.ppc)}] "
+        f"B={B} Q={Q} ctx={ctx} Hq/Hkv={Hq}/{Hkv} hd={hd} "
         f"{args.dtype}: {dt_s*1e3:.3f} ms, {gbs:.1f} GB/s "
         f"({100*gbs/args.peak_gbs:.1f}% of {args.peak_gbs:.0f} GB/s peak)",
         flush=True,
@@ -108,7 +116,8 @@ def run_impl(impl, args):
 def main():
     args = parse_arguments()
     print(f"devices: {jax.devices()}", flush=True)
-    impls = ["pallas", "jnp"] if args.impl == "both" else [args.impl]
+    impls = {"both": ["pallas", "jnp"],
+             "all": ["pallas", "pallas2", "jnp"]}.get(args.impl, [args.impl])
     for impl in impls:
         run_impl(impl, args)
 

@@ -117,7 +117,7 @@ def tree_build_program(
         if use_pallas:
             from ssd_tpu.ops import pallas_attention as patt
 
-            o = patt.paged_attention(
+            o = patt.paged_attention_best(
                 qr, kv_layer, block_tables, glue_ctx,
                 jnp.full((B,), Kp1, jnp.int32), block_size, ctx_pad, scale,
             )

@@ -48,7 +48,7 @@ def _paged_attn(q4, kv_layer, block_tables, ctx, qeff, block_size, ctx_pad,
     if use_pallas:
         from ssd_tpu.ops import pallas_attention as patt
 
-        return patt.paged_attention(
+        return patt.paged_attention_best(
             q4, kv_layer, block_tables, ctx, qeff, block_size, ctx_pad, scale
         )
     return att.paged_attention(

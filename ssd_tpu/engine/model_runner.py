@@ -9,8 +9,10 @@ one SPMD JAX program per phase:
    (cudagraph_helpers.py:25-57).
  - TP process group -> NamedSharding over an ICI mesh axis; XLA inserts and
    overlaps the per-layer all-reduces (linear.py:196-199 equivalent).
- - KV cache: one [L, 2, H_kv, S, hd] array, flat slots, donated through every
-   step so XLA updates it in place (model_runner.py:484-503 equivalent).
+ - KV cache: one [L, H_kv, S, 2*hd] array (K/V interleaved on the minor
+   axis for 128-lane-aligned page DMAs; see ssd_tpu.ops.attention), flat
+   slots, donated through every step so XLA updates it in place
+   (model_runner.py:484-503 equivalent).
 
 Host-side input prep (prepare_* methods) mirrors runner_helpers.py and stays
 in numpy, off the XLA trace.
@@ -108,7 +110,7 @@ def decode_step(
         if use_pallas:
             from ssd_tpu.ops import pallas_attention as patt
 
-            o = patt.paged_attention(
+            o = patt.paged_attention_best(
                 qr, kv_layer, block_tables, context_lens,
                 jnp.full((B,), q_len, jnp.int32), block_size, ctx_pad, scale,
             )
@@ -170,7 +172,7 @@ def batched_prefill_step(
         if use_pallas:
             from ssd_tpu.ops import pallas_attention as patt
 
-            o = patt.paged_attention(
+            o = patt.paged_attention_best(
                 qr, kv_layer, block_tables, context_lens, qeff,
                 block_size, ctx_pad, scale,
             )
@@ -243,7 +245,7 @@ def chain_decode_step(
             if use_pallas:
                 from ssd_tpu.ops import pallas_attention as patt
 
-                o = patt.paged_attention(
+                o = patt.paged_attention_best(
                     qr, kv_layer, block_tables, context_lens,
                     jnp.ones((B,), jnp.int32), block_size, ctx_pad, scale,
                 )
@@ -502,7 +504,7 @@ class ModelRunner:
     def _allocate_kv_cache(self) -> jnp.ndarray:
         a = self.arch
         S = self.num_kvcache_blocks * self.block_size
-        shape = (a.num_layers, 2, a.num_kv_heads, S, a.head_dim)
+        shape = (a.num_layers, a.num_kv_heads, S, 2 * a.head_dim)
         if self.mesh is not None:
             from ssd_tpu.parallel.mesh import kv_sharding
 

@@ -10,7 +10,7 @@ Parity: /root/reference/ssd/models/eagle3_draft_llama3.py —
    the `d2t` offset tensor, -inf elsewhere (eagle3:314-352)
 
 Pure functions over a param dict, mirroring models/transformer.py. The draft
-KV cache is the standard [1, 2, Hkv, S, hd] single-layer cache; callers apply
+KV cache is the standard [1, Hkv, S, 2*hd] single-layer cache; callers apply
 the EAGLE -1 position shift (draft position p stores canonical token p+1).
 """
 
@@ -97,7 +97,7 @@ def project_target_acts(params: dict, acts: jnp.ndarray) -> jnp.ndarray:
 
 def eagle_forward(
     params: dict,
-    kv_cache: jnp.ndarray,      # [1, 2, Hkv, S, hd]
+    kv_cache: jnp.ndarray,      # [1, Hkv, S, 2*hd] (K/V interleaved)
     input_ids: jnp.ndarray,     # [T]
     conditioning: jnp.ndarray,  # [T, D_draft] (already fc-projected or prenorm)
     positions: jnp.ndarray,     # [T] (EAGLE-shifted) rope positions

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ssd_tpu.config import ModelConfig
 from ssd_tpu.ops.layers import apply_rope, rms_norm, rms_norm_residual, rope_cos_sin, silu_mul
 
-# attn_call(q[T,Hq,hd], k[T,Hkv,hd], v[T,Hkv,hd], kv_layer[2,S,Hkv,hd])
+# attn_call(q[T,Hq,hd], k[T,Hkv,hd], v[T,Hkv,hd], kv_layer[Hkv,S,2*hd])
 #   -> (out[T,Hq,hd], new_kv_layer)
 AttnCall = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
                     tuple[jnp.ndarray, jnp.ndarray]]
@@ -106,7 +106,7 @@ def init_params(arch: Arch, key: jax.Array, dtype=jnp.float32) -> dict:
 
 def forward_hidden(
     params: dict,
-    kv_cache: jnp.ndarray,      # [L, 2, Hkv, S, hd]
+    kv_cache: jnp.ndarray,      # [L, Hkv, S, 2*hd] (K/V interleaved)
     input_ids: jnp.ndarray,     # [T]
     positions: jnp.ndarray,     # [T] rope positions
     attn_call: AttnCall,

@@ -15,11 +15,15 @@ tests and as the numerics oracle. The Pallas TPU kernels in
 `ssd_tpu.ops.pallas` implement the same contracts fused; the runner picks per
 backend.
 
-KV cache layout (per model): [L, 2, H_kv, S, hd] with S = num_blocks *
-block_size flat slots, so slot_mapping indexes the S axis directly, the layer
+KV cache layout (per model): [L, H_kv, S, 2*hd] with S = num_blocks *
+block_size flat slots and K/V INTERLEAVED on the minor axis (K in lanes
+[0, hd), V in [hd, 2*hd)). slot_mapping indexes the S axis directly, the layer
 dimension scans with the transformer layers, and every (head, page) is a
-contiguous [block_size, hd] tile — the natural TPU (sublane, lane) tile shape
-the Pallas kernels DMA page-by-page.
+contiguous [block_size, 2*hd] tile. The interleaving makes the minor dimension
+2*hd >= 128 for hd >= 64, which is what the TPU wants: Mosaic can only DMA
+HBM slices whose minor dim is lane-tile (128) aligned, so a [page, hd=64]
+slice is unDMA-able while [page, 128] streams at full bandwidth — and one
+copy moves both K and V.
 """
 
 from __future__ import annotations
@@ -31,24 +35,25 @@ from ssd_tpu.ops.spec_math import tree_attention_mask
 
 
 def store_kv(
-    kv_layer: jnp.ndarray,     # [2, H_kv, S, hd]
+    kv_layer: jnp.ndarray,     # [H_kv, S, 2*hd]
     k: jnp.ndarray,            # [T, H_kv, hd]
     v: jnp.ndarray,            # [T, H_kv, hd]
     slot_mapping: jnp.ndarray,  # [T] int32; negative = ghost (skip)
 ) -> jnp.ndarray:
-    """Scatter new K/V rows into flat cache slots; ghost slots are dropped.
+    """Scatter new [K|V] rows into flat cache slots; ghost slots are dropped.
 
     Negative slots are remapped out-of-bounds so XLA's scatter `drop` mode
-    skips them (the reference kernel's slot==-1 semantics).
+    skips them (the reference kernel's slot==-1 semantics). One scatter moves
+    both K and V thanks to the interleaved layout.
     """
-    S = kv_layer.shape[2]
+    S = kv_layer.shape[1]
     slots = jnp.where(slot_mapping < 0, S, slot_mapping)
-    kv_new = jnp.stack([k, v], axis=0).transpose(0, 2, 1, 3)  # [2, H, T, hd]
-    return kv_layer.at[:, :, slots].set(kv_new, mode="drop")
+    val = jnp.concatenate([k, v], axis=-1).transpose(1, 0, 2)  # [H, T, 2hd]
+    return kv_layer.at[:, slots].set(val, mode="drop")
 
 
 def gather_pages(
-    kv_layer: jnp.ndarray,      # [2, H_kv, S, hd]
+    kv_layer: jnp.ndarray,      # [H_kv, S, 2*hd]
     block_tables: jnp.ndarray,  # [B, M] int32 (entries may be -1 padding)
     block_size: int,
     ctx_pad: int,               # static gather length (multiple of block_size)
@@ -58,15 +63,14 @@ def gather_pages(
     Returns (k, v) each [B, ctx_pad, H_kv, hd]. Out-of-table positions gather
     block -1 -> clamped; callers must mask by context_lens.
     """
-    B = block_tables.shape[0]
+    hd = kv_layer.shape[-1] // 2
     pos = jnp.arange(ctx_pad, dtype=jnp.int32)
     blk_idx = pos // block_size
     blk_off = pos % block_size
     blk_ids = block_tables[:, blk_idx]                  # [B, ctx_pad]
     slots = jnp.clip(blk_ids, 0) * block_size + blk_off  # [B, ctx_pad]
-    k = kv_layer[0][:, slots].transpose(1, 2, 0, 3)      # [B, ctx_pad, H, hd]
-    v = kv_layer[1][:, slots].transpose(1, 2, 0, 3)
-    return k, v
+    kv = kv_layer[:, slots].transpose(1, 2, 0, 3)        # [B, ctx_pad, H, 2hd]
+    return kv[..., :hd], kv[..., hd:]
 
 
 def _gqa_scores(q: jnp.ndarray, k: jnp.ndarray, scale: float) -> jnp.ndarray:

@@ -16,11 +16,15 @@ The TPU-native replacement for the reference's native attention surface
    (context_len, fan_idx, step, row) — zero mask bytes move over HBM.
 
 Layouts:
- - KV cache page block: kv_layer [2, Hkv, S, hd] with S = num_blocks *
-   block_size flat slots; one (2, 1, block_size, hd) block per grid step, a
-   contiguous (sublane, lane)-tiled page.
- - Queries are pre-grouped by KV head: q [B, Hkv, Q*G, hd] where G = Hq/Hkv,
-   so each grid step owns all MXU rows that share one KV head's pages.
+ - KV cache page block: kv_layer [Hkv, S, 2*hd] (K/V interleaved on the
+   minor axis; see ssd_tpu.ops.attention) — the 128-lane-aligned minor dim is
+   what makes page DMAs expressible on TPU at head_dim 64.
+ - Queries are pre-grouped by KV head AND zero-padded to [B, Hkv, Q*G, 2*hd]:
+   [q | 0] dotted with [K | V] rows gives exactly q . K (the zero lanes kill
+   the V half), and p @ [K | V] accumulates p . V in the upper lanes — so the
+   kernels never lane-slice (which Mosaic cannot do below tile width), and the
+   padding is free because hd=64 under-fills the 128-wide MXU anyway. The
+   wrapper slices the V half of the output outside the kernel.
 
 Grid: (B, Hkv, num_q_tiles, num_pages) — pages innermost so the online
 softmax scratch carries across the page loop and resets per q-tile.
@@ -73,9 +77,9 @@ def _paged_attn_kernel(
     ctx_ref,     # [B] int32 attended lengths (incl. new tokens)
     qeff_ref,    # [B] int32 true queries per sequence (<= Q)
     # blocks
-    q_ref,       # [1, 1, TQ, hd]
-    kv_ref,      # [2, 1, BS, hd] page for (b, h)
-    o_ref,       # [1, 1, TQ, hd]
+    q_ref,       # [1, 1, TQ, 2*hd] ([q | 0] padded)
+    kv_ref,      # [1, BS, 2*hd] page for (b, h)
+    o_ref,       # [1, 1, TQ, 2*hd] (V half holds the result)
     # scratch
     m_scr, l_scr, acc_scr,
     *,
@@ -93,12 +97,11 @@ def _paged_attn_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    k = kv_ref[0, 0]
-    v = kv_ref[1, 0]
+    kv = kv_ref[0]
     q = q_ref[0, 0]
 
     scores = jax.lax.dot(
-        q.astype(jnp.float32), k.astype(jnp.float32).T,
+        q.astype(jnp.float32), kv.astype(jnp.float32).T,
         preferred_element_type=jnp.float32,
     ) * scale                                                    # [TQ, BS]
 
@@ -114,7 +117,7 @@ def _paged_attn_kernel(
     limit = ctx - qeff + q_idx                                   # [TQ, 1]
     mask = (pos <= limit) & (pos < ctx)
 
-    _flash_update(scores, mask, v.astype(jnp.float32), m_scr, l_scr, acc_scr)
+    _flash_update(scores, mask, kv.astype(jnp.float32), m_scr, l_scr, acc_scr)
 
     @pl.when(p == pl.num_programs(3) - 1)
     def _():
@@ -128,7 +131,7 @@ def _paged_attn_kernel(
 )
 def paged_attention(
     q: jnp.ndarray,             # [B, Q, Hq, hd]
-    kv_layer: jnp.ndarray,      # [2, Hkv, S, hd]
+    kv_layer: jnp.ndarray,      # [Hkv, S, 2*hd] (K/V interleaved)
     block_tables: jnp.ndarray,  # [B, M] int32
     context_lens: jnp.ndarray,  # [B]
     qeff: jnp.ndarray,          # [B] true queries per sequence
@@ -140,7 +143,7 @@ def paged_attention(
     """Causal paged flash attention: Q=1 decode, Q=K+1 verify/glue, Q=S_pad
     prefill (with qeff = true new-token count)."""
     B, Q, Hq, hd = q.shape
-    Hkv = kv_layer.shape[1]
+    Hkv = kv_layer.shape[0]
     G = Hq // Hkv
     QG = Q * G
     TQ = min(QG, 512)
@@ -148,13 +151,14 @@ def paged_attention(
     num_pages = max(1, ctx_pad // block_size)
 
     qg = _regroup_q(q, Hkv)
+    qp = jnp.concatenate([qg, jnp.zeros_like(qg)], axis=-1)  # [q | 0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, Hkv, num_q_tiles, num_pages),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, TQ, hd),
+                (1, 1, TQ, 2 * hd),
                 lambda b, h, t, p, bt, ctx, qe: (b, h, t, 0),
             ),
             # Pages past a sequence's true length clamp to its last real page:
@@ -162,9 +166,9 @@ def paged_attention(
             # steps, so ctx_pad overscan costs ~nothing (the mask already
             # zeroes those positions).
             pl.BlockSpec(
-                (2, 1, block_size, hd),
+                (1, block_size, 2 * hd),
                 lambda b, h, t, p, bt, ctx, qe: (
-                    0, h,
+                    h,
                     jnp.maximum(
                         bt[b, jnp.minimum(p, jnp.maximum(ctx[b] - 1, 0) // block_size)],
                         0,
@@ -174,13 +178,13 @@ def paged_attention(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, TQ, hd),
+            (1, 1, TQ, 2 * hd),
             lambda b, h, t, p, bt, ctx, qe: (b, h, t, 0),
         ),
         scratch_shapes=[
             pltpu.VMEM((TQ, 1), jnp.float32),
             pltpu.VMEM((TQ, 1), jnp.float32),
-            pltpu.VMEM((TQ, hd), jnp.float32),
+            pltpu.VMEM((TQ, 2 * hd), jnp.float32),
         ],
     )
 
@@ -190,16 +194,256 @@ def paged_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(qg.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
         interpret=interpret,
     )(
         block_tables.astype(jnp.int32),
         context_lens.astype(jnp.int32),
         qeff.astype(jnp.int32),
-        qg,
+        qp,
         kv_layer,
     )
-    return _ungroup_o(out, Q)
+    return _ungroup_o(out[..., hd:], Q)
+
+
+# ---------------------------------------------------------------------------
+# v2 decode/verify kernel: double-buffered multi-page DMA
+# ---------------------------------------------------------------------------
+#
+# v1 above maps one PAGE per grid step through a BlockSpec, so a 2048-token
+# context costs 32 grid steps of ~16KB DMAs per (seq, kv-head) — fixed
+# per-step overhead dominates and the kernel runs far from the HBM roofline.
+# v2 instead keeps the KV cache in HBM (memory_space=ANY) and hand-issues
+# async copies for CHUNKS of pages into a double-buffered VMEM scratch: while
+# chunk i is being reduced, chunk i+1 (possibly of the next (seq, head) pair)
+# is already in flight. This is the standard TPU paged-attention pipelining
+# scheme (cf. jax.experimental.pallas.ops.tpu.paged_attention, which this
+# environment's version cannot run at head_dim 64).
+
+
+def _v2_copy_chunk(kv_hbm_ref, kv_vmem, sem, bt_ref, b, h, chunk, C, bs):
+    """Async-copy descriptor: pages [chunk*C, chunk*C+C) of sequence b, head
+    h into VMEM buffer kv_vmem ([C, bs, 2*hd]). The source stays in the
+    engine's interleaved flat-slot layout ([Hkv, S, 2*hd]); each page is a
+    dynamic slice of S, and ONE copy moves both K and V."""
+    M = bt_ref.shape[1]
+    copies = []
+    for j in range(C):
+        page = bt_ref[b, jnp.minimum(chunk * C + j, M - 1)]
+        safe = jnp.maximum(page, 0)  # -1 (unallocated) clamps; masked anyway
+        copies.append(
+            pltpu.make_async_copy(
+                kv_hbm_ref.at[h, pl.ds(safe * bs, bs), :],
+                kv_vmem.at[j],
+                sem,
+            )
+        )
+    return copies
+
+
+def _paged_attn_v2_kernel(
+    # scalar prefetch
+    bt_ref,      # [B, M] int32 page tables
+    ctx_ref,     # [B] attended lengths
+    qeff_ref,    # [B] true queries per sequence
+    # in
+    q_ref,       # [1, 1, QG, 2*hd] ([q | 0] padded; VMEM block for (b, h))
+    kv_hbm_ref,  # [Hkv, S, 2*hd] (ANY: stays in HBM; pages sliced from S)
+    # out
+    o_ref,       # [1, 1, QG, 2*hd] (V half holds the result)
+    # scratch
+    m_scr, l_scr, acc_scr,
+    kv_vmem,     # [2 bufs, C, bs, 2*hd]
+    sems,        # DMA semaphores [2]
+    buf_ref,     # SMEM [1]: which buffer the CURRENT chunk lives in
+    init_ref,    # SMEM [1]: 1 until the first grid step issued its copy
+    *,
+    scale: float,
+    G: int,
+    C: int,
+    block_size: int,
+):
+    b, h, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    B, Hkv = pl.num_programs(0), pl.num_programs(1)
+    bk = C * block_size
+    hd2 = kv_vmem.shape[-1]
+    # Ghost rows (padding) carry length 0; clamp to 1 so every (b, h) has
+    # exactly one valid chunk and the prefetch pipeline stays in lockstep
+    # (their masked output is all-zero and discarded by the caller).
+    length = jnp.maximum(ctx_ref[b], 1)
+
+    @pl.when((b == 0) & (h == 0) & (i == 0))
+    def _():
+        buf_ref[0] = 0
+        init_ref[0] = 1
+
+    def next_indices(b, h, i):
+        """First valid (b, h, chunk) at or after (b, h, i): chunks past a
+        sequence's length are skipped entirely (no DMA, no compute)."""
+        def advance_b():
+            nb = b + 1
+            return (nb, 0, 0)
+
+        def advance_h():
+            nh = h + 1
+            return jax.lax.cond(nh < Hkv, lambda: (b, nh, 0), advance_b)
+
+        return jax.lax.cond(i * bk < length, lambda: (b, h, i), advance_h)
+
+    @pl.when(i * bk < length)
+    def _():
+        buf = buf_ref[0]
+
+        @pl.when(init_ref[0] == 1)
+        def _():
+            # Very first grid step: nothing in flight yet, start our own.
+            for c in _v2_copy_chunk(kv_hbm_ref, kv_vmem.at[buf], sems.at[buf],
+                                    bt_ref, b, h, i, C, block_size):
+                c.start()
+        init_ref[0] = 0
+
+        @pl.when(i == 0)
+        def _():
+            m_scr[:] = jnp.full_like(m_scr, -1e30)
+            l_scr[:] = jnp.zeros_like(l_scr)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+
+        # Prefetch the NEXT valid chunk into the other buffer.
+        nb, nh, ni = next_indices(b, h, i + 1)
+
+        @pl.when(nb < B)
+        def _():
+            nxt = 1 - buf
+            for c in _v2_copy_chunk(kv_hbm_ref, kv_vmem.at[nxt], sems.at[nxt],
+                                    bt_ref, nb, nh, ni, C, block_size):
+                c.start()
+            buf_ref[0] = nxt
+
+        # Wait for this chunk and reduce it.
+        for c in _v2_copy_chunk(kv_hbm_ref, kv_vmem.at[buf], sems.at[buf],
+                                bt_ref, b, h, i, C, block_size):
+            c.wait()
+        kv = kv_vmem[buf].reshape(bk, hd2)                       # [bk, 2hd]
+        q = q_ref[0, 0]
+        TQ = q.shape[0]
+
+        scores = jax.lax.dot(
+            q.astype(jnp.float32), kv.astype(jnp.float32).T,
+            preferred_element_type=jnp.float32,
+        ) * scale                                                # [TQ, bk]
+
+        pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (TQ, 1), 0)
+        q_idx = row // G
+        limit = length - qeff_ref[b] + q_idx
+        mask = (pos <= limit) & (pos < length)
+
+        _flash_update(scores, mask, kv.astype(jnp.float32), m_scr, l_scr,
+                      acc_scr)
+
+        @pl.when((i + 1) * bk >= length)
+        def _():
+            out = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
+            o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "ctx_pad", "scale", "pages_per_chunk",
+                     "interpret"),
+)
+def paged_attention_v2(
+    q: jnp.ndarray,             # [B, Q, Hq, hd]
+    kv_layer: jnp.ndarray,      # [Hkv, S, 2*hd] (K/V interleaved)
+    block_tables: jnp.ndarray,  # [B, M] int32
+    context_lens: jnp.ndarray,  # [B]
+    qeff: jnp.ndarray,          # [B]
+    block_size: int,
+    ctx_pad: int,
+    scale: float,
+    pages_per_chunk: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Double-buffered paged flash attention (decode / verify / glue)."""
+    B, Q, Hq, hd = q.shape
+    Hkv = kv_layer.shape[0]
+    G = Hq // Hkv
+    QG = Q * G
+    max_pages = max(1, ctx_pad // block_size)
+    C = min(pages_per_chunk, max_pages)
+    num_chunks = pl.cdiv(max_pages, C)
+
+    qg = _regroup_q(q, Hkv)
+    qp = jnp.concatenate([qg, jnp.zeros_like(qg)], axis=-1)  # [q | 0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, Hkv, num_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, QG, 2 * hd),
+                lambda b, h, i, bt, ctx, qe: (b, h, 0, 0),
+            ),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, QG, 2 * hd),
+            lambda b, h, i, bt, ctx, qe: (b, h, 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((QG, 1), jnp.float32),
+            pltpu.VMEM((QG, 1), jnp.float32),
+            pltpu.VMEM((QG, 2 * hd), jnp.float32),
+            pltpu.VMEM((2, C, block_size, 2 * hd), kv_layer.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _paged_attn_v2_kernel, scale=scale, G=G, C=C, block_size=block_size
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        interpret=interpret,
+    )(
+        block_tables.astype(jnp.int32),
+        context_lens.astype(jnp.int32),
+        qeff.astype(jnp.int32),
+        qp,
+        kv_layer,
+    )
+    return _ungroup_o(out[..., hd:], Q)
+
+
+def paged_attention_best(
+    q: jnp.ndarray,
+    kv_layer: jnp.ndarray,
+    block_tables: jnp.ndarray,
+    context_lens: jnp.ndarray,
+    qeff: jnp.ndarray,
+    block_size: int,
+    ctx_pad: int,
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Route to the fastest applicable kernel: the double-buffered v2 for
+    decode/verify/moderate prefill tiles, v1 (one page per grid step) for
+    query tiles too large for v2's single-tile VMEM scratch."""
+    B, Q, Hq, hd = q.shape
+    G = Hq // kv_layer.shape[1]
+    if Q * G <= 512 and ctx_pad % block_size == 0:
+        return paged_attention_v2(
+            q, kv_layer, block_tables, context_lens, qeff,
+            block_size, ctx_pad, scale, interpret=interpret,
+        )
+    return paged_attention(
+        q, kv_layer, block_tables, context_lens, qeff,
+        block_size, ctx_pad, scale, interpret=interpret,
+    )
 
 
 def _tree_attn_kernel(
@@ -210,9 +454,9 @@ def _tree_attn_kernel(
     # blocks
     fan_ref,     # [1, MQ] int32 glue depth per tree row (VMEM: Mosaic only
                  #   allows scalar loads from SMEM, so this is a tensor input)
-    q_ref,       # [1, 1, MQ*G, hd]
-    kv_ref,      # [2, 1, BS, hd]
-    o_ref,       # [1, 1, MQ*G, hd]
+    q_ref,       # [1, 1, MQ*G, 2*hd] ([q | 0] padded)
+    kv_ref,      # [1, BS, 2*hd]
+    o_ref,       # [1, 1, MQ*G, 2*hd] (V half holds the result)
     m_scr, l_scr, acc_scr,
     *,
     scale: float,
@@ -229,13 +473,12 @@ def _tree_attn_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    k = kv_ref[0, 0]
-    v = kv_ref[1, 0]
+    kv = kv_ref[0]
     q = q_ref[0, 0]
     R = q.shape[0]  # MQ * G
 
     scores = jax.lax.dot(
-        q.astype(jnp.float32), k.astype(jnp.float32).T,
+        q.astype(jnp.float32), kv.astype(jnp.float32).T,
         preferred_element_type=jnp.float32,
     ) * scale
 
@@ -264,7 +507,7 @@ def _tree_attn_kernel(
     )
     mask = (in_prefix | in_glue | in_tree) & (pos < ctx)
 
-    _flash_update(scores, mask, v.astype(jnp.float32), m_scr, l_scr, acc_scr)
+    _flash_update(scores, mask, kv.astype(jnp.float32), m_scr, l_scr, acc_scr)
 
     @pl.when(p == pl.num_programs(3) - 1)
     def _():
@@ -278,7 +521,7 @@ def _tree_attn_kernel(
 )
 def tree_attention(
     q: jnp.ndarray,             # [B, MQ, Hq, hd]
-    kv_layer: jnp.ndarray,      # [2, Hkv, S, hd]
+    kv_layer: jnp.ndarray,      # [Hkv, S, 2*hd] (K/V interleaved)
     block_tables: jnp.ndarray,  # [B, M]
     context_lens: jnp.ndarray,  # [B]
     fan_idx_rows: jnp.ndarray,  # [B, MQ]
@@ -292,11 +535,12 @@ def tree_attention(
     """Paged tree attention over N = B*MQ fork rows sharing trunk KV; the
     (prefix | glue-ancestors | own-column) mask is computed analytically."""
     B, MQ, Hq, hd = q.shape
-    Hkv = kv_layer.shape[1]
+    Hkv = kv_layer.shape[0]
     G = Hq // Hkv
     num_pages = max(1, ctx_pad // block_size)
 
     qg = _regroup_q(q, Hkv)
+    qp = jnp.concatenate([qg, jnp.zeros_like(qg)], axis=-1)  # [q | 0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -307,15 +551,15 @@ def tree_attention(
                 lambda b, h, t, p, bt, ctx, st: (b, 0),
             ),
             pl.BlockSpec(
-                (1, 1, MQ * G, hd),
+                (1, 1, MQ * G, 2 * hd),
                 lambda b, h, t, p, bt, ctx, st: (b, h, 0, 0),
             ),
             # Same page-clamp trick as paged_attention: repeated block index
             # -> DMA skipped for pages past the true context.
             pl.BlockSpec(
-                (2, 1, block_size, hd),
+                (1, block_size, 2 * hd),
                 lambda b, h, t, p, bt, ctx, st: (
-                    0, h,
+                    h,
                     jnp.maximum(
                         bt[b, jnp.minimum(p, jnp.maximum(ctx[b] - 1, 0) // block_size)],
                         0,
@@ -325,13 +569,13 @@ def tree_attention(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, MQ * G, hd),
+            (1, 1, MQ * G, 2 * hd),
             lambda b, h, t, p, bt, ctx, st: (b, h, 0, 0),
         ),
         scratch_shapes=[
             pltpu.VMEM((MQ * G, 1), jnp.float32),
             pltpu.VMEM((MQ * G, 1), jnp.float32),
-            pltpu.VMEM((MQ * G, hd), jnp.float32),
+            pltpu.VMEM((MQ * G, 2 * hd), jnp.float32),
         ],
     )
 
@@ -341,14 +585,14 @@ def tree_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(qg.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
         interpret=interpret,
     )(
         block_tables.astype(jnp.int32),
         context_lens.astype(jnp.int32),
         jnp.atleast_1d(step).astype(jnp.int32),
         fan_idx_rows.astype(jnp.int32),
-        qg,
+        qp,
         kv_layer,
     )
-    return _ungroup_o(out, MQ)
+    return _ungroup_o(out[..., hd:], MQ)

@@ -145,13 +145,13 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
 
 
 def kv_sharding(mesh: Mesh, num_kv_heads: int | None = None) -> NamedSharding:
-    """KV cache [L, 2, H_kv, S, hd] sharded over kv heads; falls back from
+    """KV cache [L, H_kv, S, 2*hd] sharded over kv heads; falls back from
     ("dcn","tp") to "tp" to replication when the kv-head count doesn't
     divide."""
     if num_kv_heads is None:
-        return NamedSharding(mesh, P(None, None, "tp", None, None))
+        return NamedSharding(mesh, P(None, "tp", None, None))
     hybrid = "dcn" in mesh.axis_names
     for cand in ([("dcn", "tp")] if hybrid else []) + ["tp"]:
         if num_kv_heads % _axes_size(mesh, cand) == 0:
-            return NamedSharding(mesh, P(None, None, cand, None, None))
+            return NamedSharding(mesh, P(None, cand, None, None))
     return NamedSharding(mesh, P(None))

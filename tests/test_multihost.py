@@ -46,7 +46,7 @@ WORKER = textwrap.dedent("""
     mesh = Mesh(np.asarray(jax.devices()).reshape(2, 2), ("dcn", "tp"))
     params = shard_params(init_params(arch, jax.random.PRNGKey(0), jnp.float32), mesh)
     rep = NamedSharding(mesh, P())
-    kv = jnp.zeros((2, 2, 2, 512, 16), jnp.float32, device=rep)
+    kv = jnp.zeros((2, 2, 512, 32), jnp.float32, device=rep)
     put = lambda x: jax.device_put(jnp.asarray(x), rep)
     tokens, logits, _, kv = decode_step(
         params, kv,

@@ -18,7 +18,7 @@ from ssd_tpu.ops import pallas_attention as patt
 def make_case(seed, B, Q, Hq, Hkv, hd, block_size, max_blocks, ctx_lens):
     rng = np.random.default_rng(seed)
     S = block_size * max_blocks * B + block_size
-    kv = rng.normal(size=(2, Hkv, S, hd)).astype(np.float32)
+    kv = rng.normal(size=(Hkv, S, 2 * hd)).astype(np.float32)
     q = rng.normal(size=(B, Q, Hq, hd)).astype(np.float32)
     # Disjoint, shuffled block tables per sequence.
     all_blocks = rng.permutation(S // block_size - 1) + 1
