@@ -221,11 +221,11 @@ def paged_attention(
 # environment's version cannot run at head_dim 64).
 
 
-def _v2_copy_chunk(kv_hbm_ref, kv_vmem, sem, bt_ref, b, h, chunk, C, bs):
-    """Async-copy descriptor: pages [chunk*C, chunk*C+C) of sequence b, head
-    h into VMEM buffer kv_vmem ([C, bs, 2*hd]). The source stays in the
-    engine's interleaved flat-slot layout ([Hkv, S, 2*hd]); each page is a
-    dynamic slice of S, and ONE copy moves both K and V."""
+def _v2_copy_chunk(kv_hbm_ref, kv_vmem, sem, bt_ref, b, chunk, C, bs):
+    """Async-copy descriptor: pages [chunk*C, chunk*C+C) of sequence b into
+    VMEM buffer kv_vmem ([C, Hkv, bs, 2*hd]). ONE strided copy per page moves
+    every head's K and V — DMA issue count is the binding constraint at small
+    page sizes, so copies are as coarse as the random page placement allows."""
     M = bt_ref.shape[1]
     copies = []
     for j in range(C):
@@ -233,8 +233,8 @@ def _v2_copy_chunk(kv_hbm_ref, kv_vmem, sem, bt_ref, b, h, chunk, C, bs):
         safe = jnp.maximum(page, 0)  # -1 (unallocated) clamps; masked anyway
         copies.append(
             pltpu.make_async_copy(
-                kv_hbm_ref.at[h, pl.ds(safe * bs, bs), :],
-                kv_vmem.at[j],
+                kv_hbm_ref.at[:, pl.ds(safe * bs, bs), :],
+                kv_vmem.at[:, j],
                 sem,
             )
         )
@@ -247,13 +247,15 @@ def _paged_attn_v2_kernel(
     ctx_ref,     # [B] attended lengths
     qeff_ref,    # [B] true queries per sequence
     # in
-    q_ref,       # [1, 1, QG, 2*hd] ([q | 0] padded; VMEM block for (b, h))
+    q_ref,       # [1, Hkv, QG, 2*hd] ([q | 0] padded; VMEM block for b)
     kv_hbm_ref,  # [Hkv, S, 2*hd] (ANY: stays in HBM; pages sliced from S)
     # out
-    o_ref,       # [1, 1, QG, 2*hd] (V half holds the result)
+    o_ref,       # [1, Hkv, QG, 2*hd] (V half holds the result)
     # scratch
-    m_scr, l_scr, acc_scr,
-    kv_vmem,     # [2 bufs, C, bs, 2*hd]
+    m_scr,       # [Hkv, QG, 1]
+    l_scr,       # [Hkv, QG, 1]
+    acc_scr,     # [Hkv, QG, 2*hd]
+    kv_vmem,     # [2 bufs, Hkv, C, bs, 2*hd]
     sems,        # DMA semaphores [2]
     buf_ref,     # SMEM [1]: which buffer the CURRENT chunk lives in
     init_ref,    # SMEM [1]: 1 until the first grid step issued its copy
@@ -262,33 +264,28 @@ def _paged_attn_v2_kernel(
     G: int,
     C: int,
     block_size: int,
+    num_kv_heads: int,
 ):
-    b, h, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    B, Hkv = pl.num_programs(0), pl.num_programs(1)
+    b, i = pl.program_id(0), pl.program_id(1)
+    B = pl.num_programs(0)
     bk = C * block_size
     hd2 = kv_vmem.shape[-1]
-    # Ghost rows (padding) carry length 0; clamp to 1 so every (b, h) has
-    # exactly one valid chunk and the prefetch pipeline stays in lockstep
-    # (their masked output is all-zero and discarded by the caller).
+    # Ghost rows (padding) carry length 0; clamp to 1 so every b has exactly
+    # one valid chunk and the prefetch pipeline stays in lockstep (their
+    # masked output is all-zero and discarded by the caller).
     length = jnp.maximum(ctx_ref[b], 1)
 
-    @pl.when((b == 0) & (h == 0) & (i == 0))
+    @pl.when((b == 0) & (i == 0))
     def _():
         buf_ref[0] = 0
         init_ref[0] = 1
 
-    def next_indices(b, h, i):
-        """First valid (b, h, chunk) at or after (b, h, i): chunks past a
+    def next_indices(b, i):
+        """First valid (b, chunk) at or after (b, i): chunks past a
         sequence's length are skipped entirely (no DMA, no compute)."""
-        def advance_b():
-            nb = b + 1
-            return (nb, 0, 0)
-
-        def advance_h():
-            nh = h + 1
-            return jax.lax.cond(nh < Hkv, lambda: (b, nh, 0), advance_b)
-
-        return jax.lax.cond(i * bk < length, lambda: (b, h, i), advance_h)
+        return jax.lax.cond(
+            i * bk < length, lambda: (b, i), lambda: (b + 1, 0)
+        )
 
     @pl.when(i * bk < length)
     def _():
@@ -298,7 +295,7 @@ def _paged_attn_v2_kernel(
         def _():
             # Very first grid step: nothing in flight yet, start our own.
             for c in _v2_copy_chunk(kv_hbm_ref, kv_vmem.at[buf], sems.at[buf],
-                                    bt_ref, b, h, i, C, block_size):
+                                    bt_ref, b, i, C, block_size):
                 c.start()
         init_ref[0] = 0
 
@@ -309,42 +306,56 @@ def _paged_attn_v2_kernel(
             acc_scr[:] = jnp.zeros_like(acc_scr)
 
         # Prefetch the NEXT valid chunk into the other buffer.
-        nb, nh, ni = next_indices(b, h, i + 1)
+        nb, ni = next_indices(b, i + 1)
 
         @pl.when(nb < B)
         def _():
             nxt = 1 - buf
             for c in _v2_copy_chunk(kv_hbm_ref, kv_vmem.at[nxt], sems.at[nxt],
-                                    bt_ref, nb, nh, ni, C, block_size):
+                                    bt_ref, nb, ni, C, block_size):
                 c.start()
             buf_ref[0] = nxt
 
-        # Wait for this chunk and reduce it.
+        # Wait for this chunk, then reduce it head by head (the mask is
+        # head-independent, computed once).
         for c in _v2_copy_chunk(kv_hbm_ref, kv_vmem.at[buf], sems.at[buf],
-                                bt_ref, b, h, i, C, block_size):
+                                bt_ref, b, i, C, block_size):
             c.wait()
-        kv = kv_vmem[buf].reshape(bk, hd2)                       # [bk, 2hd]
-        q = q_ref[0, 0]
-        TQ = q.shape[0]
 
-        scores = jax.lax.dot(
-            q.astype(jnp.float32), kv.astype(jnp.float32).T,
-            preferred_element_type=jnp.float32,
-        ) * scale                                                # [TQ, bk]
-
-        pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (TQ, 1), 0)
+        QG = q_ref.shape[2]
+        pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bk), 2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, QG, 1), 1)
         q_idx = row // G
         limit = length - qeff_ref[b] + q_idx
-        mask = (pos <= limit) & (pos < length)
+        mask = (pos <= limit) & (pos < length)               # [1, QG, bk]
 
-        _flash_update(scores, mask, kv.astype(jnp.float32), m_scr, l_scr,
-                      acc_scr)
+        # All heads reduced by one BATCHED dot (leading batch dim = kv head):
+        # the online-softmax state lives in [Hkv, QG, *] scratch touched only
+        # as whole refs (Mosaic cannot slice refs below tile granularity), and
+        # the head-independent mask is computed once and broadcast.
+        kv3 = kv_vmem[buf].reshape(num_kv_heads, bk, hd2).astype(jnp.float32)
+        q3 = q_ref[0].astype(jnp.float32)                    # [Hkv, QG, 2hd]
+        scores = jax.lax.dot_general(
+            q3, kv3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                            # [Hkv, QG, bk]
+
+        s3 = jnp.where(mask, scores, jnp.float32(-1e30))
+        m_cur = jnp.max(s3, axis=2, keepdims=True)
+        m_new = jnp.maximum(m_scr[:], m_cur)
+        p = jnp.where(mask, jnp.exp(s3 - m_new), 0.0)
+        alpha = jnp.exp(m_scr[:] - m_new)
+        l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=2, keepdims=True)
+        acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
+            p, kv3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = m_new
 
         @pl.when((i + 1) * bk >= length)
         def _():
             out = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
-            o_ref[0, 0] = out.astype(o_ref.dtype)
+            o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -378,23 +389,23 @@ def paged_attention_v2(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, Hkv, num_chunks),
+        grid=(B, num_chunks),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, QG, 2 * hd),
-                lambda b, h, i, bt, ctx, qe: (b, h, 0, 0),
+                (1, Hkv, QG, 2 * hd),
+                lambda b, i, bt, ctx, qe: (b, 0, 0, 0),
             ),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, QG, 2 * hd),
-            lambda b, h, i, bt, ctx, qe: (b, h, 0, 0),
+            (1, Hkv, QG, 2 * hd),
+            lambda b, i, bt, ctx, qe: (b, 0, 0, 0),
         ),
         scratch_shapes=[
-            pltpu.VMEM((QG, 1), jnp.float32),
-            pltpu.VMEM((QG, 1), jnp.float32),
-            pltpu.VMEM((QG, 2 * hd), jnp.float32),
-            pltpu.VMEM((2, C, block_size, 2 * hd), kv_layer.dtype),
+            pltpu.VMEM((Hkv, QG, 1), jnp.float32),
+            pltpu.VMEM((Hkv, QG, 1), jnp.float32),
+            pltpu.VMEM((Hkv, QG, 2 * hd), jnp.float32),
+            pltpu.VMEM((2, Hkv, C, block_size, 2 * hd), kv_layer.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
@@ -402,7 +413,8 @@ def paged_attention_v2(
     )
 
     kernel = functools.partial(
-        _paged_attn_v2_kernel, scale=scale, G=G, C=C, block_size=block_size
+        _paged_attn_v2_kernel, scale=scale, G=G, C=C, block_size=block_size,
+        num_kv_heads=Hkv,
     )
     out = pl.pallas_call(
         kernel,
@@ -434,8 +446,13 @@ def paged_attention_best(
     decode/verify/moderate prefill tiles, v1 (one page per grid step) for
     query tiles too large for v2's single-tile VMEM scratch."""
     B, Q, Hq, hd = q.shape
-    G = Hq // kv_layer.shape[1]
-    if Q * G <= 512 and ctx_pad % block_size == 0:
+    Hkv = kv_layer.shape[0]
+    G = Hq // Hkv
+    # v2 flattens every head into one MXU call: its per-chunk score tile is
+    # [Hkv*Q*G, Hkv*C*bs] fp32 in VMEM, so route only small-Q phases
+    # (decode / verify / glue) there; big prefill tiles take v1's q-tiled
+    # page-per-step path.
+    if Hkv * Q * G <= 512 and ctx_pad % block_size == 0:
         return paged_attention_v2(
             q, kv_layer, block_tables, context_lens, qeff,
             block_size, ctx_pad, scale, interpret=interpret,
