@@ -166,7 +166,7 @@ def tree_build_program(
             if use_pallas:
                 from ssd_tpu.ops import pallas_attention as patt
 
-                o = patt.tree_attention(
+                o = patt.tree_attention_best(
                     qr, kv_layer, block_tables, ctx, fan_idx_rows, s,
                     K, block_size, ctx_pad, scale,
                 )

@@ -463,6 +463,230 @@ def paged_attention_best(
     )
 
 
+def _tree_attn_v2_kernel(
+    # scalar prefetch
+    bt_ref,      # [B, M] int32 page tables
+    ctx_ref,     # [B] attended length at this step
+    step_ref,    # [1] int32 tree depth s
+    # in
+    fan_ref,     # [1, MQ] int32 glue depth per tree row (VMEM tensor input)
+    q_ref,       # [1, Hkv, MQ*G, 2*hd] ([q | 0] padded)
+    kv_hbm_ref,  # [Hkv, S, 2*hd] (ANY)
+    # out
+    o_ref,       # [1, Hkv, MQ*G, 2*hd] (V half holds the result)
+    # scratch
+    m_scr, l_scr, acc_scr,   # [Hkv, MQ*G, *]
+    kv_vmem,     # [2 bufs, Hkv, C, bs, 2*hd]
+    sems, buf_ref, init_ref,
+    *,
+    scale: float,
+    K: int,
+    MQ: int,
+    G: int,
+    C: int,
+    block_size: int,
+    num_kv_heads: int,
+):
+    """tree_attention with the same double-buffered multi-page pipeline as
+    _paged_attn_v2_kernel; only the mask differs (prefix | glue-ancestors |
+    own tree column, computed analytically)."""
+    b, i = pl.program_id(0), pl.program_id(1)
+    B = pl.num_programs(0)
+    bk = C * block_size
+    hd2 = kv_vmem.shape[-1]
+    length = jnp.maximum(ctx_ref[b], 1)
+
+    @pl.when((b == 0) & (i == 0))
+    def _():
+        buf_ref[0] = 0
+        init_ref[0] = 1
+
+    def next_indices(b, i):
+        return jax.lax.cond(
+            i * bk < length, lambda: (b, i), lambda: (b + 1, 0)
+        )
+
+    @pl.when(i * bk < length)
+    def _():
+        buf = buf_ref[0]
+
+        @pl.when(init_ref[0] == 1)
+        def _():
+            for c in _v2_copy_chunk(kv_hbm_ref, kv_vmem.at[buf], sems.at[buf],
+                                    bt_ref, b, i, C, block_size):
+                c.start()
+        init_ref[0] = 0
+
+        @pl.when(i == 0)
+        def _():
+            m_scr[:] = jnp.full_like(m_scr, -1e30)
+            l_scr[:] = jnp.zeros_like(l_scr)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+
+        nb, ni = next_indices(b, i + 1)
+
+        @pl.when(nb < B)
+        def _():
+            nxt = 1 - buf
+            for c in _v2_copy_chunk(kv_hbm_ref, kv_vmem.at[nxt], sems.at[nxt],
+                                    bt_ref, nb, ni, C, block_size):
+                c.start()
+            buf_ref[0] = nxt
+
+        for c in _v2_copy_chunk(kv_hbm_ref, kv_vmem.at[buf], sems.at[buf],
+                                bt_ref, b, i, C, block_size):
+            c.wait()
+
+        R = MQ * G
+        pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bk), 2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, R, 1), 1) // G  # tree row
+        ctx = ctx_ref[b]
+        step = step_ref[0]
+        prefix = ctx - (K + 1) - (step + 1) * MQ
+
+        # fan_idx per row: gather fan_ref[0, r] via compare-reduce (no vector
+        # gather primitive on TPU).
+        fan_row = jax.lax.broadcasted_iota(jnp.int32, (R, MQ), 1)
+        fan_tbl = fan_ref[0, :][None, :]
+        fan = jnp.sum(
+            jnp.where(fan_row == row[0], fan_tbl, 0), axis=1, keepdims=True
+        )[None]                                              # [1, R, 1]
+
+        in_prefix = pos < prefix
+        glue_off = pos - prefix
+        in_glue = (glue_off >= 0) & (glue_off <= fan)
+        tree_off = pos - prefix - (K + 1)
+        in_tree = (
+            (tree_off >= 0)
+            & (tree_off < (step + 1) * MQ)
+            & (tree_off % MQ == row)
+        )
+        mask = (in_prefix | in_glue | in_tree) & (pos < ctx)  # [1, R, bk]
+
+        kv3 = kv_vmem[buf].reshape(num_kv_heads, bk, hd2).astype(jnp.float32)
+        q3 = q_ref[0].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q3, kv3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                            # [Hkv, R, bk]
+
+        s3 = jnp.where(mask, scores, jnp.float32(-1e30))
+        m_cur = jnp.max(s3, axis=2, keepdims=True)
+        m_new = jnp.maximum(m_scr[:], m_cur)
+        p = jnp.where(mask, jnp.exp(s3 - m_new), 0.0)
+        alpha = jnp.exp(m_scr[:] - m_new)
+        l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=2, keepdims=True)
+        acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
+            p, kv3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = m_new
+
+        @pl.when((i + 1) * bk >= length)
+        def _():
+            out = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
+            o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "block_size", "ctx_pad", "scale", "pages_per_chunk",
+                     "interpret"),
+)
+def tree_attention_v2(
+    q: jnp.ndarray,             # [B, MQ, Hq, hd]
+    kv_layer: jnp.ndarray,      # [Hkv, S, 2*hd] (K/V interleaved)
+    block_tables: jnp.ndarray,  # [B, M]
+    context_lens: jnp.ndarray,  # [B]
+    fan_idx_rows: jnp.ndarray,  # [B, MQ]
+    step: jnp.ndarray,
+    K: int,
+    block_size: int,
+    ctx_pad: int,
+    scale: float,
+    pages_per_chunk: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Double-buffered paged tree attention (see tree_attention)."""
+    B, MQ, Hq, hd = q.shape
+    Hkv = kv_layer.shape[0]
+    G = Hq // Hkv
+    max_pages = max(1, ctx_pad // block_size)
+    C = min(pages_per_chunk, max_pages)
+    num_chunks = pl.cdiv(max_pages, C)
+
+    qg = _regroup_q(q, Hkv)
+    qp = jnp.concatenate([qg, jnp.zeros_like(qg)], axis=-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, num_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, MQ),
+                lambda b, i, bt, ctx, st: (b, 0),
+            ),
+            pl.BlockSpec(
+                (1, Hkv, MQ * G, 2 * hd),
+                lambda b, i, bt, ctx, st: (b, 0, 0, 0),
+            ),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Hkv, MQ * G, 2 * hd),
+            lambda b, i, bt, ctx, st: (b, 0, 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, MQ * G, 1), jnp.float32),
+            pltpu.VMEM((Hkv, MQ * G, 1), jnp.float32),
+            pltpu.VMEM((Hkv, MQ * G, 2 * hd), jnp.float32),
+            pltpu.VMEM((2, Hkv, C, block_size, 2 * hd), kv_layer.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _tree_attn_v2_kernel, scale=scale, K=K, MQ=MQ, G=G, C=C,
+        block_size=block_size, num_kv_heads=Hkv,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        interpret=interpret,
+    )(
+        block_tables.astype(jnp.int32),
+        context_lens.astype(jnp.int32),
+        jnp.atleast_1d(step).astype(jnp.int32),
+        fan_idx_rows.astype(jnp.int32),
+        qp,
+        kv_layer,
+    )
+    return _ungroup_o(out[..., hd:], MQ)
+
+
+def tree_attention_best(
+    q, kv_layer, block_tables, context_lens, fan_idx_rows, step,
+    K, block_size, ctx_pad, scale, interpret=False,
+):
+    """Route to the pipelined v2 tree kernel when its single-tile VMEM
+    scratch fits; v1 (page-per-grid-step) otherwise."""
+    B, MQ, Hq, hd = q.shape
+    Hkv = kv_layer.shape[0]
+    G = Hq // Hkv
+    if Hkv * MQ * G <= 512 and ctx_pad % block_size == 0:
+        return tree_attention_v2(
+            q, kv_layer, block_tables, context_lens, fan_idx_rows, step,
+            K, block_size, ctx_pad, scale, interpret=interpret,
+        )
+    return tree_attention(
+        q, kv_layer, block_tables, context_lens, fan_idx_rows, step,
+        K, block_size, ctx_pad, scale, interpret=interpret,
+    )
+
+
 def _tree_attn_kernel(
     # scalar prefetch
     bt_ref,      # [B, M] int32
