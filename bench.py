@@ -146,6 +146,10 @@ def main():
             target_dir, draft_dir = build_spec_checkpoints(model_dir)
         kw.update(speculate=True, draft=draft_dir, speculate_k=4,
                   draft_async=(mode == "ssd"), async_fan_out=2)
+        if mode == "sd":
+            # Fused multi-round SD: one dispatch + one host sync per
+            # rounds * E[accepted+1] tokens (engine/fused_sd.py).
+            kw["spec_rounds"] = int(os.environ.get("SSD_BENCH_SPEC_ROUNDS", "8"))
         kw["init_random"] = target_dir == model_dir
         model_dir = target_dir
     else:

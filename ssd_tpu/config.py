@@ -110,6 +110,12 @@ class Config:
     draft: str = DEFAULT_DRAFT
     speculate_k: int = 1
     draft_async: bool = False
+    # Sync SD only: fuse this many whole speculation rounds
+    # (chain -> verify -> accept) into ONE XLA program per engine step —
+    # one dispatch + one host sync per rounds * E[accepted+1] tokens (the
+    # speculative analogue of AR multi_step). Greedy outputs stay token-exact
+    # vs spec_rounds=1. See ssd_tpu/engine/fused_sd.py.
+    spec_rounds: int = 1
 
     # async spec only
     # Draft data parallelism: replicate the draft over this many dedicated

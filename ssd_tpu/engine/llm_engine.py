@@ -245,6 +245,18 @@ class LLMEngine:
 
         from ssd_tpu.engine.verifier import Verifier
 
+        if not config.draft_async and config.spec_rounds > 1:
+            from ssd_tpu.engine.step import FusedSpecDecodeStep
+
+            return FusedSpecDecodeStep(
+                scheduler=self.scheduler,
+                target_runner=self.model_runner,
+                draft_runner=self.draft_runner,
+                K=config.speculate_k,
+                rounds=config.spec_rounds,
+                metrics=METRICS,
+            )
+
         if config.draft_async:
             from ssd_tpu.engine.speculator_async import SpeculatorAsync
 

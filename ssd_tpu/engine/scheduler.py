@@ -39,6 +39,7 @@ class Scheduler:
         self.verbose = config.verbose
         self.draft_async = config.draft_async
         self.multi_step = config.multi_step
+        self.spec_rounds = config.spec_rounds
         self.block_manager = BlockManager(
             config.num_kvcache_blocks,
             config.kvcache_block_size,
@@ -140,7 +141,10 @@ class Scheduler:
             return 1, None
         if self.draft_async:
             return self.K + 1, compute_megaspec_lookahead(self.MQ_LEN, self.K)
-        return self.K + 1, self.K + 1
+        # Fused multi-round sync SD reserves every round's worst case up
+        # front (one extra slot for the chain's trailing KV write).
+        la = self.spec_rounds * (self.K + 1) + (1 if self.spec_rounds > 1 else 0)
+        return la, la
 
     def _reserve(self, seq: Sequence, target_la: int, draft_la: int | None) -> bool:
         """Reserve this step's lookahead blocks for seq, evicting victims from

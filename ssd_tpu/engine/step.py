@@ -65,6 +65,61 @@ class AutoRegressiveStep(InferenceStep):
         return sum(s.num_tokens for s in seqs) - before
 
 
+class FusedSpecDecodeStep(InferenceStep):
+    """Sync SD with `spec_rounds` whole rounds fused into one XLA program
+    (ssd_tpu.engine.fused_sd): one dispatch + one host sync per
+    R * E[accepted+1] tokens. Greedy outputs are token-exact vs the unfused
+    path; EOS / max-token overshoot is truncated and rolled back like AR
+    multi-step overshoot."""
+
+    def __init__(self, scheduler: Scheduler, target_runner: ModelRunner,
+                 draft_runner: ModelRunner, K: int, rounds: int,
+                 metrics: dict | None = None):
+        super().__init__(scheduler)
+        self.target_runner = target_runner
+        self.draft_runner = draft_runner
+        self.K = K
+        self.rounds = rounds
+        self.metrics = metrics if metrics is not None else {}
+
+    def prefill(self, seqs: list[Sequence]) -> int:
+        token_ids = self.target_runner.run(seqs, is_prefill=True)
+        self.draft_runner.run(seqs, is_prefill=True)
+        for seq, token_id in zip(seqs, token_ids):
+            seq.recovery_token_id = token_id
+            seq.num_cached_tokens = seq.num_prompt_tokens
+            seq.num_draft_cached_tokens = seq.num_prompt_tokens
+        return sum(len(s) for s in seqs)
+
+    def decode(self, seqs: list[Sequence]) -> int:
+        if not seqs:
+            return 0
+        from ssd_tpu.engine.fused_sd import run_sd_superstep
+
+        t0 = perf_counter()
+        suffixes, final_recs, per_round_lens = run_sd_superstep(
+            self.target_runner, self.draft_runner, seqs, self.K, self.rounds
+        )
+        self.metrics.setdefault("target_verify_times", []).append(
+            perf_counter() - t0
+        )
+        before_each = [s.num_tokens for s in seqs]
+        self.scheduler.postprocess_speculate(seqs, suffixes, final_recs)
+        # Acceptance metrics: count only rounds fully inside the COMMITTED
+        # suffix (EOS/max truncation invalidates the tail rounds).
+        for seq, before, lens in zip(seqs, before_each, per_round_lens):
+            committed = seq.num_tokens - before
+            used = 0
+            for n in lens:
+                if used + n > committed:
+                    break
+                self.metrics.setdefault(
+                    "accepted_suffix_lens_with_recovery", []
+                ).append(n)
+                used += n
+        return sum(s.num_tokens - b for s, b in zip(seqs, before_each))
+
+
 class SpecDecodeStep(InferenceStep):
 
     def __init__(self, scheduler: Scheduler, speculator, verifier, eagle: bool,

@@ -1,0 +1,95 @@
+"""Fused multi-round sync SD (ssd_tpu.engine.fused_sd): greedy outputs must be
+token-exact vs the HF reference AND vs unfused sync SD — the fusion changes
+only the dispatch structure (R rounds per program), never token semantics."""
+
+import numpy as np
+import pytest
+import torch
+
+from ssd_tpu import SamplingParams
+from ssd_tpu.llm import LLM
+from tests.utils_models import make_tiny_llama
+
+PROMPTS = [[1, 5, 9, 2, 7, 3], [4, 4, 8, 1], [2, 2, 2]]
+
+
+def _generate(target, draft, spec_rounds, max_new=24, max_steps=None):
+    engine = LLM(
+        str(target),
+        draft=str(draft),
+        speculate=True,
+        speculate_k=3,
+        spec_rounds=spec_rounds,
+        dtype="float32",
+        max_model_len=256,
+        max_num_batched_tokens=1024,
+        kvcache_block_size=16,
+        num_kvcache_blocks=128,
+        max_num_seqs=4,
+        seed=0,
+        max_steps=max_steps,
+    )
+    outs, metrics = engine.generate(
+        [list(p) for p in PROMPTS],
+        SamplingParams(temperature=0.0, max_new_tokens=max_new, ignore_eos=True),
+        use_tqdm=False,
+    )
+    return [o["token_ids"] for o in outs], metrics
+
+
+@pytest.fixture(scope="module")
+def ckpts(tmp_path_factory):
+    target = tmp_path_factory.mktemp("fused_target")
+    draft = tmp_path_factory.mktemp("fused_draft")
+    make_tiny_llama(target, seed=0)
+    make_tiny_llama(draft, layers=1, seed=0)
+    return target, draft
+
+
+def test_fused_sd_matches_hf_and_unfused(ckpts):
+    target, draft = ckpts
+    from transformers import AutoModelForCausalLM
+
+    hf = AutoModelForCausalLM.from_pretrained(str(target), torch_dtype=torch.float32)
+    want = [
+        hf.generate(torch.tensor([p]), max_new_tokens=24, do_sample=False)[0][
+            len(p):
+        ].tolist()
+        for p in PROMPTS
+    ]
+
+    got_fused, metrics = _generate(target, draft, spec_rounds=4)
+    assert got_fused == want, (got_fused, want)
+
+    got_unfused, _ = _generate(target, draft, spec_rounds=1)
+    assert got_unfused == got_fused
+
+    lens = metrics["accepted_suffix_lens_with_recovery"]
+    assert lens and all(1 <= n <= 4 for n in lens)
+
+
+def test_fused_sd_eos_truncation(ckpts):
+    """EOS appearing mid-superstep truncates the suffix (no over-generation)."""
+    target, draft = ckpts
+    engine = LLM(
+        str(target),
+        draft=str(draft),
+        speculate=True,
+        speculate_k=3,
+        spec_rounds=4,
+        dtype="float32",
+        max_model_len=256,
+        max_num_batched_tokens=1024,
+        kvcache_block_size=16,
+        num_kvcache_blocks=128,
+        max_num_seqs=4,
+        seed=0,
+    )
+    # max_new_tokens smaller than one superstep's worst case (4 rounds x 4):
+    # truncation must cap output exactly.
+    outs, _ = engine.generate(
+        [list(PROMPTS[0])],
+        SamplingParams(temperature=0.0, max_new_tokens=5, ignore_eos=True),
+        use_tqdm=False,
+    )
+    assert len(outs[0]["token_ids"]) == 5
