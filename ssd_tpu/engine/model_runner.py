@@ -533,10 +533,46 @@ class ModelRunner:
 
     def run_prefill(self, seqs: list[Sequence], last_only: bool = True,
                     return_acts: bool = False):
-        """Prefill the whole scheduled batch in ONE dispatch (ragged lengths
-        via per-seq qeff); returns sampled first tokens [B] (and, with
-        return_acts in EAGLE mode, per-seq activation arrays [num_tokens, 3D]
-        on the host)."""
+        """Prefill the scheduled batch: sequences are grouped by the pow-2
+        bucket of their new-token count and each group runs as one padded
+        dispatch, so mixed-length batches cost ~sum(2*len_i) query rows
+        instead of B * max(len_i) (the padded-batch analogue of the
+        reference's varlen packing, runner_helpers.py:123-180). Returns
+        sampled first tokens [B] in input order (and, with return_acts in
+        EAGLE mode, per-seq activation arrays [num_tokens, 3D] on the host).
+        """
+        buckets: dict[int, list[int]] = {}
+        for i, seq in enumerate(seqs):
+            cached = (
+                seq.num_draft_cached_tokens if self.is_draft
+                else seq.num_cached_tokens
+            )
+            if self.eagle_layers and cached > 0:
+                cached = 0
+            cached = min(cached, seq.num_tokens - 1)
+            buckets.setdefault(
+                next_pow2(max(8, seq.num_tokens - cached)), []
+            ).append(i)
+        if len(buckets) == 1:
+            return self._run_prefill_group(seqs, return_acts)
+
+        tokens_out: list[int | None] = [None] * len(seqs)
+        acts_out: list = [None] * len(seqs)
+        for _, idxs in sorted(buckets.items()):
+            group = [seqs[i] for i in idxs]
+            if return_acts:
+                toks, acts = self._run_prefill_group(group, True)
+                for i, t, a in zip(idxs, toks, acts):
+                    tokens_out[i], acts_out[i] = t, a
+            else:
+                for i, t in zip(idxs, self._run_prefill_group(group, False)):
+                    tokens_out[i] = t
+        if return_acts:
+            return tokens_out, acts_out
+        return tokens_out
+
+    def _run_prefill_group(self, seqs: list[Sequence], return_acts: bool):
+        """One padded prefill dispatch (ragged lengths via per-seq qeff)."""
         from ssd_tpu.utils.native import prepare_prefill
 
         draft = self.is_draft
