@@ -50,6 +50,8 @@ def run_mode(model_path, draft_path, prompt, args, mode):
     kw = dict(num_devices=args.chips, max_num_seqs=1, draft=draft_path)
     if mode == "sd":
         kw.update(speculate=True, speculate_k=args.k)
+    elif mode == "sd-fused":
+        kw.update(speculate=True, speculate_k=args.k, spec_rounds=8)
     elif mode == "ssd":
         kw.update(speculate=True, speculate_k=args.k, draft_async=True,
                   async_fan_out=args.f)
@@ -108,13 +110,13 @@ def main():
 
     prompt = args.prompt_ids if args.prompt_ids is not None else args.prompt
     results = {}
-    for mode in ("ar", "sd", "ssd"):
+    for mode in ("ar", "sd", "sd-fused", "ssd"):
         text, toks = run_mode(model_path, draft_path, prompt, args, mode)
         results[mode] = toks
         print(f"[{mode}] {len(toks)} tokens: {text[:120]!r}...", flush=True)
 
     ok = True
-    for mode in ("sd", "ssd"):
+    for mode in ("sd", "sd-fused", "ssd"):
         div = first_divergence(results["ar"], results[mode])
         if div is None:
             print(f"ar == {mode}: EXACT MATCH", flush=True)
