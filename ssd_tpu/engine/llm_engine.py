@@ -182,8 +182,41 @@ class LLMEngine:
             self.draft_runner.warmup_buckets(
                 q_lens=[1], chain_Ks=[cfg.speculate_k], batch_pads=batch_pads
             )
+            if cfg.spec_rounds > 1:
+                self._warmup_superstep(batch_pads)
         if self.draft_server is not None:
             self.draft_server.warmup(batch_pads=batch_pads)
+
+    def _warmup_superstep(self, batch_pads):
+        """Pre-compile the fused multi-round SD program (engine/fused_sd.py)
+        for every (batch bucket, ctx bucket) with ghost inputs (block tables
+        -1 => all KV writes dropped)."""
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+
+        from ssd_tpu.engine.fused_sd import sd_superstep
+
+        cfg = self.config
+        t, d = self.model_runner, self.draft_runner
+        for B_pad in batch_pads:
+            bt_t = jnp.full((B_pad, t.max_blocks), -1, jnp.int32)
+            bt_d = jnp.full((B_pad, d.max_blocks), -1, jnp.int32)
+            ones = jnp.ones(B_pad, jnp.int32)
+            temps = jnp.ones(B_pad, jnp.float32)
+            for ctx_pad in t._ctx_buckets():
+                out = sd_superstep(
+                    t.params, t.kv_cache, d.params, d.kv_cache,
+                    jnp.zeros(B_pad, jnp.int32), ones, bt_t, bt_d,
+                    temps, temps, jax.random.PRNGKey(0),
+                    t_arch=t.arch, d_arch=d.arch, block_size=t.block_size,
+                    ctx_pad_t=ctx_pad, ctx_pad_d=d._ctx_bucket(ctx_pad),
+                    K=cfg.speculate_k, R=cfg.spec_rounds,
+                    use_pallas=t.use_pallas,
+                )
+                t.kv_cache, d.kv_cache = out[3], out[4]
+            jax.block_until_ready(t.kv_cache)
 
     def exit(self, hard: bool = False):
         if self._exiting:
