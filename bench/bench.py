@@ -45,6 +45,9 @@ def parse_arguments():
     p.add_argument("--spec", action="store_true")
     p.add_argument("--eagle", action="store_true")
     p.add_argument("--k", type=int, default=6)
+    p.add_argument("--rounds", type=int, default=1,
+                   help="sync SD only: fuse this many speculation rounds "
+                        "into one XLA program per step (engine/fused_sd.py)")
     p.add_argument("--async", dest="draft_async", action="store_true")
     p.add_argument("--ddp", type=int, default=1,
                    help="draft data parallelism (replica chips)")
@@ -113,6 +116,7 @@ def create_llm_kwargs(args, draft_path):
         num_devices=args.chips,
         speculate=args.spec,
         speculate_k=args.k,
+        spec_rounds=args.rounds,
         draft_async=args.draft_async,
         draft_dp=args.ddp,
         async_fan_out=args.f,
