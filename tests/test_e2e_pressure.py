@@ -75,3 +75,35 @@ def test_async_ssd_preemption_under_pressure_token_exact(target_dir, draft_dir):
     engine.exit()
     for out, want in zip(outs, wants):
         assert out["token_ids"] == want
+
+
+def test_fused_sd_preemption_under_pressure_token_exact(target_dir, draft_dir):
+    """Fused multi-round SD reserves spec_rounds*(K+1)+1 lookahead slots per
+    scheduled sequence; under a tight pool that forces preemption between
+    supersteps, outputs must stay token-exact (recovery tokens are reseeded
+    by the re-prefill)."""
+    engine = LLM(
+        target_dir,
+        draft=draft_dir,
+        speculate=True,
+        speculate_k=2,
+        spec_rounds=3,
+        dtype="float32",
+        max_model_len=160,
+        max_num_batched_tokens=1024,
+        kvcache_block_size=16,
+        # Lookahead 3*(2+1)+1 = 10 per scheduled seq per step; 20 blocks x 16
+        # cannot hold 3 seqs' prompts + lookahead simultaneously.
+        num_kvcache_blocks=20,
+        max_num_seqs=3,
+    )
+    prompts = [random_prompt(rng(500 + i), 16, 24) for i in range(3)]
+    wants = [hf_greedy(target_dir, p, 40) for p in prompts]
+    outs, _ = engine.generate(
+        [list(p) for p in prompts],
+        SamplingParams(temperature=0.0, max_new_tokens=40, ignore_eos=True),
+        use_tqdm=False,
+    )
+    engine.exit()
+    for out, want in zip(outs, wants):
+        assert out["token_ids"] == want
