@@ -34,6 +34,8 @@ def parse_arguments():
     p.add_argument("--spec", action="store_true")
     p.add_argument("--eagle", action="store_true")
     p.add_argument("--k", type=int, default=6)
+    p.add_argument("--rounds", type=int, default=1,
+                   help="sync SD: fused speculation rounds per step")
     p.add_argument("--async", dest="draft_async", action="store_true")
     p.add_argument("--f", type=int, default=3)
     p.add_argument("--temp", type=float, default=0.0)
@@ -114,6 +116,7 @@ def ssd_chat(args):
         num_devices=args.chips,
         speculate=args.spec,
         speculate_k=args.k,
+        spec_rounds=args.rounds,
         draft_async=args.draft_async,
         async_fan_out=args.f,
         draft=draft_path,
