@@ -23,10 +23,10 @@ def _build_checkpoints(base: str) -> tuple[str, str]:
 
     target = os.path.join(base, "target")
     draft = os.path.join(base, "eagle")
-    if not os.path.exists(os.path.join(target, "config.json")):
+    if not os.path.exists(os.path.join(draft, "config.json")):
         os.makedirs(base, exist_ok=True)
-        make_tiny_llama(target, seed=0)
-        make_tiny_eagle(draft, target, seed=1)
+        make_tiny_llama(target, layers=6, seed=0)
+        make_tiny_eagle(draft, seed=3)
     return target, draft
 
 
@@ -49,6 +49,7 @@ def _worker(mode: str) -> None:
         jit_speculate=True,
         speculate_k=3,
         async_fan_out=2,
+        eagle_layers=[0, 2, 4],
         dtype="float32",
         max_model_len=128,
         max_num_batched_tokens=512,
