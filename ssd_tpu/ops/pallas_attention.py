@@ -448,11 +448,13 @@ def paged_attention_best(
     B, Q, Hq, hd = q.shape
     Hkv = kv_layer.shape[0]
     G = Hq // Hkv
-    # v2 flattens every head into one MXU call: its per-chunk score tile is
-    # [Hkv*Q*G, Hkv*C*bs] fp32 in VMEM, so route only small-Q phases
-    # (decode / verify / glue) there; big prefill tiles take v1's q-tiled
-    # page-per-step path.
-    if Hkv * Q * G <= 512 and ctx_pad % block_size == 0:
+    # v2's manual page DMAs need a 128-lane-aligned minor dim (2*hd), and its
+    # single-tile scratch bounds the query rows, so route only small-Q phases
+    # (decode / verify / glue) of >=64-head-dim models there; everything else
+    # takes v1's BlockSpec page-per-step path (whose pipelined DMAs have no
+    # lane-alignment constraint).
+    if (Hkv * Q * G <= 512 and ctx_pad % block_size == 0
+            and (2 * hd) % 128 == 0):
         return paged_attention_v2(
             q, kv_layer, block_tables, context_lens, qeff,
             block_size, ctx_pad, scale, interpret=interpret,
@@ -676,7 +678,8 @@ def tree_attention_best(
     B, MQ, Hq, hd = q.shape
     Hkv = kv_layer.shape[0]
     G = Hq // Hkv
-    if Hkv * MQ * G <= 512 and ctx_pad % block_size == 0:
+    if (Hkv * MQ * G <= 512 and ctx_pad % block_size == 0
+            and (2 * hd) % 128 == 0):
         return tree_attention_v2(
             q, kv_layer, block_tables, context_lens, fan_idx_rows, step,
             K, block_size, ctx_pad, scale, interpret=interpret,
