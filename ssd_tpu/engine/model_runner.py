@@ -556,6 +556,17 @@ class ModelRunner:
         if len(buckets) == 1:
             return self._run_prefill_group(seqs, return_acts)
 
+        # Intra-batch prefix sharing (two admitted prompts with a common
+        # prefix hit the same cache blocks): the consumer's attention must
+        # see the writer's KV, which one dispatch guarantees and a grouped
+        # split might reorder — so share => single padded dispatch.
+        tables = [
+            seq.draft_block_table if self.is_draft else seq.block_table
+            for seq in seqs
+        ]
+        if len(set().union(*map(set, tables))) < sum(map(len, tables)):
+            return self._run_prefill_group(seqs, return_acts)
+
         tokens_out: list[int | None] = [None] * len(seqs)
         acts_out: list = [None] * len(seqs)
         for _, idxs in sorted(buckets.items()):
