@@ -471,7 +471,9 @@ def _tree_attn_v2_kernel(
     ctx_ref,     # [B] attended length at this step
     step_ref,    # [1] int32 tree depth s
     # in
-    fan_ref,     # [1, MQ] int32 glue depth per tree row (VMEM tensor input)
+    fan_ref,     # [1, 1, MQ] int32 glue depth per tree row (VMEM tensor
+                 #   input; 3D so the per-b block's minor-2 dims equal the
+                 #   array's — Mosaic tiling constraint at B > 1)
     q_ref,       # [1, Hkv, MQ*G, 2*hd] ([q | 0] padded)
     kv_hbm_ref,  # [Hkv, S, 2*hd] (ANY)
     # out
@@ -549,7 +551,7 @@ def _tree_attn_v2_kernel(
         # fan_idx per row: gather fan_ref[0, r] via compare-reduce (no vector
         # gather primitive on TPU).
         fan_row = jax.lax.broadcasted_iota(jnp.int32, (R, MQ), 1)
-        fan_tbl = fan_ref[0, :][None, :]
+        fan_tbl = fan_ref[0, 0, :][None, :]
         fan = jnp.sum(
             jnp.where(fan_row == row[0], fan_tbl, 0), axis=1, keepdims=True
         )[None]                                              # [1, R, 1]
@@ -625,8 +627,8 @@ def tree_attention_v2(
         grid=(B, num_chunks),
         in_specs=[
             pl.BlockSpec(
-                (1, MQ),
-                lambda b, i, bt, ctx, st: (b, 0),
+                (1, 1, MQ),
+                lambda b, i, bt, ctx, st: (b, 0, 0),
             ),
             pl.BlockSpec(
                 (1, Hkv, MQ * G, 2 * hd),
@@ -662,7 +664,7 @@ def tree_attention_v2(
         block_tables.astype(jnp.int32),
         context_lens.astype(jnp.int32),
         jnp.atleast_1d(step).astype(jnp.int32),
-        fan_idx_rows.astype(jnp.int32),
+        fan_idx_rows.astype(jnp.int32)[:, None, :],
         qp,
         kv_layer,
     )
@@ -696,8 +698,10 @@ def _tree_attn_kernel(
     ctx_ref,     # [B] int32 attended length at this step
     step_ref,    # [1] int32 tree depth s
     # blocks
-    fan_ref,     # [1, MQ] int32 glue depth per tree row (VMEM: Mosaic only
-                 #   allows scalar loads from SMEM, so this is a tensor input)
+    fan_ref,     # [1, 1, MQ] int32 glue depth per tree row (VMEM: Mosaic
+                 #   only allows scalar loads from SMEM, so this is a tensor
+                 #   input; 3D so the per-b block's minor-2 dims equal the
+                 #   array's — tiling constraint at B > 1)
     q_ref,       # [1, 1, MQ*G, 2*hd] ([q | 0] padded)
     kv_ref,      # [1, BS, 2*hd]
     o_ref,       # [1, 1, MQ*G, 2*hd] (V half holds the result)
@@ -737,7 +741,7 @@ def _tree_attn_kernel(
     # fan_idx per row: gather fan_ref[0, r] via compare-reduce (no vector
     # gather primitive on TPU).
     fan_row = jax.lax.broadcasted_iota(jnp.int32, (R, MQ), 1)
-    fan_tbl = fan_ref[0, :][None, :]                             # [1, MQ]
+    fan_tbl = fan_ref[0, 0, :][None, :]                          # [1, MQ]
     fan = jnp.sum(jnp.where(fan_row == row, fan_tbl, 0), axis=1, keepdims=True)
 
     in_prefix = pos < prefix
@@ -791,8 +795,8 @@ def tree_attention(
         grid=(B, Hkv, 1, num_pages),
         in_specs=[
             pl.BlockSpec(
-                (1, MQ),
-                lambda b, h, t, p, bt, ctx, st: (b, 0),
+                (1, 1, MQ),
+                lambda b, h, t, p, bt, ctx, st: (b, 0, 0),
             ),
             pl.BlockSpec(
                 (1, 1, MQ * G, 2 * hd),
@@ -835,7 +839,7 @@ def tree_attention(
         block_tables.astype(jnp.int32),
         context_lens.astype(jnp.int32),
         jnp.atleast_1d(step).astype(jnp.int32),
-        fan_idx_rows.astype(jnp.int32),
+        fan_idx_rows.astype(jnp.int32)[:, None, :],
         qp,
         kv_layer,
     )
