@@ -1,12 +1,14 @@
 """EAGLE-3 exactness on real TPU hardware (round-1 VERDICT item 10).
 
 Runs the full EAGLE async path (conditioned prefill -> packed glue -> tree
-build -> verify) twice on a synthetic EAGLE checkpoint — once on the CPU
-backend (jnp reference ops) and once on the TPU backend (Pallas kernels,
-real chip) — and asserts greedy token-for-token agreement.
+build -> verify) twice ON THE REAL CHIP with a synthetic EAGLE checkpoint —
+once through the Pallas kernels and once through the jnp oracle ops — and
+asserts greedy token-for-token agreement. (CPU-vs-TPU would compare different
+matmul arithmetic and can diverge on argmax ties; same-chip pallas-vs-oracle
+isolates exactly the kernels.)
 
-  python -m bench.eagle_tpu_check            # orchestrates both runs
-  python -m bench.eagle_tpu_check --worker cpu|tpu   # internal
+  python -m bench.eagle_tpu_check                 # orchestrates both runs
+  python -m bench.eagle_tpu_check --worker tpu|tpu-oracle|cpu   # internal
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ def _worker(mode: str) -> None:
     if mode == "cpu":
         jax.config.update("jax_platforms", "cpu")
     target, draft = _build_checkpoints("/tmp/ssd_eagle_check")
+    use_pallas = None if mode != "tpu-oracle" else False
 
     from ssd_tpu.llm import LLM
     from ssd_tpu.sampling_params import SamplingParams
@@ -49,6 +52,7 @@ def _worker(mode: str) -> None:
         jit_speculate=True,
         speculate_k=3,
         async_fan_out=2,
+        use_pallas=use_pallas,
         eagle_layers=[0, 2, 4],
         dtype="float32",
         max_model_len=128,
@@ -77,7 +81,7 @@ def main() -> int:
         return 0
 
     results = {}
-    for mode in ("cpu", "tpu"):
+    for mode in ("tpu-oracle", "tpu"):
         r = subprocess.run(
             [sys.executable, "-m", "bench.eagle_tpu_check", "--worker", mode],
             capture_output=True, text=True, timeout=3600,
@@ -90,14 +94,15 @@ def main() -> int:
         results[mode] = json.loads(line[0][len("EAGLE_TOKENS "):])
         print(f"[{mode}] backend={results[mode]['backend']} ok", flush=True)
 
-    assert results["tpu"]["backend"] == "tpu", (
-        "TPU worker fell back to " + results["tpu"]["backend"]
-    )
-    match = results["cpu"]["tokens"] == results["tpu"]["tokens"]
+    for mode in ("tpu-oracle", "tpu"):
+        assert results[mode]["backend"] == "tpu", (
+            f"{mode} worker fell back to " + results[mode]["backend"]
+        )
+    match = results["tpu-oracle"]["tokens"] == results["tpu"]["tokens"]
     print(json.dumps({
         "eagle_tpu_exactness": "PASS" if match else "FAIL",
-        "cpu": results["cpu"]["tokens"],
-        "tpu": results["tpu"]["tokens"],
+        "tpu_oracle": results["tpu-oracle"]["tokens"],
+        "tpu_pallas": results["tpu"]["tokens"],
     }))
     return 0 if match else 1
 
