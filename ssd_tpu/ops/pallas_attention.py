@@ -241,6 +241,17 @@ def _v2_copy_chunk(kv_hbm_ref, kv_vmem, sem, bt_ref, b, chunk, C, bs):
     return copies
 
 
+def _v2_wait_chunk(kv_hbm_ref, kv_vmem, sem, C, bs):
+    """Wait-only descriptors: a DMA wait is keyed by (semaphore, byte count),
+    not by the source address, so these use page 0 — sparing the scalar core
+    the block-table loads + clamps of rebuilding the real descriptors (which
+    showed up as per-grid-step overhead)."""
+    for j in range(C):
+        pltpu.make_async_copy(
+            kv_hbm_ref.at[:, pl.ds(0, bs), :], kv_vmem.at[:, j], sem
+        ).wait()
+
+
 def _paged_attn_v2_kernel(
     # scalar prefetch
     bt_ref,      # [B, M] int32 page tables
@@ -316,11 +327,9 @@ def _paged_attn_v2_kernel(
                 c.start()
             buf_ref[0] = nxt
 
-        # Wait for this chunk, then reduce it head by head (the mask is
-        # head-independent, computed once).
-        for c in _v2_copy_chunk(kv_hbm_ref, kv_vmem.at[buf], sems.at[buf],
-                                bt_ref, b, i, C, block_size):
-            c.wait()
+        # Wait for this chunk, then reduce it (all heads at once).
+        _v2_wait_chunk(kv_hbm_ref, kv_vmem.at[buf], sems.at[buf], C,
+                       block_size)
 
         QG = q_ref.shape[2]
         pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bk), 2)
@@ -440,11 +449,15 @@ def paged_attention_best(
     block_size: int,
     ctx_pad: int,
     scale: float,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Route to the fastest applicable kernel: the double-buffered v2 for
     decode/verify/moderate prefill tiles, v1 (one page per grid step) for
-    query tiles too large for v2's single-tile VMEM scratch."""
+    query tiles too large for v2's single-tile VMEM scratch. interpret=None
+    auto-selects interpret mode off-TPU (e.g. engine runs forced onto CPU
+    with use_pallas=True for kernel-path exactness checks)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     B, Q, Hq, hd = q.shape
     Hkv = kv_layer.shape[0]
     G = Hq // Hkv
@@ -673,10 +686,13 @@ def tree_attention_v2(
 
 def tree_attention_best(
     q, kv_layer, block_tables, context_lens, fan_idx_rows, step,
-    K, block_size, ctx_pad, scale, interpret=False,
+    K, block_size, ctx_pad, scale, interpret=None,
 ):
     """Route to the pipelined v2 tree kernel when its single-tile VMEM
-    scratch fits; v1 (page-per-grid-step) otherwise."""
+    scratch fits; v1 (page-per-grid-step) otherwise. interpret=None
+    auto-selects interpret mode off-TPU."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     B, MQ, Hq, hd = q.shape
     Hkv = kv_layer.shape[0]
     G = Hq // Hkv
