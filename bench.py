@@ -144,7 +144,9 @@ def main():
             target_dir = draft_dir = model_dir
         else:
             target_dir, draft_dir = build_spec_checkpoints(model_dir)
-        kw.update(speculate=True, draft=draft_dir, speculate_k=4,
+        kw.update(speculate=True,
+                  draft=draft_dir,
+                  speculate_k=int(os.environ.get("SSD_BENCH_K", "4")),
                   draft_async=(mode == "ssd"), async_fan_out=2)
         if mode == "sd":
             # Fused multi-round SD: one dispatch + one host sync per
