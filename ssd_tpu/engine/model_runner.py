@@ -44,11 +44,15 @@ def next_pow2(n: int) -> int:
 
 def slot_of(block_tables, positions_flat, b_of_row, block_size: int):
     """Flat cache slot for each (row, position); -1 where the table entry is
-    -1 (ghost rows / padding). Shared by the chain, tree, and EAGLE programs."""
+    -1 (ghost rows / padding) OR the position falls past the table entirely
+    (context-limit overshoot: without the explicit -1, the gather would clamp
+    to the LAST real block and corrupt committed KV). Shared by the chain,
+    tree, and EAGLE programs."""
+    M = block_tables.shape[1]
     blk = positions_flat // block_size
-    blk_ids = block_tables[b_of_row, blk]
+    blk_ids = block_tables[b_of_row, jnp.minimum(blk, M - 1)]
     slot = blk_ids * block_size + positions_flat % block_size
-    return jnp.where(blk_ids < 0, -1, slot).astype(jnp.int32)
+    return jnp.where((blk_ids < 0) | (blk >= M), -1, slot).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------

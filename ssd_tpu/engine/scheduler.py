@@ -38,6 +38,7 @@ class Scheduler:
         self.block_size = config.kvcache_block_size
         self.verbose = config.verbose
         self.draft_async = config.draft_async
+        self.use_eagle = config.use_eagle
         self.multi_step = config.multi_step
         self.spec_rounds = config.spec_rounds
         self.block_manager = BlockManager(
@@ -163,23 +164,35 @@ class Scheduler:
     def _schedule_decode(self) -> list[Sequence]:
         target_la, draft_la = self._lookaheads()
         horizon = max(target_la, draft_la or 0)
+        # Sync non-EAGLE SD tolerates context-limit overshoot: positions past
+        # the last table block map to ghost KV slots (dropped writes) and the
+        # postprocess truncates the suffix at max_model_len, so near the limit
+        # the lookahead CLAMPS to the remaining room instead of finishing the
+        # sequence R*(K+1) tokens early. Async/EAGLE keep the boundary finish
+        # (their host-side draft cache is keyed by committed outcomes and
+        # cannot absorb garbage rounds).
+        sync_spec = self.speculate and not self.draft_async and not self.use_eagle
         batch: list[Sequence] = []
         while self.running and len(batch) < self.max_num_seqs:
             seq = self.running.popleft()
-            if seq.num_tokens + horizon > self.max_model_len:
+            room = self.max_model_len - seq.num_tokens
+            if not sync_spec and seq.num_tokens + horizon > self.max_model_len:
                 # Within lookahead of the context limit: no step of this mode
                 # can ever run, so finish gracefully at the boundary instead
                 # of preempt-looping forever (the reference livelocks here).
                 self._finish(seq, remove_running=False)
                 self.newly_finished.append(seq)
                 continue
-            la = target_la
+            la, dla = target_la, draft_la
             if not self.speculate and self.multi_step > 1:
                 # AR multi-step: the chain writes multi_step+1 positions past
                 # the trunk; clamp near max_model_len so boundary sequences
                 # stay schedulable.
-                la = max(1, min(self.multi_step, self.max_model_len - seq.num_tokens))
-            if self._reserve(seq, la, draft_la):
+                la = max(1, min(self.multi_step, room))
+            elif sync_spec:
+                la = max(1, min(target_la, room))
+                dla = max(1, min(draft_la, room))
+            if self._reserve(seq, la, dla):
                 batch.append(seq)
         self.running.extendleft(reversed(batch))
 

@@ -66,6 +66,30 @@ def test_spec_context_boundary_terminates(target_dir, draft_dir):
     assert got == want  # the tokens it did produce are exact
 
 
+@pytest.mark.parametrize("rounds", [1, 4])
+def test_sync_sd_generates_to_context_limit(target_dir, draft_dir, rounds):
+    """Sync SD (unfused and fused multi-round) must generate right UP TO
+    max_model_len — not finish R*(K+1) tokens early at the lookahead horizon.
+    Overshoot positions land in ghost KV slots and the host truncates."""
+    engine = LLM(
+        target_dir, draft=draft_dir, speculate=True, draft_async=False,
+        speculate_k=3, spec_rounds=rounds, dtype="float32",
+        max_model_len=64, max_num_batched_tokens=1024, kvcache_block_size=16,
+        num_kvcache_blocks=96, max_num_seqs=2, max_steps=400,
+    )
+    prompt = random_prompt(rng(902), 20, 24)
+    room = 64 - len(prompt)
+    outs, _ = engine.generate(
+        [list(prompt)],
+        SamplingParams(temperature=0.0, max_new_tokens=100, ignore_eos=True),
+        use_tqdm=False,
+    )
+    engine.exit()
+    got = outs[0]["token_ids"]
+    assert len(got) == room  # the full context, not an early horizon finish
+    assert got == hf_greedy(target_dir, prompt, room)
+
+
 def test_oversized_prompt_rejected(target_dir):
     engine = LLM(
         target_dir, dtype="float32", max_model_len=64,
