@@ -97,27 +97,36 @@ def _paged_attn_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    kv = kv_ref[0]
-    q = q_ref[0, 0]
-
-    scores = jax.lax.dot(
-        q.astype(jnp.float32), kv.astype(jnp.float32).T,
-        preferred_element_type=jnp.float32,
-    ) * scale                                                    # [TQ, BS]
-
-    pos = p * block_size + jax.lax.broadcasted_iota(
-        jnp.int32, (1, block_size), 1
-    )                                                            # [1, BS]
-    row = t * TQ + jax.lax.broadcasted_iota(jnp.int32, (TQ, 1), 0)
-    q_idx = row // G                                             # [TQ, 1]
     ctx = ctx_ref[b]
     qeff = qeff_ref[b]
-    # Query i attends [0, ctx - qeff + i]; padding queries (i >= qeff) attend
-    # a superset, their rows are discarded by the caller.
-    limit = ctx - qeff + q_idx                                   # [TQ, 1]
-    mask = (pos <= limit) & (pos < ctx)
+    # Causal early-exit: this q-tile's last row attends up to
+    # ctx - qeff + last_q_idx; pages entirely above that (and pages past ctx)
+    # contribute nothing — skip the flash update (their DMA is already
+    # elided by the index-map clamp, which repeats the previous block index).
+    tile_limit = jnp.minimum(ctx - qeff + ((t + 1) * TQ - 1) // G, ctx - 1)
 
-    _flash_update(scores, mask, kv.astype(jnp.float32), m_scr, l_scr, acc_scr)
+    @pl.when(p * block_size <= tile_limit)
+    def _():
+        kv = kv_ref[0]
+        q = q_ref[0, 0]
+
+        scores = jax.lax.dot(
+            q.astype(jnp.float32), kv.astype(jnp.float32).T,
+            preferred_element_type=jnp.float32,
+        ) * scale                                                # [TQ, BS]
+
+        pos = p * block_size + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_size), 1
+        )                                                        # [1, BS]
+        row = t * TQ + jax.lax.broadcasted_iota(jnp.int32, (TQ, 1), 0)
+        q_idx = row // G                                         # [TQ, 1]
+        # Query i attends [0, ctx - qeff + i]; padding queries (i >= qeff)
+        # attend a superset, their rows are discarded by the caller.
+        limit = ctx - qeff + q_idx                               # [TQ, 1]
+        mask = (pos <= limit) & (pos < ctx)
+
+        _flash_update(scores, mask, kv.astype(jnp.float32), m_scr, l_scr,
+                      acc_scr)
 
     @pl.when(p == pl.num_programs(3) - 1)
     def _():
@@ -161,16 +170,27 @@ def paged_attention(
                 (1, 1, TQ, 2 * hd),
                 lambda b, h, t, p, bt, ctx, qe: (b, h, t, 0),
             ),
-            # Pages past a sequence's true length clamp to its last real page:
-            # Pallas skips the DMA when the block index repeats across grid
-            # steps, so ctx_pad overscan costs ~nothing (the mask already
-            # zeroes those positions).
+            # Pages past a sequence's true length — or past the q-tile's
+            # CAUSAL limit (prefill: tile t's last row attends only up to
+            # ctx - qeff + last_row) — clamp to the last needed page: Pallas
+            # skips the DMA when the block index repeats across grid steps,
+            # so both ctx_pad overscan and the upper causal triangle cost
+            # ~nothing (the kernel also skips their flash update).
             pl.BlockSpec(
                 (1, block_size, 2 * hd),
                 lambda b, h, t, p, bt, ctx, qe: (
                     h,
                     jnp.maximum(
-                        bt[b, jnp.minimum(p, jnp.maximum(ctx[b] - 1, 0) // block_size)],
+                        bt[b, jnp.minimum(
+                            jnp.minimum(
+                                p,
+                                jnp.maximum(
+                                    ctx[b] - qe[b] + ((t + 1) * TQ - 1) // G,
+                                    0,
+                                ) // block_size,
+                            ),
+                            jnp.maximum(ctx[b] - 1, 0) // block_size,
+                        )],
                         0,
                     ),
                     0,
