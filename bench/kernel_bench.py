@@ -35,7 +35,8 @@ def parse_arguments():
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--peak-gbs", type=float, default=819.0,
                    help="HBM peak GB/s (v5e=819, v5p=2765, v4=1228)")
-    p.add_argument("--impl", choices=["pallas", "pallas2", "jnp", "both", "all"],
+    p.add_argument("--impl",
+                   choices=["pallas", "pallas2", "prefill", "jnp", "both", "all"],
                    default="both")
     p.add_argument("--ppc", type=int, default=8,
                    help="pages per chunk for the v2 kernel")
@@ -73,6 +74,9 @@ def run_impl(impl, args):
         body = lambda qq: patt.paged_attention_v2(
             qq, kv, bt, ctx_lens, qeff, bs, ctx, scale,
             pages_per_chunk=args.ppc, interpret=interp)
+    elif impl == "prefill":
+        body = lambda qq: patt.paged_attention_prefill(
+            qq, kv, bt, ctx_lens, qeff, bs, ctx, scale, interpret=interp)
     else:
         body = lambda qq: att.paged_attention(
             qq, kv, bt, ctx_lens, bs, ctx, scale)

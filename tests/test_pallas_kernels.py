@@ -75,6 +75,33 @@ def test_paged_attention_prefill_qeff():
     )
 
 
+@pytest.mark.parametrize("Q,num_new,ctx_lens", [
+    (64, [64, 37], [64, 37]),     # fresh prompts, ragged
+    (64, [23, 64], [87, 100]),    # prefix-cached + new, ragged
+])
+def test_paged_attention_prefill_dense_wrapper(Q, num_new, ctx_lens):
+    """The dense-gather large-tile prefill wrapper matches the oracle on
+    ragged, prefix-cached batches (including tile sizes > one page)."""
+    B, Hq, Hkv, hd = 2, 4, 2, 16
+    block_size, max_blocks = 16, 8
+    q, kv, bt, ctx = make_case(11, B, Q, Hq, Hkv, hd, block_size, max_blocks,
+                               ctx_lens)
+    ctx_pad = 128
+    scale = hd ** -0.5
+    qeff = jnp.asarray(num_new, jnp.int32)
+
+    want = att.paged_attention(q, kv, bt, ctx, block_size, ctx_pad, scale,
+                               qeff=qeff)
+    got = patt.paged_attention_prefill(
+        q, kv, bt, ctx, qeff, block_size, ctx_pad, scale, interpret=True,
+    )
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(got)[b, :num_new[b]], np.asarray(want)[b, :num_new[b]],
+            rtol=2e-5, atol=2e-5,
+        )
+
+
 @pytest.mark.parametrize("step", [0, 1, 2])
 def test_tree_attention_matches_reference(step):
     B, Hq, Hkv, hd = 2, 4, 2, 16
