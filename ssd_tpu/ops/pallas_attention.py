@@ -57,7 +57,13 @@ def _ungroup_o(o: jnp.ndarray, Q: int) -> jnp.ndarray:
 
 
 def _flash_update(scores, mask, v, m_scr, l_scr, acc_scr):
-    """One online-softmax accumulation step (all fp32)."""
+    """One online-softmax accumulation step.
+
+    Softmax state is fp32; the p @ V dot runs in V's dtype (bf16 in
+    production) with fp32 accumulation — fp32-INPUT matmuls cost several MXU
+    passes per tile, so keeping the operands in the cache dtype is what lets
+    the MXU run at full rate. Under the fp32 engine dtype (the exactness
+    tests) the cast is a no-op and the arithmetic is unchanged."""
     neg = jnp.float32(-1e30)
     s = jnp.where(mask, scores, neg)
     m_cur = jnp.max(s, axis=1, keepdims=True)                    # [R, 1]
@@ -66,7 +72,7 @@ def _flash_update(scores, mask, v, m_scr, l_scr, acc_scr):
     alpha = jnp.exp(m_scr[:] - m_new)                            # [R, 1]
     l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
     acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot(
-        p, v, preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
     m_scr[:] = m_new
 
@@ -110,8 +116,11 @@ def _paged_attn_kernel(
         kv = kv_ref[0]
         q = q_ref[0, 0]
 
-        scores = jax.lax.dot(
-            q.astype(jnp.float32), kv.astype(jnp.float32).T,
+        # Operands stay in the cache dtype (MXU native rate); the product is
+        # exact in the fp32 accumulator either way (bf16 x bf16 products have
+        # 16-bit mantissas), so this loses nothing vs upcasting first.
+        scores = jax.lax.dot_general(
+            q, kv, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale                                                # [TQ, BS]
 
@@ -125,8 +134,7 @@ def _paged_attn_kernel(
         limit = ctx - qeff + q_idx                               # [TQ, 1]
         mask = (pos <= limit) & (pos < ctx)
 
-        _flash_update(scores, mask, kv.astype(jnp.float32), m_scr, l_scr,
-                      acc_scr)
+        _flash_update(scores, mask, kv, m_scr, l_scr, acc_scr)
 
     @pl.when(p == pl.num_programs(3) - 1)
     def _():
@@ -363,8 +371,13 @@ def _paged_attn_v2_kernel(
         # the online-softmax state lives in [Hkv, QG, *] scratch touched only
         # as whole refs (Mosaic cannot slice refs below tile granularity), and
         # the head-independent mask is computed once and broadcast.
-        kv3 = kv_vmem[buf].reshape(num_kv_heads, bk, hd2).astype(jnp.float32)
-        q3 = q_ref[0].astype(jnp.float32)                    # [Hkv, QG, 2hd]
+        # Batched dots in the cache dtype (MXU native rate; fp32-input
+        # matmuls cost several passes per tile) with fp32 accumulation: the
+        # q.K products are exact either way, and p is cast to the cache
+        # dtype like every production flash kernel. Under fp32 engine dtype
+        # (exactness tests) the casts are no-ops.
+        kv3 = kv_vmem[buf].reshape(num_kv_heads, bk, hd2)
+        q3 = q_ref[0]                                        # [Hkv, QG, 2hd]
         scores = jax.lax.dot_general(
             q3, kv3, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -377,7 +390,7 @@ def _paged_attn_v2_kernel(
         alpha = jnp.exp(m_scr[:] - m_new)
         l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=2, keepdims=True)
         acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
-            p, kv3, (((2,), (1,)), ((0,), (0,))),
+            p.astype(kv3.dtype), kv3, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         m_scr[:] = m_new
@@ -657,8 +670,9 @@ def _tree_attn_v2_kernel(
         )
         mask = (in_prefix | in_glue | in_tree) & (pos < ctx)  # [1, R, bk]
 
-        kv3 = kv_vmem[buf].reshape(num_kv_heads, bk, hd2).astype(jnp.float32)
-        q3 = q_ref[0].astype(jnp.float32)
+        # Cache-dtype operands, fp32 accumulation (see _paged_attn_v2_kernel).
+        kv3 = kv_vmem[buf].reshape(num_kv_heads, bk, hd2)
+        q3 = q_ref[0]
         scores = jax.lax.dot_general(
             q3, kv3, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -671,7 +685,7 @@ def _tree_attn_v2_kernel(
         alpha = jnp.exp(m_scr[:] - m_new)
         l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=2, keepdims=True)
         acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
-            p, kv3, (((2,), (1,)), ((0,), (0,))),
+            p.astype(kv3.dtype), kv3, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         m_scr[:] = m_new
@@ -818,8 +832,8 @@ def _tree_attn_kernel(
     q = q_ref[0, 0]
     R = q.shape[0]  # MQ * G
 
-    scores = jax.lax.dot(
-        q.astype(jnp.float32), kv.astype(jnp.float32).T,
+    scores = jax.lax.dot_general(
+        q, kv, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
 
@@ -848,7 +862,7 @@ def _tree_attn_kernel(
     )
     mask = (in_prefix | in_glue | in_tree) & (pos < ctx)
 
-    _flash_update(scores, mask, kv.astype(jnp.float32), m_scr, l_scr, acc_scr)
+    _flash_update(scores, mask, kv, m_scr, l_scr, acc_scr)
 
     @pl.when(p == pl.num_programs(3) - 1)
     def _():
