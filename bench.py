@@ -129,6 +129,10 @@ def main():
         num_kvcache_blocks=max(64, 40 * batch),
         ctx_bucket_policy="single",
     )
+    if os.environ.get("SSD_BENCH_PALLAS"):
+        # "0" forces the jnp-gather attention path, "1" forces Pallas —
+        # for measuring the kernel-launch overhead at short contexts.
+        kw["use_pallas"] = os.environ["SSD_BENCH_PALLAS"] == "1"
     if mode in ("sd", "ssd"):
         # Speculation with a genuinely smaller draft (L/4 layers, same width).
         # With random weights a small draft would accept at chance level, so

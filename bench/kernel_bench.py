@@ -36,8 +36,14 @@ def parse_arguments():
     p.add_argument("--peak-gbs", type=float, default=819.0,
                    help="HBM peak GB/s (v5e=819, v5p=2765, v4=1228)")
     p.add_argument("--impl",
-                   choices=["pallas", "pallas2", "prefill", "jnp", "both", "all"],
+                   choices=["pallas", "pallas2", "pallas3", "prefill", "jnp",
+                            "both", "all"],
                    default="both")
+    p.add_argument("--nb", type=int, default=8,
+                   help="sequences per grid step for the v3 kernel")
+    p.add_argument("--reps", type=int, default=3,
+                   help="timing repetitions (min is reported: tunnel "
+                        "dispatch noise only inflates)")
     p.add_argument("--ppc", type=int, default=8,
                    help="pages per chunk for the v2 kernel")
     p.add_argument("--inloop", action="store_true",
@@ -74,6 +80,11 @@ def run_impl(impl, args):
         body = lambda qq: patt.paged_attention_v2(
             qq, kv, bt, ctx_lens, qeff, bs, ctx, scale,
             pages_per_chunk=args.ppc, interpret=interp)
+    elif impl == "pallas3":
+        body = lambda qq: patt.paged_attention_v3(
+            qq, kv, bt, ctx_lens, qeff, bs, ctx, scale,
+            pages_per_chunk=args.ppc, seqs_per_step=args.nb,
+            interpret=interp)
     elif impl == "prefill":
         body = lambda qq: patt.paged_attention_prefill(
             qq, kv, bt, ctx_lens, qeff, bs, ctx, scale, interpret=interp)
@@ -88,18 +99,22 @@ def run_impl(impl, args):
         fn = jax.jit(lambda qq: jax.lax.fori_loop(
             0, args.iters, lambda i, acc: body(acc).astype(acc.dtype), qq))
         np.asarray(fn(q))  # compile + sync
-        t0 = time.perf_counter()
-        np.asarray(fn(q))
-        dt_s = (time.perf_counter() - t0) / args.iters
+        dt_s = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(q))
+            dt_s = min(dt_s, (time.perf_counter() - t0) / args.iters)
     else:
         fn = jax.jit(body)
         np.asarray(fn(q))  # compile + sync
-        t0 = time.perf_counter()
-        out = q
-        for _ in range(args.iters):
-            out = fn(out[:, :, :, :])  # chain via q to defeat CSE
-        np.asarray(out)
-        dt_s = (time.perf_counter() - t0) / args.iters
+        dt_s = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            out = q
+            for _ in range(args.iters):
+                out = fn(out[:, :, :, :])  # chain via q to defeat CSE
+            np.asarray(out)
+            dt_s = min(dt_s, (time.perf_counter() - t0) / args.iters)
 
     itemsize = 2 if args.dtype == "bf16" else 4
     bytes_moved = (

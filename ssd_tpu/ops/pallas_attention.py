@@ -474,6 +474,262 @@ def paged_attention_v2(
     return _ungroup_o(out[..., hd:], Q)
 
 
+# ---------------------------------------------------------------------------
+# v3 decode/verify kernel: multiple sequences per grid step
+# ---------------------------------------------------------------------------
+#
+# Measured decomposition of v2 (bench/kernel_diag.py, v5e): an EMPTY grid
+# step — no DMA, no compute — costs ~3 us, and with grid (B, chunks) that
+# floor alone puts ctx-2048 batch-8 decode at ~30% of the HBM roofline.
+# v3 therefore folds NB sequences into ONE grid step: grid
+# (ceil(B/NB), chunks), each step DMAs NB sequences' chunk i and reduces all
+# of them with one 2-batch-dim MXU call. Same double-buffered pipeline,
+# NB x fewer fixed costs. The price: a chunk is skipped only when EVERY
+# sequence in the group is past it (per-seq skip needs per-seq grid steps),
+# so ragged groups over-copy; decode batches are length-homogeneous enough
+# that fewer grid steps dominate.
+
+
+def _v3_copy_group(kv_hbm_ref, kv_vmem, sem, bt_ref, g, chunk, NB, C, bs):
+    """Async-copy descriptors for chunk `chunk` of sequences
+    [g*NB, g*NB+NB) into kv_vmem ([NB, Hkv, C, bs, 2*hd])."""
+    B, M = bt_ref.shape
+    copies = []
+    for j in range(NB):
+        b = jnp.minimum(g * NB + j, B - 1)
+        for c in range(C):
+            page = bt_ref[b, jnp.minimum(chunk * C + c, M - 1)]
+            safe = jnp.maximum(page, 0)
+            copies.append(
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[:, pl.ds(safe * bs, bs), :],
+                    kv_vmem.at[j, :, c],
+                    sem,
+                )
+            )
+    return copies
+
+
+def _v3_wait_group(kv_hbm_ref, kv_vmem, sem, NB, C, bs):
+    """Wait-only descriptors (see _v2_wait_chunk)."""
+    for j in range(NB):
+        for c in range(C):
+            pltpu.make_async_copy(
+                kv_hbm_ref.at[:, pl.ds(0, bs), :], kv_vmem.at[j, :, c], sem
+            ).wait()
+
+
+def _paged_attn_v3_kernel(
+    # scalar prefetch
+    bt_ref,      # [B, M] int32 page tables
+    ctx_ref,     # [B] attended lengths
+    qeff_ref,    # [B] true queries per sequence
+    # in
+    q_ref,       # [NB, Hkv, QG, 2*hd] ([q | 0] padded; VMEM block for group)
+    kv_hbm_ref,  # [Hkv, S, 2*hd] (ANY)
+    # out
+    o_ref,       # [NB, Hkv, QG, 2*hd]
+    # scratch
+    m_scr,       # [NB*Hkv, QG, 1]
+    l_scr,       # [NB*Hkv, QG, 1]
+    acc_scr,     # [NB*Hkv, QG, 2*hd]
+    kv_vmem,     # [2 bufs, NB, Hkv, C, bs, 2*hd]
+    sems,        # DMA semaphores [2]
+    buf_ref,     # SMEM [1]
+    init_ref,    # SMEM [1]
+    *,
+    scale: float,
+    G: int,
+    NB: int,
+    C: int,
+    block_size: int,
+    num_kv_heads: int,
+):
+    g, i = pl.program_id(0), pl.program_id(1)
+    NG = pl.num_programs(0)
+    B = ctx_ref.shape[0]
+    bk = C * block_size
+    hd2 = kv_vmem.shape[-1]
+
+    def group_len(g):
+        """Max attended length over the group (clamped >= 1 so every group
+        has exactly one valid chunk and the pipeline stays in lockstep)."""
+        m = jnp.int32(1)
+        for j in range(NB):
+            m = jnp.maximum(m, ctx_ref[jnp.minimum(g * NB + j, B - 1)])
+        return m
+
+    length = group_len(g)
+
+    @pl.when((g == 0) & (i == 0))
+    def _():
+        buf_ref[0] = 0
+        init_ref[0] = 1
+
+    def next_indices(g, i):
+        return jax.lax.cond(
+            i * bk < group_len(g), lambda: (g, i), lambda: (g + 1, 0)
+        )
+
+    @pl.when(i * bk < length)
+    def _():
+        buf = buf_ref[0]
+
+        @pl.when(init_ref[0] == 1)
+        def _():
+            for c in _v3_copy_group(kv_hbm_ref, kv_vmem.at[buf],
+                                    sems.at[buf], bt_ref, g, i, NB, C,
+                                    block_size):
+                c.start()
+        init_ref[0] = 0
+
+        @pl.when(i == 0)
+        def _():
+            m_scr[:] = jnp.full_like(m_scr, -1e30)
+            l_scr[:] = jnp.zeros_like(l_scr)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+
+        ng, ni = next_indices(g, i + 1)
+
+        @pl.when(ng < NG)
+        def _():
+            nxt = 1 - buf
+            for c in _v3_copy_group(kv_hbm_ref, kv_vmem.at[nxt],
+                                    sems.at[nxt], bt_ref, ng, ni, NB, C,
+                                    block_size):
+                c.start()
+            buf_ref[0] = nxt
+
+        _v3_wait_group(kv_hbm_ref, kv_vmem.at[buf], sems.at[buf], NB, C,
+                       block_size)
+
+        QG = q_ref.shape[2]
+        NBH = NB * num_kv_heads
+        # Per-BATCH-ROW (seq x kv-head, merged: Mosaic matmul allows at most
+        # ONE batch dim) lengths/qeff: built from SMEM scalars by broadcast
+        # selects over a batch iota — no vector gather needed.
+        bidx = jax.lax.broadcasted_iota(jnp.int32, (NBH, 1, 1), 0)
+        seq_of = bidx // num_kv_heads                        # [NBH, 1, 1]
+        lens = jnp.zeros((NBH, 1, 1), jnp.int32)
+        qeffs = jnp.zeros((NBH, 1, 1), jnp.int32)
+        for j in range(NB):
+            b = jnp.minimum(g * NB + j, B - 1)
+            lens = jnp.where(seq_of == j, ctx_ref[b], lens)
+            qeffs = jnp.where(seq_of == j, qeff_ref[b], qeffs)
+
+        pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bk), 2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, QG, 1), 1)
+        limit = lens - qeffs + row // G                      # [NBH, QG, 1]
+        mask = (pos <= limit) & (pos < lens)                 # [NBH, QG, bk]
+
+        # Cache-dtype operands, fp32 accumulation (see _paged_attn_v2_kernel).
+        kv3 = kv_vmem[buf].reshape(NBH, bk, hd2)
+        q3 = q_ref[:].reshape(NBH, QG, hd2)
+        scores = jax.lax.dot_general(
+            q3, kv3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                            # [NBH, QG, bk]
+
+        s3 = jnp.where(mask, scores, jnp.float32(-1e30))
+        m_cur = jnp.max(s3, axis=2, keepdims=True)
+        m_new = jnp.maximum(m_scr[:], m_cur)
+        p = jnp.where(mask, jnp.exp(s3 - m_new), 0.0)
+        alpha = jnp.exp(m_scr[:] - m_new)
+        l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=2, keepdims=True)
+        acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
+            p.astype(kv3.dtype), kv3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = m_new
+
+        @pl.when((i + 1) * bk >= length)
+        def _():
+            out = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
+            o_ref[:] = out.reshape(o_ref.shape).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "ctx_pad", "scale", "pages_per_chunk",
+                     "seqs_per_step", "interpret"),
+)
+def paged_attention_v3(
+    q: jnp.ndarray,             # [B, Q, Hq, hd]
+    kv_layer: jnp.ndarray,      # [Hkv, S, 2*hd] (K/V interleaved)
+    block_tables: jnp.ndarray,  # [B, M] int32
+    context_lens: jnp.ndarray,  # [B]
+    qeff: jnp.ndarray,          # [B]
+    block_size: int,
+    ctx_pad: int,
+    scale: float,
+    pages_per_chunk: int = 8,
+    seqs_per_step: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched-group double-buffered paged flash attention (decode/verify)."""
+    B, Q, Hq, hd = q.shape
+    Hkv = kv_layer.shape[0]
+    G = Hq // Hkv
+    QG = Q * G
+    max_pages = max(1, ctx_pad // block_size)
+    NB = min(seqs_per_step, B)
+    # Size the chunk to an ~8 MB double-buffered KV scratch (v5e VMEM is
+    # 16 MB): grid steps shrink with C * NB, but the two buffers must fit.
+    page_bytes = Hkv * block_size * kv_layer.shape[-1] * kv_layer.dtype.itemsize
+    budget_pages = max(1, (8 << 20) // (2 * NB * page_bytes))
+    C = max(1, min(pages_per_chunk, budget_pages, max_pages))
+    num_groups = pl.cdiv(B, NB)
+    num_chunks = pl.cdiv(max_pages, C)
+
+    qg = _regroup_q(q, Hkv)
+    qp = jnp.concatenate([qg, jnp.zeros_like(qg)], axis=-1)  # [q | 0]
+    if B % NB:
+        qp = jnp.pad(qp, ((0, num_groups * NB - B), (0, 0), (0, 0), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_groups, num_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (NB, Hkv, QG, 2 * hd),
+                lambda g, i, bt, ctx, qe: (g, 0, 0, 0),
+            ),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (NB, Hkv, QG, 2 * hd),
+            lambda g, i, bt, ctx, qe: (g, 0, 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NB * Hkv, QG, 1), jnp.float32),
+            pltpu.VMEM((NB * Hkv, QG, 1), jnp.float32),
+            pltpu.VMEM((NB * Hkv, QG, 2 * hd), jnp.float32),
+            pltpu.VMEM((2, NB, Hkv, C, block_size, 2 * hd), kv_layer.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _paged_attn_v3_kernel, scale=scale, G=G, NB=NB, C=C,
+        block_size=block_size, num_kv_heads=Hkv,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        interpret=interpret,
+    )(
+        block_tables.astype(jnp.int32),
+        context_lens.astype(jnp.int32),
+        qeff.astype(jnp.int32),
+        qp,
+        kv_layer,
+    )
+    return _ungroup_o(out[:B, ..., hd:], Q)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "ctx_pad", "scale", "interpret"),
@@ -545,13 +801,21 @@ def paged_attention_best(
     B, Q, Hq, hd = q.shape
     Hkv = kv_layer.shape[0]
     G = Hq // Hkv
-    # v2's manual page DMAs need a 128-lane-aligned minor dim (2*hd), and its
-    # single-tile scratch bounds the query rows, so route only small-Q phases
-    # (decode / verify / glue) of >=64-head-dim models there; everything else
-    # takes v1's BlockSpec page-per-step path (whose pipelined DMAs have no
-    # lane-alignment constraint).
+    # The manual-DMA kernels need a 128-lane-aligned minor dim (2*hd), and
+    # their single-tile scratch bounds the query rows, so route only small-Q
+    # phases (decode / verify / glue) of >=64-head-dim models there;
+    # everything else takes v1's BlockSpec page-per-step path (whose
+    # pipelined DMAs have no lane-alignment constraint). Multi-sequence
+    # batches take v3 (NB sequences per grid step — the ~3 us/grid-step
+    # fixed cost dominates these shapes, see PERF.md); B=1 has nothing to
+    # group and stays on v2.
     if (Hkv * Q * G <= 512 and ctx_pad % block_size == 0
             and (2 * hd) % 128 == 0):
+        if B > 1:
+            return paged_attention_v3(
+                q, kv_layer, block_tables, context_lens, qeff,
+                block_size, ctx_pad, scale, interpret=interpret,
+            )
         return paged_attention_v2(
             q, kv_layer, block_tables, context_lens, qeff,
             block_size, ctx_pad, scale, interpret=interpret,

@@ -48,3 +48,24 @@ def test_eagle_pallas_path_token_exact(tmp_path):
         eagle_layers=[0, 2, 4],
     )
     assert _gen(dict(**kw, use_pallas=True)) == _gen(kw)
+
+
+def test_ar_pallas_v3_route_token_exact(tmp_path):
+    """head_dim=64 routes decode/verify through the manual-DMA kernels
+    (paged_attention_best -> v3 at B>1, v2 at B=1) — the default tiny
+    models' head_dim=16 never reaches them, so this pins the production
+    route's engine-level exactness in interpret mode."""
+    d = str(tmp_path / "m64")
+    make_tiny_llama(d, hidden=256, heads=4, kv_heads=2, seed=2)  # hd = 64
+    assert _gen(dict(model=d, use_pallas=True)) == _gen(dict(model=d))
+
+
+def test_spec_pallas_v3_route_token_exact(tmp_path):
+    """Sync SD (draft chain + multi-query verify) through the hd=64
+    kernel route matches the oracle path token-for-token."""
+    t = str(tmp_path / "t64")
+    dr = str(tmp_path / "d64")
+    make_tiny_llama(t, hidden=256, heads=4, kv_heads=2, layers=2, seed=2)
+    make_tiny_llama(dr, hidden=256, heads=4, kv_heads=2, layers=1, seed=5)
+    kw = dict(model=t, draft=dr, speculate=True, speculate_k=2)
+    assert _gen(dict(**kw, use_pallas=True)) == _gen(kw)

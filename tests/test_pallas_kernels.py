@@ -144,3 +144,73 @@ def test_paged_attention_bf16():
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+@pytest.mark.parametrize("kernel_name", ["v2", "v3"])
+@pytest.mark.parametrize("Q,Hq,Hkv,ctx_lens", [
+    (1, 8, 2, [70, 200, 33]),     # decode, GQA, ragged (group over-copy path)
+    (5, 8, 8, [64, 128, 100]),    # verify multi-query, MHA
+    (1, 4, 4, [256, 256, 256]),   # equal lengths, exact chunk boundary
+])
+def test_paged_attention_v2_v3_match_reference(kernel_name, Q, Hq, Hkv,
+                                               ctx_lens):
+    """The manual-DMA pipelined kernels (v2: per-seq grid steps; v3: NB
+    sequences per grid step) vs the oracle at the PRODUCTION head_dim (64 —
+    the router only sends 128-lane-aligned 2*hd to these kernels, so the
+    hd=16 tiny-model tests never reach them)."""
+    B, hd, block_size, max_blocks = 3, 64, 64, 8
+    q, kv, bt, ctx = make_case(21, B, Q, Hq, Hkv, hd, block_size, max_blocks,
+                               ctx_lens)
+    ctx_pad = 512
+    scale = hd ** -0.5
+    qeff = jnp.full((B,), Q, jnp.int32)
+
+    want = att.paged_attention(q, kv, bt, ctx, block_size, ctx_pad, scale)
+    if kernel_name == "v2":
+        got = patt.paged_attention_v2(
+            q, kv, bt, ctx, qeff, block_size, ctx_pad, scale, interpret=True)
+    else:
+        got = patt.paged_attention_v3(
+            q, kv, bt, ctx, qeff, block_size, ctx_pad, scale,
+            seqs_per_step=2, interpret=True)  # 2 -> exercises a ragged group
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_paged_attention_v3_single_group():
+    """All sequences in one group (NB >= B) still matches."""
+    B, Q, Hq, Hkv, hd = 4, 1, 8, 4, 64
+    block_size, max_blocks = 64, 8
+    q, kv, bt, ctx = make_case(5, B, Q, Hq, Hkv, hd, block_size, max_blocks,
+                               [100, 64, 250, 1])
+    ctx_pad = 512
+    scale = hd ** -0.5
+    want = att.paged_attention(q, kv, bt, ctx, block_size, ctx_pad, scale)
+    got = patt.paged_attention_v3(
+        q, kv, bt, ctx, jnp.full((B,), Q, jnp.int32), block_size, ctx_pad,
+        scale, seqs_per_step=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("step", [0, 2])
+def test_tree_attention_v2_matches_reference(step):
+    """Pipelined tree kernel at production head_dim vs oracle."""
+    B, Hq, Hkv, hd = 2, 8, 2, 64
+    K, MQ = 3, 8
+    block_size, max_blocks = 64, 16
+    base = np.asarray([120, 77], dtype=np.int32)
+    ctx_lens = (base + (K + 1) + (step + 1) * MQ).tolist()
+    q, kv, bt, ctx = make_case(9 + step, B, MQ, Hq, Hkv, hd, block_size,
+                               max_blocks, ctx_lens)
+    fan = jnp.asarray(
+        np.stack([np.repeat(np.arange(K + 1), 2)] * B), jnp.int32)
+    ctx_pad = 512
+    scale = hd ** -0.5
+    want = att.tree_attention(q, kv, bt, ctx, fan, step, K, block_size,
+                              ctx_pad, scale)
+    got = patt.tree_attention_v2(
+        q, kv, bt, ctx, fan, jnp.int32(step), K, block_size, ctx_pad, scale,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
