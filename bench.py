@@ -113,10 +113,11 @@ def main():
     from ssd_tpu.llm import LLM
     from ssd_tpu.sampling_params import SamplingParams
 
-    # 64-token multi-step chains amortise the tunneled per-dispatch latency:
-    # 144 tok/s at M=16 -> 203 tok/s at M=64 on the v5e (the forward itself
-    # runs at ~4.7 ms = ~60% of the weight-read roofline).
-    multi_step = int(os.environ.get("SSD_BENCH_MULTI_STEP", "64"))
+    # Multi-step chains amortise the tunneled per-dispatch latency: 144 /
+    # 203 / 210 tok/s at M=16/64/128 on the v5e (the forward itself runs at
+    # ~4.7 ms = ~60% of the weight-read roofline). M=128 = the whole default
+    # output in ONE dispatch; scale M with SSD_BENCH_OUT_LEN if raising it.
+    multi_step = int(os.environ.get("SSD_BENCH_MULTI_STEP", "128"))
     kw = dict(
         init_random=True,
         dtype="bfloat16",
@@ -154,9 +155,13 @@ def main():
                   draft_async=(mode == "ssd"), async_fan_out=2)
         if mode == "sd":
             # Fused multi-round SD: one dispatch + one host sync per
-            # rounds * E[accepted+1] tokens (engine/fused_sd.py). R=16
-            # measured 205 tok/s vs 162 at R=8 on the tunneled v5e.
-            kw["spec_rounds"] = int(os.environ.get("SSD_BENCH_SPEC_ROUNDS", "16"))
+            # rounds * E[accepted+1] tokens (engine/fused_sd.py). Measured
+            # on the v5e: 162 / 205 / 243 / 141 tok/s at R=8/16/32/64 —
+            # R=32 covers the whole 128-token output in ~one dispatch;
+            # R=64 overshoots the horizon and wastes rounds. Deeper chains
+            # (k=8) measured WORSE (163): acceptance loss beats the extra
+            # lookahead. Scale R with the output length.
+            kw["spec_rounds"] = int(os.environ.get("SSD_BENCH_SPEC_ROUNDS", "32"))
         kw["init_random"] = target_dir == model_dir
         model_dir = target_dir
     else:
