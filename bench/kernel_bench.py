@@ -50,6 +50,12 @@ def parse_arguments():
                    help="chain iters inside ONE program (lax.fori_loop) so "
                         "per-iter time is pure device time, free of "
                         "per-dispatch host/tunnel overhead")
+    p.add_argument("--raw", action="store_true",
+                   help="pallas3 only: chain the kernel on the pre-grouped "
+                        "[q|0]-padded layout, skipping the regroup/pad XLA "
+                        "glue per iteration (the glue fuses into the "
+                        "surrounding projections in production, so this is "
+                        "the kernel-proper cost)")
     return p.parse_args()
 
 
@@ -80,6 +86,13 @@ def run_impl(impl, args):
         body = lambda qq: patt.paged_attention_v2(
             qq, kv, bt, ctx_lens, qeff, bs, ctx, scale,
             pages_per_chunk=args.ppc, interpret=interp)
+    elif impl == "pallas3" and args.raw:
+        G = Hq // Hkv
+        qp0 = jnp.concatenate([patt._regroup_q(q, Hkv)] * 2, axis=-1)
+        body_p = lambda qp: patt.paged_attention_v3_padded(
+            qp, kv, bt, ctx_lens, qeff, G, bs, ctx, scale,
+            pages_per_chunk=args.ppc, seqs_per_step=args.nb,
+            interpret=interp)
     elif impl == "pallas3":
         body = lambda qq: patt.paged_attention_v3(
             qq, kv, bt, ctx_lens, qeff, bs, ctx, scale,
@@ -92,7 +105,18 @@ def run_impl(impl, args):
         body = lambda qq: att.paged_attention(
             qq, kv, bt, ctx_lens, bs, ctx, scale)
 
-    if args.inloop:
+    if impl == "pallas3" and args.raw:
+        # Raw mode: chain the padded-layout kernel directly — zero glue
+        # between iterations, always in-loop.
+        fn = jax.jit(lambda qp: jax.lax.fori_loop(
+            0, args.iters, lambda i, acc: body_p(acc).astype(acc.dtype), qp0))
+        np.asarray(fn(qp0))  # compile + sync
+        dt_s = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(qp0))
+            dt_s = min(dt_s, (time.perf_counter() - t0) / args.iters)
+    elif args.inloop:
         # One dispatch, iters kernel invocations chained through q: measures
         # pure device time (the per-dispatch host/tunnel overhead is paid
         # once and subtracted out by the division).

@@ -650,15 +650,16 @@ def _paged_attn_v3_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "ctx_pad", "scale", "pages_per_chunk",
-                     "seqs_per_step", "interpret"),
+    static_argnames=("group_size", "block_size", "ctx_pad", "scale",
+                     "pages_per_chunk", "seqs_per_step", "interpret"),
 )
-def paged_attention_v3(
-    q: jnp.ndarray,             # [B, Q, Hq, hd]
+def paged_attention_v3_padded(
+    qp: jnp.ndarray,            # [B_pad, Hkv, QG, 2*hd] ([q | 0] grouped)
     kv_layer: jnp.ndarray,      # [Hkv, S, 2*hd] (K/V interleaved)
     block_tables: jnp.ndarray,  # [B, M] int32
     context_lens: jnp.ndarray,  # [B]
     qeff: jnp.ndarray,          # [B]
+    group_size: int,            # G = Hq // Hkv (rows per query position)
     block_size: int,
     ctx_pad: int,
     scale: float,
@@ -666,11 +667,15 @@ def paged_attention_v3(
     seqs_per_step: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Batched-group double-buffered paged flash attention (decode/verify)."""
-    B, Q, Hq, hd = q.shape
-    Hkv = kv_layer.shape[0]
-    G = Hq // Hkv
-    QG = Q * G
+    """The v3 kernel proper, on the pre-grouped [q | 0]-padded layout
+    (returns the same layout; the V half holds the result). Split from the
+    public wrapper so the kernel bench can chain calls WITHOUT re-paying the
+    regroup/pad XLA glue per iteration — in production that glue is fused
+    into the surrounding projections, so this is the honest kernel cost."""
+    B = context_lens.shape[0]
+    _, Hkv, QG, hd2 = qp.shape
+    hd = hd2 // 2
+    G = group_size
     max_pages = max(1, ctx_pad // block_size)
     NB = min(seqs_per_step, B)
     # Size the chunk to an ~8 MB double-buffered KV scratch (v5e VMEM is
@@ -680,11 +685,6 @@ def paged_attention_v3(
     C = max(1, min(pages_per_chunk, budget_pages, max_pages))
     num_groups = pl.cdiv(B, NB)
     num_chunks = pl.cdiv(max_pages, C)
-
-    qg = _regroup_q(q, Hkv)
-    qp = jnp.concatenate([qg, jnp.zeros_like(qg)], axis=-1)  # [q | 0]
-    if B % NB:
-        qp = jnp.pad(qp, ((0, num_groups * NB - B), (0, 0), (0, 0), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -715,10 +715,10 @@ def paged_attention_v3(
         _paged_attn_v3_kernel, scale=scale, G=G, NB=NB, C=C,
         block_size=block_size, num_kv_heads=Hkv,
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, qp.dtype),
         interpret=interpret,
     )(
         block_tables.astype(jnp.int32),
@@ -726,6 +726,43 @@ def paged_attention_v3(
         qeff.astype(jnp.int32),
         qp,
         kv_layer,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "ctx_pad", "scale", "pages_per_chunk",
+                     "seqs_per_step", "interpret"),
+)
+def paged_attention_v3(
+    q: jnp.ndarray,             # [B, Q, Hq, hd]
+    kv_layer: jnp.ndarray,      # [Hkv, S, 2*hd] (K/V interleaved)
+    block_tables: jnp.ndarray,  # [B, M] int32
+    context_lens: jnp.ndarray,  # [B]
+    qeff: jnp.ndarray,          # [B]
+    block_size: int,
+    ctx_pad: int,
+    scale: float,
+    pages_per_chunk: int = 8,
+    seqs_per_step: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched-group double-buffered paged flash attention (decode/verify):
+    the public [B, Q, Hq, hd] wrapper around paged_attention_v3_padded."""
+    B, Q, Hq, hd = q.shape
+    Hkv = kv_layer.shape[0]
+    G = Hq // Hkv
+    NB = min(seqs_per_step, B)
+    num_groups = pl.cdiv(B, NB)
+
+    qg = _regroup_q(q, Hkv)
+    qp = jnp.concatenate([qg, jnp.zeros_like(qg)], axis=-1)  # [q | 0]
+    if B % NB:
+        qp = jnp.pad(qp, ((0, num_groups * NB - B), (0, 0), (0, 0), (0, 0)))
+    out = paged_attention_v3_padded(
+        qp, kv_layer, block_tables, context_lens, qeff, G, block_size,
+        ctx_pad, scale, pages_per_chunk=pages_per_chunk,
+        seqs_per_step=seqs_per_step, interpret=interpret,
     )
     return _ungroup_o(out[:B, ..., hd:], Q)
 
