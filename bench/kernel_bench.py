@@ -37,8 +37,12 @@ def parse_arguments():
                    help="HBM peak GB/s (v5e=819, v5p=2765, v4=1228)")
     p.add_argument("--impl",
                    choices=["pallas", "pallas2", "pallas3", "prefill", "jnp",
-                            "both", "all"],
+                            "tree", "tree2", "treejnp", "both", "all"],
                    default="both")
+    p.add_argument("--mq", type=int, default=8,
+                   help="tree rows per sequence for the tree kernels")
+    p.add_argument("--k", type=int, default=3,
+                   help="speculation depth K for the tree kernels")
     p.add_argument("--nb", type=int, default=8,
                    help="sequences per grid step for the v3 kernel")
     p.add_argument("--reps", type=int, default=3,
@@ -101,6 +105,28 @@ def run_impl(impl, args):
     elif impl == "prefill":
         body = lambda qq: patt.paged_attention_prefill(
             qq, kv, bt, ctx_lens, qeff, bs, ctx, scale, interpret=interp)
+    elif impl in ("tree", "tree2", "treejnp"):
+        # Tree shapes: Q rows are MQ tree forks at depth `step`; the mask is
+        # (prefix | glue-ancestors | own column). ctx must cover the glue +
+        # (step+1)*MQ tree slots.
+        K, MQ = args.k, args.mq
+        step = jnp.int32(K - 1)
+        fan = jnp.asarray(
+            np.tile(np.repeat(np.arange(K + 1), max(1, MQ // (K + 1)))[:MQ],
+                    (B, 1)), jnp.int32)
+        qt = jnp.asarray(rng.normal(size=(B, MQ, Hq, hd)), dt)
+        if impl == "tree":
+            body = lambda qq: patt.tree_attention(
+                qq, kv, bt, ctx_lens, fan, step, K, bs, ctx, scale,
+                interpret=interp)
+        elif impl == "tree2":
+            body = lambda qq: patt.tree_attention_v2(
+                qq, kv, bt, ctx_lens, fan, step, K, bs, ctx, scale,
+                interpret=interp)
+        else:
+            body = lambda qq: att.tree_attention(
+                qq, kv, bt, ctx_lens, fan, step, K, bs, ctx, scale)
+        q = qt  # the timed chain carries the tree-shaped queries
     else:
         body = lambda qq: att.paged_attention(
             qq, kv, bt, ctx_lens, bs, ctx, scale)
@@ -141,9 +167,10 @@ def run_impl(impl, args):
             dt_s = min(dt_s, (time.perf_counter() - t0) / args.iters)
 
     itemsize = 2 if args.dtype == "bf16" else 4
+    rows = args.mq if impl in ("tree", "tree2", "treejnp") else Q
     bytes_moved = (
         2 * B * ctx * Hkv * hd * itemsize          # K+V read
-        + 2 * B * Q * Hq * hd * itemsize           # q read + o write
+        + 2 * B * rows * Hq * hd * itemsize        # q read + o write
     )
     gbs = bytes_moved / dt_s / 1e9
     print(
