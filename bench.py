@@ -89,12 +89,33 @@ def main():
     out_len = int(os.environ.get("SSD_BENCH_OUT_LEN", "128"))
     batch = int(os.environ.get("SSD_BENCH_BATCH", "1"))
 
-    # Llama-3.2-1B geometry (SSD_BENCH_TINY=1 shrinks it for CPU smokes).
+    # Llama-3.2-1B geometry by default; SSD_BENCH_ARCH=qwen3 switches to a
+    # Qwen3-1.7B-shaped model (per-head q/k RMSNorm, head_dim 128).
+    # SSD_BENCH_TINY=1 shrinks it for CPU smokes.
     tiny = os.environ.get("SSD_BENCH_TINY") == "1"
-    model_dir = "/tmp/ssd_bench_model_tiny" if tiny else "/tmp/ssd_bench_model_1b"
+    arch = os.environ.get("SSD_BENCH_ARCH", "llama")
+    model_tag = "llama1b" if arch == "llama" else "qwen3_1p7b"
+    model_dir = ("/tmp/ssd_bench_model_tiny" if tiny
+                 else f"/tmp/ssd_bench_model_{model_tag}")
     os.makedirs(model_dir, exist_ok=True)
-    with open(os.path.join(model_dir, "config.json"), "w") as f:
-        json.dump({
+    if arch == "qwen3" and not tiny:
+        cfg = {
+            "model_type": "qwen3",
+            "vocab_size": 151936,
+            "hidden_size": 2048,
+            "intermediate_size": 6144,
+            "num_hidden_layers": 28,
+            "num_attention_heads": 16,
+            "num_key_value_heads": 8,
+            "head_dim": 128,
+            "max_position_embeddings": 4096,
+            "rms_norm_eps": 1e-6,
+            "rope_theta": 1000000.0,
+            "tie_word_embeddings": True,
+            "eos_token_id": 151645,
+        }
+    else:
+        cfg = {
             "model_type": "llama",
             "vocab_size": 512 if tiny else 128256,
             "hidden_size": 128 if tiny else 2048,
@@ -108,7 +129,9 @@ def main():
             "rope_theta": 500000.0,
             "tie_word_embeddings": True,
             "eos_token_id": 128001 if not tiny else 2,
-        }, f)
+        }
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump(cfg, f)
 
     from ssd_tpu.llm import LLM
     from ssd_tpu.sampling_params import SamplingParams
@@ -201,7 +224,9 @@ def main():
     backend = jax.default_backend()
     hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_history.json")
-    key = f"decode_tok_s_{backend}_{mode}_b{batch}_o{out_len}"
+    # llama keys stay unsuffixed so round-1/2 history and bests carry over.
+    arch_sfx = "" if arch == "llama" else f"_{model_tag}"
+    key = f"decode_tok_s_{backend}_{mode}_b{batch}_o{out_len}{arch_sfx}"
     hist, best = {}, None
     if os.path.exists(hist_path):
         try:
@@ -225,7 +250,7 @@ def main():
 
     vs = decode_tps / best if best else 1.0
     print(json.dumps({
-        "metric": f"decode_throughput_llama1b_{mode}_b{batch}",
+        "metric": f"decode_throughput_{model_tag}_{mode}_b{batch}",
         "value": round(decode_tps, 2),
         "unit": "tok/s",
         "vs_baseline": round(vs, 3),
