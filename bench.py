@@ -94,11 +94,29 @@ def main():
     # SSD_BENCH_TINY=1 shrinks it for CPU smokes.
     tiny = os.environ.get("SSD_BENCH_TINY") == "1"
     arch = os.environ.get("SSD_BENCH_ARCH", "llama")
-    model_tag = "llama1b" if arch == "llama" else "qwen3_1p7b"
+    model_tag = {"llama": "llama1b", "qwen3": "qwen3_1p7b",
+                 "llama3b": "llama3b"}[arch]
     model_dir = ("/tmp/ssd_bench_model_tiny" if tiny
                  else f"/tmp/ssd_bench_model_{model_tag}")
     os.makedirs(model_dir, exist_ok=True)
-    if arch == "qwen3" and not tiny:
+    if arch == "llama3b" and not tiny:
+        # Llama-3.2-3B geometry: 6.4 GB of bf16 weights on the one chip.
+        cfg = {
+            "model_type": "llama",
+            "vocab_size": 128256,
+            "hidden_size": 3072,
+            "intermediate_size": 8192,
+            "num_hidden_layers": 28,
+            "num_attention_heads": 24,
+            "num_key_value_heads": 8,
+            "head_dim": 128,
+            "max_position_embeddings": 4096,
+            "rms_norm_eps": 1e-5,
+            "rope_theta": 500000.0,
+            "tie_word_embeddings": True,
+            "eos_token_id": 128001,
+        }
+    elif arch == "qwen3" and not tiny:
         cfg = {
             "model_type": "qwen3",
             "vocab_size": 151936,
