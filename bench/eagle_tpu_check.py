@@ -31,8 +31,11 @@ def _build_checkpoints(base: str) -> tuple[str, str]:
     draft = os.path.join(base, "eagle")
     if not os.path.exists(os.path.join(draft, "config.json")):
         os.makedirs(base, exist_ok=True)
-        make_tiny_llama(target, layers=6, seed=0)
-        make_tiny_eagle(draft, seed=3)
+        # hidden 256 / 4 heads -> head_dim 64, so the on-chip run exercises
+        # the manual-DMA kernel route (paged v2/v3 + tree v2) that the
+        # default hd=16 tiny models never reach.
+        make_tiny_llama(target, hidden=256, layers=6, seed=0)
+        make_tiny_eagle(draft, target_hidden=256, draft_hidden=256, seed=3)
     return target, draft
 
 
@@ -41,7 +44,7 @@ def _worker(mode: str) -> None:
 
     if mode == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    target, draft = _build_checkpoints("/tmp/ssd_eagle_check")
+    target, draft = _build_checkpoints("/tmp/ssd_eagle_check_hd64")
     use_pallas = None if mode != "tpu-oracle" else False
 
     from ssd_tpu.llm import LLM
