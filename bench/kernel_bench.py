@@ -37,7 +37,8 @@ def parse_arguments():
                    help="HBM peak GB/s (v5e=819, v5p=2765, v4=1228)")
     p.add_argument("--impl",
                    choices=["pallas", "pallas2", "pallas3", "prefill", "jnp",
-                            "tree", "tree2", "treejnp", "both", "all"],
+                            "tree", "tree2", "tree3", "treejnp", "both",
+                            "all"],
                    default="both")
     p.add_argument("--mq", type=int, default=8,
                    help="tree rows per sequence for the tree kernels")
@@ -105,7 +106,7 @@ def run_impl(impl, args):
     elif impl == "prefill":
         body = lambda qq: patt.paged_attention_prefill(
             qq, kv, bt, ctx_lens, qeff, bs, ctx, scale, interpret=interp)
-    elif impl in ("tree", "tree2", "treejnp"):
+    elif impl in ("tree", "tree2", "tree3", "treejnp"):
         # Tree shapes: Q rows are MQ tree forks at depth `step`; the mask is
         # (prefix | glue-ancestors | own column). ctx must cover the glue +
         # (step+1)*MQ tree slots.
@@ -123,6 +124,10 @@ def run_impl(impl, args):
             body = lambda qq: patt.tree_attention_v2(
                 qq, kv, bt, ctx_lens, fan, step, K, bs, ctx, scale,
                 interpret=interp)
+        elif impl == "tree3":
+            body = lambda qq: patt.tree_attention_v3(
+                qq, kv, bt, ctx_lens, fan, step, K, bs, ctx, scale,
+                seqs_per_step=args.nb, interpret=interp)
         else:
             body = lambda qq: att.tree_attention(
                 qq, kv, bt, ctx_lens, fan, step, K, bs, ctx, scale)
@@ -167,7 +172,7 @@ def run_impl(impl, args):
             dt_s = min(dt_s, (time.perf_counter() - t0) / args.iters)
 
     itemsize = 2 if args.dtype == "bf16" else 4
-    rows = args.mq if impl in ("tree", "tree2", "treejnp") else Q
+    rows = args.mq if impl in ("tree", "tree2", "tree3", "treejnp") else Q
     bytes_moved = (
         2 * B * ctx * Hkv * hd * itemsize          # K+V read
         + 2 * B * rows * Hq * hd * itemsize        # q read + o write

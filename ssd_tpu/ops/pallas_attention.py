@@ -1076,13 +1076,248 @@ def tree_attention_v2(
     return _ungroup_o(out[..., hd:], MQ)
 
 
+def _tree_attn_v3_kernel(
+    # scalar prefetch
+    bt_ref,      # [B, M] int32 page tables
+    ctx_ref,     # [B] attended lengths
+    step_ref,    # [1] int32 tree depth s
+    # in
+    fan_ref,     # [NB, 1, MQ] int32 glue depth per tree row
+    q_ref,       # [NB, Hkv, MQ*G, 2*hd] ([q | 0] padded)
+    kv_hbm_ref,  # [Hkv, S, 2*hd] (ANY)
+    # out
+    o_ref,       # [NB, Hkv, MQ*G, 2*hd]
+    # scratch
+    m_scr, l_scr, acc_scr,   # [NB*Hkv, MQ*G, *]
+    kv_vmem,     # [2 bufs, NB, Hkv, C, bs, 2*hd]
+    sems, buf_ref, init_ref,
+    *,
+    scale: float,
+    K: int,
+    MQ: int,
+    G: int,
+    NB: int,
+    C: int,
+    block_size: int,
+    num_kv_heads: int,
+):
+    """tree_attention with the NB-sequences-per-grid-step pipeline of
+    _paged_attn_v3_kernel (the per-seq grid steps' fixed cost dominates the
+    v2 tree kernel exactly as it did decode); only the mask differs."""
+    g, i = pl.program_id(0), pl.program_id(1)
+    NG = pl.num_programs(0)
+    B = ctx_ref.shape[0]
+    bk = C * block_size
+    hd2 = kv_vmem.shape[-1]
+
+    def group_len(g):
+        m = jnp.int32(1)
+        for j in range(NB):
+            m = jnp.maximum(m, ctx_ref[jnp.minimum(g * NB + j, B - 1)])
+        return m
+
+    length = group_len(g)
+
+    @pl.when((g == 0) & (i == 0))
+    def _():
+        buf_ref[0] = 0
+        init_ref[0] = 1
+
+    def next_indices(g, i):
+        return jax.lax.cond(
+            i * bk < group_len(g), lambda: (g, i), lambda: (g + 1, 0)
+        )
+
+    @pl.when(i * bk < length)
+    def _():
+        buf = buf_ref[0]
+
+        @pl.when(init_ref[0] == 1)
+        def _():
+            for c in _v3_copy_group(kv_hbm_ref, kv_vmem.at[buf],
+                                    sems.at[buf], bt_ref, g, i, NB, C,
+                                    block_size):
+                c.start()
+        init_ref[0] = 0
+
+        @pl.when(i == 0)
+        def _():
+            m_scr[:] = jnp.full_like(m_scr, -1e30)
+            l_scr[:] = jnp.zeros_like(l_scr)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+
+        ng, ni = next_indices(g, i + 1)
+
+        @pl.when(ng < NG)
+        def _():
+            nxt = 1 - buf
+            for c in _v3_copy_group(kv_hbm_ref, kv_vmem.at[nxt],
+                                    sems.at[nxt], bt_ref, ng, ni, NB, C,
+                                    block_size):
+                c.start()
+            buf_ref[0] = nxt
+
+        _v3_wait_group(kv_hbm_ref, kv_vmem.at[buf], sems.at[buf], NB, C,
+                       block_size)
+
+        R = MQ * G
+        NBH = NB * num_kv_heads
+        bidx = jax.lax.broadcasted_iota(jnp.int32, (NBH, 1, 1), 0)
+        seq_of = bidx // num_kv_heads                        # [NBH, 1, 1]
+        lens = jnp.zeros((NBH, 1, 1), jnp.int32)
+        for j in range(NB):
+            b = jnp.minimum(g * NB + j, B - 1)
+            lens = jnp.where(seq_of == j, ctx_ref[b], lens)
+
+        pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bk), 2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, R, 1), 1) // G  # tree row
+        step = step_ref[0]
+        prefix = lens - (K + 1) - (step + 1) * MQ            # [NBH, 1, 1]
+
+        # fan per (merged batch row, tree row): per-seq compare-reduce over
+        # the VMEM fan table, then a seq-select over the merged batch dim.
+        fan_row = jax.lax.broadcasted_iota(jnp.int32, (R, MQ), 1)
+        fan = jnp.zeros((NBH, R, 1), jnp.int32)
+        for j in range(NB):
+            fan_j = jnp.sum(
+                jnp.where(fan_row == row[0], fan_ref[j, 0, :][None, :], 0),
+                axis=1, keepdims=True,
+            )[None]                                          # [1, R, 1]
+            fan = jnp.where(seq_of == j, fan_j, fan)
+
+        in_prefix = pos < prefix
+        glue_off = pos - prefix
+        in_glue = (glue_off >= 0) & (glue_off <= fan)
+        tree_off = glue_off - (K + 1)
+        in_tree = (
+            (tree_off >= 0)
+            & (tree_off < (step + 1) * MQ)
+            & (tree_off % MQ == row)
+        )
+        mask = (in_prefix | in_glue | in_tree) & (pos < lens)  # [NBH, R, bk]
+
+        kv3 = kv_vmem[buf].reshape(NBH, bk, hd2)
+        q3 = q_ref[:].reshape(NBH, R, hd2)
+        scores = jax.lax.dot_general(
+            q3, kv3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                            # [NBH, R, bk]
+
+        s3 = jnp.where(mask, scores, jnp.float32(-1e30))
+        m_cur = jnp.max(s3, axis=2, keepdims=True)
+        m_new = jnp.maximum(m_scr[:], m_cur)
+        p = jnp.where(mask, jnp.exp(s3 - m_new), 0.0)
+        alpha = jnp.exp(m_scr[:] - m_new)
+        l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=2, keepdims=True)
+        acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
+            p.astype(kv3.dtype), kv3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = m_new
+
+        @pl.when((i + 1) * bk >= length)
+        def _():
+            out = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
+            o_ref[:] = out.reshape(o_ref.shape).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "block_size", "ctx_pad", "scale", "pages_per_chunk",
+                     "seqs_per_step", "interpret"),
+)
+def tree_attention_v3(
+    q: jnp.ndarray,             # [B, MQ, Hq, hd]
+    kv_layer: jnp.ndarray,      # [Hkv, S, 2*hd] (K/V interleaved)
+    block_tables: jnp.ndarray,  # [B, M]
+    context_lens: jnp.ndarray,  # [B]
+    fan_idx_rows: jnp.ndarray,  # [B, MQ]
+    step: jnp.ndarray,
+    K: int,
+    block_size: int,
+    ctx_pad: int,
+    scale: float,
+    pages_per_chunk: int = 8,
+    seqs_per_step: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched-group double-buffered paged tree attention."""
+    B, MQ, Hq, hd = q.shape
+    Hkv = kv_layer.shape[0]
+    G = Hq // Hkv
+    max_pages = max(1, ctx_pad // block_size)
+    NB = min(seqs_per_step, B)
+    page_bytes = Hkv * block_size * kv_layer.shape[-1] * kv_layer.dtype.itemsize
+    budget_pages = max(1, (8 << 20) // (2 * NB * page_bytes))
+    C = max(1, min(pages_per_chunk, budget_pages, max_pages))
+    num_groups = pl.cdiv(B, NB)
+    num_chunks = pl.cdiv(max_pages, C)
+
+    qg = _regroup_q(q, Hkv)
+    qp = jnp.concatenate([qg, jnp.zeros_like(qg)], axis=-1)
+    fan3 = fan_idx_rows.astype(jnp.int32)[:, None, :]
+    if B % NB:
+        pad = num_groups * NB - B
+        qp = jnp.pad(qp, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        fan3 = jnp.pad(fan3, ((0, pad), (0, 0), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_groups, num_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (NB, 1, MQ),
+                lambda g, i, bt, ctx, st: (g, 0, 0),
+            ),
+            pl.BlockSpec(
+                (NB, Hkv, MQ * G, 2 * hd),
+                lambda g, i, bt, ctx, st: (g, 0, 0, 0),
+            ),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (NB, Hkv, MQ * G, 2 * hd),
+            lambda g, i, bt, ctx, st: (g, 0, 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NB * Hkv, MQ * G, 1), jnp.float32),
+            pltpu.VMEM((NB * Hkv, MQ * G, 1), jnp.float32),
+            pltpu.VMEM((NB * Hkv, MQ * G, 2 * hd), jnp.float32),
+            pltpu.VMEM((2, NB, Hkv, C, block_size, 2 * hd), kv_layer.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _tree_attn_v3_kernel, scale=scale, K=K, MQ=MQ, G=G, NB=NB, C=C,
+        block_size=block_size, num_kv_heads=Hkv,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        interpret=interpret,
+    )(
+        block_tables.astype(jnp.int32),
+        context_lens.astype(jnp.int32),
+        jnp.atleast_1d(step).astype(jnp.int32),
+        fan3,
+        qp,
+        kv_layer,
+    )
+    return _ungroup_o(out[:B, ..., hd:], MQ)
+
+
 def tree_attention_best(
     q, kv_layer, block_tables, context_lens, fan_idx_rows, step,
     K, block_size, ctx_pad, scale, interpret=None,
 ):
-    """Route to the pipelined v2 tree kernel when its single-tile VMEM
-    scratch fits; v1 (page-per-grid-step) otherwise. interpret=None
-    auto-selects interpret mode off-TPU."""
+    """Route to the pipelined manual-DMA tree kernels when their single-tile
+    VMEM scratch fits (B>1: v3, NB sequences per grid step; B=1: v2); v1
+    (page-per-grid-step) otherwise. interpret=None auto-selects interpret
+    mode off-TPU."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, MQ, Hq, hd = q.shape
@@ -1090,6 +1325,11 @@ def tree_attention_best(
     G = Hq // Hkv
     if (Hkv * MQ * G <= 512 and ctx_pad % block_size == 0
             and (2 * hd) % 128 == 0):
+        if B > 1:
+            return tree_attention_v3(
+                q, kv_layer, block_tables, context_lens, fan_idx_rows, step,
+                K, block_size, ctx_pad, scale, interpret=interpret,
+            )
         return tree_attention_v2(
             q, kv_layer, block_tables, context_lens, fan_idx_rows, step,
             K, block_size, ctx_pad, scale, interpret=interpret,

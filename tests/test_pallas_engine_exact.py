@@ -69,3 +69,15 @@ def test_spec_pallas_v3_route_token_exact(tmp_path):
     make_tiny_llama(dr, hidden=256, heads=4, kv_heads=2, layers=1, seed=5)
     kw = dict(model=t, draft=dr, speculate=True, speculate_k=2)
     assert _gen(dict(**kw, use_pallas=True)) == _gen(kw)
+
+
+def test_async_ssd_pallas_tree_v3_route_token_exact(tmp_path):
+    """Async SSD (glue -> fork -> tree build) through the hd=64 kernel
+    route: B=2 sends tree attention to the NB-grouped v3 kernel."""
+    t = str(tmp_path / "t64a")
+    dr = str(tmp_path / "d64a")
+    make_tiny_llama(t, hidden=256, heads=4, kv_heads=2, layers=2, seed=2)
+    make_tiny_llama(dr, hidden=256, heads=4, kv_heads=2, layers=1, seed=5)
+    kw = dict(model=t, draft=dr, speculate=True, draft_async=True,
+              speculate_k=2, async_fan_out=2)
+    assert _gen(dict(**kw, use_pallas=True)) == _gen(kw)

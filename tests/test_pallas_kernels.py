@@ -214,3 +214,26 @@ def test_tree_attention_v2_matches_reference(step):
         interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("step", [0, 2])
+def test_tree_attention_v3_matches_reference(step):
+    """NB-grouped tree kernel vs oracle (ragged groups, production hd)."""
+    B, Hq, Hkv, hd = 3, 8, 2, 64
+    K, MQ = 3, 8
+    block_size, max_blocks = 64, 16
+    base = np.asarray([120, 77, 30], dtype=np.int32)
+    ctx_lens = (base + (K + 1) + (step + 1) * MQ).tolist()
+    q, kv, bt, ctx = make_case(13 + step, B, MQ, Hq, Hkv, hd, block_size,
+                               max_blocks, ctx_lens)
+    fan = jnp.asarray(
+        np.stack([np.repeat(np.arange(K + 1), 2)] * B), jnp.int32)
+    ctx_pad = 512
+    scale = hd ** -0.5
+    want = att.tree_attention(q, kv, bt, ctx, fan, step, K, block_size,
+                              ctx_pad, scale)
+    got = patt.tree_attention_v3(
+        q, kv, bt, ctx, fan, jnp.int32(step), K, block_size, ctx_pad, scale,
+        seqs_per_step=2, interpret=True)  # 2 -> exercises a ragged group
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
