@@ -94,6 +94,10 @@ def main():
     # SSD_BENCH_TINY=1 shrinks it for CPU smokes.
     tiny = os.environ.get("SSD_BENCH_TINY") == "1"
     arch = os.environ.get("SSD_BENCH_ARCH", "llama")
+    if tiny:
+        # The tiny smoke always runs the shrunk llama geometry — label it as
+        # such so a CPU smoke can never seed a qwen3/llama3b history "best".
+        arch = "llama"
     model_tag = {"llama": "llama1b", "qwen3": "qwen3_1p7b",
                  "llama3b": "llama3b"}[arch]
     model_dir = ("/tmp/ssd_bench_model_tiny" if tiny

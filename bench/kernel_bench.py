@@ -93,7 +93,12 @@ def run_impl(impl, args):
             pages_per_chunk=args.ppc, interpret=interp)
     elif impl == "pallas3" and args.raw:
         G = Hq // Hkv
-        qp0 = jnp.concatenate([patt._regroup_q(q, Hkv)] * 2, axis=-1)
+        qg0 = patt._regroup_q(q, Hkv)
+        qp0 = jnp.concatenate([qg0, jnp.zeros_like(qg0)], axis=-1)  # [q | 0]
+        nb_eff, _ = patt._v3_geometry(kv, bs, B, args.ppc, args.nb, ctx)
+        if B % nb_eff:  # the core's BlockSpec needs B padded to NB groups
+            pad = -B % nb_eff
+            qp0 = jnp.pad(qp0, ((0, pad), (0, 0), (0, 0), (0, 0)))
         body_p = lambda qp: patt.paged_attention_v3_padded(
             qp, kv, bt, ctx_lens, qeff, G, bs, ctx, scale,
             pages_per_chunk=args.ppc, seqs_per_step=args.nb,
@@ -192,7 +197,9 @@ def main():
     args = parse_arguments()
     print(f"devices: {jax.devices()}", flush=True)
     impls = {"both": ["pallas", "jnp"],
-             "all": ["pallas", "pallas2", "jnp"]}.get(args.impl, [args.impl])
+             "all": ["pallas", "pallas2", "pallas3", "prefill", "jnp",
+                     "tree", "tree2", "tree3", "treejnp"]}.get(
+        args.impl, [args.impl])
     for impl in impls:
         run_impl(impl, args)
 

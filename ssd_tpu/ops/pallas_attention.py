@@ -490,6 +490,24 @@ def paged_attention_v2(
 # that fewer grid steps dominate.
 
 
+def _v3_geometry(kv_layer, block_size: int, B: int, pages_per_chunk: int,
+                 seqs_per_step: int, ctx_pad: int) -> tuple[int, int]:
+    """(NB, C) for the batched-group kernels: the double-buffered KV scratch
+    `2 * NB * C * page_bytes` must fit an ~8 MB budget (v5e VMEM is 16 MB,
+    and the q/out blocks + fp32 softmax scratch need the rest). BOTH knobs
+    shrink: C first, then NB — at hd=128 geometries a 256-token page is
+    1 MB, so NB=8 alone would already claim the whole VMEM."""
+    max_pages = max(1, ctx_pad // block_size)
+    page_bytes = (kv_layer.shape[0] * block_size * kv_layer.shape[-1]
+                  * kv_layer.dtype.itemsize)
+    NB = max(1, min(seqs_per_step, B))
+    while NB > 1 and 2 * NB * page_bytes > (8 << 20):
+        NB //= 2
+    budget_pages = max(1, (8 << 20) // (2 * NB * page_bytes))
+    C = max(1, min(pages_per_chunk, budget_pages, max_pages))
+    return NB, C
+
+
 def _v3_copy_group(kv_hbm_ref, kv_vmem, sem, bt_ref, g, chunk, NB, C, bs):
     """Async-copy descriptors for chunk `chunk` of sequences
     [g*NB, g*NB+NB) into kv_vmem ([NB, Hkv, C, bs, 2*hd])."""
@@ -677,12 +695,8 @@ def paged_attention_v3_padded(
     hd = hd2 // 2
     G = group_size
     max_pages = max(1, ctx_pad // block_size)
-    NB = min(seqs_per_step, B)
-    # Size the chunk to an ~8 MB double-buffered KV scratch (v5e VMEM is
-    # 16 MB): grid steps shrink with C * NB, but the two buffers must fit.
-    page_bytes = Hkv * block_size * kv_layer.shape[-1] * kv_layer.dtype.itemsize
-    budget_pages = max(1, (8 << 20) // (2 * NB * page_bytes))
-    C = max(1, min(pages_per_chunk, budget_pages, max_pages))
+    NB, C = _v3_geometry(kv_layer, block_size, B, pages_per_chunk,
+                         seqs_per_step, ctx_pad)
     num_groups = pl.cdiv(B, NB)
     num_chunks = pl.cdiv(max_pages, C)
 
@@ -752,7 +766,8 @@ def paged_attention_v3(
     B, Q, Hq, hd = q.shape
     Hkv = kv_layer.shape[0]
     G = Hq // Hkv
-    NB = min(seqs_per_step, B)
+    NB, _ = _v3_geometry(kv_layer, block_size, B, pages_per_chunk,
+                         seqs_per_step, ctx_pad)  # must match the core's NB
     num_groups = pl.cdiv(B, NB)
 
     qg = _regroup_q(q, Hkv)
@@ -1246,10 +1261,8 @@ def tree_attention_v3(
     Hkv = kv_layer.shape[0]
     G = Hq // Hkv
     max_pages = max(1, ctx_pad // block_size)
-    NB = min(seqs_per_step, B)
-    page_bytes = Hkv * block_size * kv_layer.shape[-1] * kv_layer.dtype.itemsize
-    budget_pages = max(1, (8 << 20) // (2 * NB * page_bytes))
-    C = max(1, min(pages_per_chunk, budget_pages, max_pages))
+    NB, C = _v3_geometry(kv_layer, block_size, B, pages_per_chunk,
+                         seqs_per_step, ctx_pad)
     num_groups = pl.cdiv(B, NB)
     num_chunks = pl.cdiv(max_pages, C)
 

@@ -237,3 +237,35 @@ def test_tree_attention_v3_matches_reference(step):
         seqs_per_step=2, interpret=True)  # 2 -> exercises a ragged group
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_v3_geometry_vmem_budget():
+    """The double-buffered KV scratch must stay within the 8 MB budget for
+    EVERY geometry — at head_dim 128 a 256-token page is 1 MB, so NB must
+    shrink, not just the chunk size (review finding: NB=8 would claim the
+    entire 16 MB v5e VMEM and fail Mosaic allocation on-chip)."""
+    for Hkv, hd2, bs, B in [(8, 256, 256, 8),   # Qwen3/Llama-3B geometry
+                            (8, 128, 256, 8),   # 1B geometry
+                            (8, 256, 64, 5),    # small pages, odd batch
+                            (4, 256, 512, 16)]:
+        kv = jnp.zeros((Hkv, 4 * bs, hd2), jnp.bfloat16)
+        NB, C = patt._v3_geometry(kv, bs, B, 8, 8, 2048)
+        page_bytes = Hkv * bs * hd2 * 2
+        assert 2 * NB * C * page_bytes <= (8 << 20), (Hkv, hd2, bs, B, NB, C)
+        assert 1 <= NB <= B and C >= 1
+
+
+def test_paged_attention_v3_hd128_geometry():
+    """v3 end-to-end at the hd=128 geometry that forces NB < B."""
+    B, Q, Hq, Hkv, hd = 4, 1, 16, 8, 128
+    block_size, max_blocks = 64, 8
+    q, kv, bt, ctx = make_case(31, B, Q, Hq, Hkv, hd, block_size, max_blocks,
+                               [100, 64, 250, 30])
+    ctx_pad = 512
+    scale = hd ** -0.5
+    want = att.paged_attention(q, kv, bt, ctx, block_size, ctx_pad, scale)
+    got = patt.paged_attention_v3(
+        q, kv, bt, ctx, jnp.full((B,), Q, jnp.int32), block_size, ctx_pad,
+        scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
