@@ -195,6 +195,13 @@ class Config:
             self.eos = self.hf_config.eos
 
         assert self.max_num_batched_tokens >= self.max_model_len
+        # The fused superstep drives the draft through the plain-transformer
+        # chain program; an EAGLE draft needs conditioning activations and
+        # the -1 position shift, which that program does not provide.
+        assert not (self.use_eagle and self.spec_rounds > 1), (
+            "spec_rounds > 1 (fused sync SD) is not supported with "
+            "use_eagle; use spec_rounds=1"
+        )
 
     def create_draft_config(self) -> "Config":
         """Config for the draft model runner (reference draft_runner.py:21-32)."""

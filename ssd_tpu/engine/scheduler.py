@@ -112,14 +112,13 @@ class Scheduler:
         token_budget = self.max_num_batched_tokens
         while self.waiting and len(batch) < self.max_num_seqs:
             head = self.waiting[0]
+            # cost <= len(seq) <= max_model_len <= max_num_batched_tokens
+            # (Config asserts the last inequality), so a batch-head prefill —
+            # including a reprefill whose prompt absorbed completions under
+            # preemption — always fits an EMPTY budget and can never
+            # livelock at the queue head.
             cost = len(head) - head.num_cached_tokens
-            # A (re-)prefill larger than the whole budget can never be
-            # admitted under the cap — once it reaches the batch head, run it
-            # alone rather than livelocking (deviation from the reference,
-            # which spins forever; this arises when preemption absorbs
-            # completions into the prompt and the prompt outgrows the budget).
-            solo = not batch and cost > self.max_num_batched_tokens
-            if not solo and cost > token_budget:
+            if cost > token_budget:
                 break
             if not self.bms_can_allocate(head):
                 break
@@ -131,8 +130,6 @@ class Scheduler:
             self.waiting.popleft()
             self.running.append(head)
             batch.append(head)
-            if solo:
-                break
         return batch
 
     def _lookaheads(self) -> tuple[int, int | None]:

@@ -309,11 +309,17 @@ def _paged_attn_v2_kernel(
     b, i = pl.program_id(0), pl.program_id(1)
     B = pl.num_programs(0)
     bk = C * block_size
+    CP = pl.num_programs(1) * bk  # attended positions materialized (ctx_pad)
     hd2 = kv_vmem.shape[-1]
     # Ghost rows (padding) carry length 0; clamp to 1 so every b has exactly
     # one valid chunk and the prefetch pipeline stays in lockstep (their
-    # masked output is all-zero and discarded by the caller).
-    length = jnp.maximum(ctx_ref[b], 1)
+    # masked output is all-zero and discarded by the caller). Clamp ABOVE to
+    # CP as well: sync-SD/AR-multi-step context-limit overshoot can pass
+    # context_lens > ctx_pad (the overshoot rows are ghost-slotted and
+    # truncated by the host) — without the clamp the final-write guard never
+    # fires and the prefetch walks a nonexistent chunk into the NEXT
+    # sequence's first buffer.
+    length = jnp.minimum(jnp.maximum(ctx_ref[b], 1), CP)
 
     @pl.when((b == 0) & (i == 0))
     def _():
@@ -364,7 +370,10 @@ def _paged_attn_v2_kernel(
         pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bk), 2)
         row = jax.lax.broadcasted_iota(jnp.int32, (1, QG, 1), 1)
         q_idx = row // G
-        limit = length - qeff_ref[b] + q_idx
+        # Causal limits use the TRUE context (an overshoot row's limit may
+        # exceed CP; its excess positions are cut by the `pos < length`
+        # bound — only ghost-slot positions ever fall there).
+        limit = ctx_ref[b] - qeff_ref[b] + q_idx
         mask = (pos <= limit) & (pos < length)               # [1, QG, bk]
 
         # All heads reduced by one BATCHED dot (leading batch dim = kv head):
@@ -567,15 +576,19 @@ def _paged_attn_v3_kernel(
     NG = pl.num_programs(0)
     B = ctx_ref.shape[0]
     bk = C * block_size
+    CP = pl.num_programs(1) * bk  # attended positions materialized (ctx_pad)
     hd2 = kv_vmem.shape[-1]
 
     def group_len(g):
-        """Max attended length over the group (clamped >= 1 so every group
-        has exactly one valid chunk and the pipeline stays in lockstep)."""
+        """Max attended length over the group, clamped to [1, CP]: >=1 so
+        every group has one valid chunk and the pipeline stays in lockstep;
+        <=CP so context-limit overshoot (context_lens > ctx_pad, see
+        _paged_attn_v2_kernel) cannot starve the final write or desequence
+        the prefetch."""
         m = jnp.int32(1)
         for j in range(NB):
             m = jnp.maximum(m, ctx_ref[jnp.minimum(g * NB + j, B - 1)])
-        return m
+        return jnp.minimum(m, CP)
 
     length = group_len(g)
 
@@ -637,8 +650,11 @@ def _paged_attn_v3_kernel(
 
         pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bk), 2)
         row = jax.lax.broadcasted_iota(jnp.int32, (1, QG, 1), 1)
+        # True-context causal limits; the position bound clamps to CP so
+        # overshoot rows (ghost-slotted, host-truncated) stop at the
+        # materialized positions (see _paged_attn_v2_kernel).
         limit = lens - qeffs + row // G                      # [NBH, QG, 1]
-        mask = (pos <= limit) & (pos < lens)                 # [NBH, QG, bk]
+        mask = (pos <= limit) & (pos < jnp.minimum(lens, CP))  # [NBH,QG,bk]
 
         # Cache-dtype operands, fp32 accumulation (see _paged_attn_v2_kernel).
         kv3 = kv_vmem[buf].reshape(NBH, bk, hd2)
@@ -916,8 +932,12 @@ def _tree_attn_v2_kernel(
     b, i = pl.program_id(0), pl.program_id(1)
     B = pl.num_programs(0)
     bk = C * block_size
+    CP = pl.num_programs(1) * bk
     hd2 = kv_vmem.shape[-1]
-    length = jnp.maximum(ctx_ref[b], 1)
+    # Clamp to [1, CP] like _paged_attn_v2_kernel (tree callers keep the
+    # boundary finish so ctx > ctx_pad should not occur, but the pipeline
+    # must never walk past its last chunk even if it does).
+    length = jnp.minimum(jnp.maximum(ctx_ref[b], 1), CP)
 
     @pl.when((b == 0) & (i == 0))
     def _():
@@ -956,9 +976,11 @@ def _tree_attn_v2_kernel(
                 c.start()
             buf_ref[0] = nxt
 
-        for c in _v2_copy_chunk(kv_hbm_ref, kv_vmem.at[buf], sems.at[buf],
-                                bt_ref, b, i, C, block_size):
-            c.wait()
+        # Wait-only descriptors (keyed by semaphore + byte count) — spares
+        # the scalar core the block-table loads of rebuilding the real
+        # descriptors, same as the paged v2 kernel.
+        _v2_wait_chunk(kv_hbm_ref, kv_vmem.at[buf], sems.at[buf], C,
+                       block_size)
 
         R = MQ * G
         pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bk), 2)
@@ -1123,13 +1145,14 @@ def _tree_attn_v3_kernel(
     NG = pl.num_programs(0)
     B = ctx_ref.shape[0]
     bk = C * block_size
+    CP = pl.num_programs(1) * bk
     hd2 = kv_vmem.shape[-1]
 
     def group_len(g):
         m = jnp.int32(1)
         for j in range(NB):
             m = jnp.maximum(m, ctx_ref[jnp.minimum(g * NB + j, B - 1)])
-        return m
+        return jnp.minimum(m, CP)  # never walk past the last chunk
 
     length = group_len(g)
 

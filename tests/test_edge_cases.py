@@ -113,3 +113,49 @@ def test_unserveable_request_raises(target_dir):
     with pytest.raises(RuntimeError, match="KV"):
         for _ in range(50):
             engine.step()
+
+
+def test_sync_sd_context_limit_pallas_route(tmp_path_factory):
+    """The context-limit overshoot THROUGH the manual-DMA kernel route
+    (hd=64, kernels in interpret mode): regression for the review finding
+    that v2/v3 mis-handled context_lens > ctx_pad (unwritten output + the
+    prefetch desequencing into the next sequence). Two sequences decode
+    together so the neighbor-corruption mode is covered."""
+    t = tmp_path_factory.mktemp("lim64_t")
+    d = tmp_path_factory.mktemp("lim64_d")
+    make_tiny_llama(t, hidden=256, heads=4, kv_heads=2, seed=0)
+    make_tiny_llama(d, hidden=256, heads=4, kv_heads=2, layers=1, seed=7)
+    engine = LLM(
+        str(t), draft=str(d), speculate=True, draft_async=False,
+        speculate_k=3, spec_rounds=4, dtype="float32", use_pallas=True,
+        max_model_len=64, max_num_batched_tokens=1024, kvcache_block_size=16,
+        num_kvcache_blocks=96, max_num_seqs=2, max_steps=400,
+    )
+    p1 = random_prompt(rng(903), 20, 24)
+    p2 = random_prompt(rng(904), 8, 12)  # far from the limit
+    outs, _ = engine.generate(
+        [list(p1), list(p2)],
+        SamplingParams(temperature=0.0, max_new_tokens=100, ignore_eos=True),
+        use_tqdm=False,
+    )
+    engine.exit()
+    assert len(outs[0]["token_ids"]) == 64 - len(p1)
+    assert outs[0]["token_ids"] == hf_greedy(str(t), p1, 64 - len(p1))
+    assert outs[1]["token_ids"][:10] == hf_greedy(str(t), p2, 10)
+
+
+def test_eagle_spec_rounds_rejected(tmp_path_factory):
+    """use_eagle + spec_rounds>1 must be rejected up front: the fused
+    superstep drives the draft through the plain-transformer chain program,
+    which cannot run an EAGLE draft (review finding)."""
+    from tests.utils_models import make_tiny_eagle
+
+    t = tmp_path_factory.mktemp("er_t")
+    e = tmp_path_factory.mktemp("er_e")
+    make_tiny_llama(t, layers=6, seed=0)
+    make_tiny_eagle(e, seed=3)
+    with pytest.raises(AssertionError, match="spec_rounds"):
+        LLM(str(t), draft=str(e), speculate=True, use_eagle=True,
+            spec_rounds=4, speculate_k=3, dtype="float32",
+            max_model_len=128, max_num_batched_tokens=512,
+            kvcache_block_size=16, num_kvcache_blocks=64, max_num_seqs=2)

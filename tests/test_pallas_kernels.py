@@ -269,3 +269,30 @@ def test_paged_attention_v3_hd128_geometry():
         scale, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("kernel_name", ["v2", "v3"])
+def test_paged_attention_overshoot_ctx_beyond_pad(kernel_name):
+    """context_lens > ctx_pad (sync-SD/AR context-limit overshoot: the
+    overshoot rows are ghost-slotted and host-truncated). Regression for the
+    review finding: the manual-DMA kernels' final-write guard never fired for
+    such a sequence (garbage output) and the prefetch walked a nonexistent
+    chunk into the NEXT sequence's first buffer (corrupting a sequence
+    nowhere near its limit)."""
+    B, Q, Hq, Hkv, hd = 3, 4, 8, 2, 64
+    block_size, max_blocks = 64, 4
+    ctx_pad = 256  # == max_blocks * block_size: table is full
+    ctx_lens = [258, 100, 256]  # seq 0 overshoots by 2; seq 1 follows it
+    q, kv, bt, ctx = make_case(41, B, Q, Hq, Hkv, hd, block_size, max_blocks,
+                               [min(c, ctx_pad) for c in ctx_lens])
+    ctx = jnp.asarray(np.asarray(ctx_lens, np.int32))  # true (overshot) lens
+    scale = hd ** -0.5
+    qeff = jnp.full((B,), Q, jnp.int32)
+
+    want = att.paged_attention(q, kv, bt, ctx, block_size, ctx_pad, scale,
+                               qeff=qeff)
+    fn = (patt.paged_attention_v2 if kernel_name == "v2"
+          else patt.paged_attention_v3)
+    got = fn(q, kv, bt, ctx, qeff, block_size, ctx_pad, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
