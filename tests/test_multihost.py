@@ -166,3 +166,60 @@ def test_two_process_generate_matches_single_process(tmp_path):
     for out in outs:
         got = _gen_line(out)
         assert got == want, f"{got} != {want}"
+
+
+def test_70b_geometry_sharded_step_compiles():
+    """BASELINE config #5 readiness: the decode step LOWERS AND COMPILES at
+    the real Llama-70B per-layer geometry (hidden 8192, 64 q / 8 kv heads,
+    inter 28672, vocab 128256; scan length shrunk to 2 — layer count only
+    changes the scan trip count) over a hybrid (dcn=2, tp=4) mesh with the
+    engine's own param/KV shardings, using shape-only abstract params so no
+    70B weights are materialized. Validates the GSPMD partitioning rules
+    (incl. the GQA kv-head fallback: 8 kv heads over the (dcn,tp)=8 axes)
+    at scale on 8 virtual CPU devices."""
+    import functools
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ssd_tpu.config import ModelConfig
+    from ssd_tpu.engine.model_runner import decode_step
+    from ssd_tpu.models.transformer import Arch, init_params
+    from ssd_tpu.parallel import mesh as pmesh
+
+    mc = ModelConfig(
+        model_type="llama", vocab_size=128256, hidden_size=8192,
+        intermediate_size=28672, num_hidden_layers=2,
+        num_attention_heads=64, num_key_value_heads=8,
+        max_position_embeddings=8192, rope_theta=500000.0,
+    )
+    arch = Arch.from_model_config(mc)
+    m = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dcn", "tp"))
+
+    abstract = jax.eval_shape(
+        lambda k: init_params(arch, k, jnp.bfloat16), jax.random.PRNGKey(0))
+    specs = pmesh.param_specs(abstract)
+    params = jax.tree.map(
+        lambda x, s: jax.ShapeDtypeStruct(
+            x.shape, x.dtype,
+            sharding=NamedSharding(m, pmesh._compatible_spec(x, s, m))),
+        abstract, specs, is_leaf=lambda x: not isinstance(x, dict))
+
+    block_size, num_blocks, B, M = 64, 16, 2, 8
+    kv = jax.ShapeDtypeStruct(
+        (arch.num_layers, arch.num_kv_heads, num_blocks * block_size,
+         2 * arch.head_dim), jnp.bfloat16,
+        sharding=pmesh.kv_sharding(m, arch.num_kv_heads))
+    rep = NamedSharding(m, P())
+    i32 = lambda *shape: jax.ShapeDtypeStruct(shape, jnp.int32, sharding=rep)
+    f32 = lambda *shape: jax.ShapeDtypeStruct(shape, jnp.float32, sharding=rep)
+
+    lowered = decode_step.lower(
+        params, kv, i32(B), i32(B), i32(B), i32(B, M), i32(B), f32(B),
+        jax.random.PRNGKey(1),
+        arch=arch, block_size=block_size, ctx_pad=256, q_len=1,
+    )
+    compiled = lowered.compile()  # SPMD partitioner runs here
+    assert compiled is not None
