@@ -192,3 +192,36 @@ def tree_attention(
     probs = masked_softmax(scores, mask[:, None, :, :])
     out = _weighted_values(probs, v)
     return out.astype(q.dtype)
+
+
+def flat_prefill_attention(
+    q: jnp.ndarray,         # [T, Hq, hd] flat new tokens of the whole batch
+    dense_kv: jnp.ndarray,  # [Hkv, Cflat, 2*hd] packed per-seq context runs
+    row_lo: jnp.ndarray,    # [T] first flat context index each token sees
+    row_hi: jnp.ndarray,    # [T] one past the last (its own causal position)
+    scale: float,
+) -> jnp.ndarray:
+    """jnp oracle for the flat-packed ragged prefill: every token attends the
+    half-open flat-context interval [row_lo, row_hi) — the interval encodes
+    BOTH the same-sequence restriction (each sequence's pages occupy a
+    contiguous run of the packed stream) and causality (hi = run start +
+    causal limit + 1). Padding tokens carry lo == hi == 0 and produce zeros.
+    Replaces the reference's flash_attn_varlen_func cu_seqlens contract
+    (/root/reference/ssd/layers/attention.py:90-93) in packed-page form."""
+    T, Hq, hd = q.shape
+    Hkv = dense_kv.shape[0]
+    G = Hq // Hkv
+    k = dense_kv[..., :hd]                                   # [Hkv, C, hd]
+    v = dense_kv[..., hd:]
+    qg = q.reshape(T, Hkv, G, hd)
+    scores = jnp.einsum(
+        "thgd,hcd->thgc", qg.astype(jnp.float32), k.astype(jnp.float32)
+    ) * scale                                                # [T,Hkv,G,C]
+    col = jnp.arange(dense_kv.shape[1])[None, :]
+    mask = (col >= row_lo[:, None]) & (col < row_hi[:, None])  # [T, C]
+    s = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
+    # Rows with empty intervals (padding) would softmax to NaN; zero them.
+    p = jax.nn.softmax(s, axis=-1)
+    p = jnp.where(mask[:, None, None, :].any(-1, keepdims=True), p, 0.0)
+    out = jnp.einsum("thgc,hcd->thgd", p, v.astype(jnp.float32))
+    return out.reshape(T, Hq, hd).astype(q.dtype)

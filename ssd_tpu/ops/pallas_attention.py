@@ -1528,3 +1528,159 @@ def tree_attention(
         kv_layer,
     )
     return _ungroup_o(out[..., hd:], MQ)
+
+
+# ---------------------------------------------------------------------------
+# Flat-packed ragged prefill kernel
+# ---------------------------------------------------------------------------
+#
+# The grouped pow2-bucket prefill costs one DISPATCH per length bucket
+# (~4.2 ms each over the tunneled runtime) plus <=2x pow2 padding per
+# sequence. This kernel runs the WHOLE mixed-length batch as one program
+# over a flat packed layout: all new tokens concatenated to [T_pad], every
+# sequence's attended pages gathered into one contiguous run of a packed
+# context stream [Cflat], and each token's attention window expressed as a
+# half-open interval [row_lo, row_hi) of flat context indices — the interval
+# encodes both the same-sequence restriction and causality, so the kernel
+# mask is two compares (the TPU-native form of flash_attn_varlen_func's
+# cu_seqlens contract, /root/reference/ssd/layers/attention.py:90-93).
+# Per-(q-tile, kv-tile) work is skipped entirely outside
+# [tile_lo, tile_hi) — scalar-prefetched per-tile interval hulls — so
+# compute scales with sum(len_i * ctx_i), not the padded rectangle.
+
+
+def _flat_prefill_kernel(
+    # scalar prefetch
+    tlo_ref,     # [nT] min row_lo per q-tile (flat ctx index)
+    thi_ref,     # [nT] max row_hi per q-tile
+    # blocks
+    lo_ref,      # [1, TQ] per-row interval start
+    hi_ref,      # [1, TQ] per-row interval end
+    q_ref,       # [1, TQ, 2*hd] ([q | 0] padded rows of one kv head)
+    kv_ref,      # [1, TK, 2*hd] packed context tile
+    o_ref,       # [1, TQ, 2*hd]
+    m_scr, l_scr, acc_scr,
+    *,
+    scale: float,
+    TK: int,
+):
+    t, k = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when((k * TK < thi_ref[t]) & ((k + 1) * TK > tlo_ref[t]))
+    def _():
+        kv = kv_ref[0]
+        q = q_ref[0]
+        scores = jax.lax.dot_general(
+            q, kv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                            # [TQ, TK]
+        col = k * TK + jax.lax.broadcasted_iota(jnp.int32, (1, TK), 1)
+        lo = lo_ref[0][:, None]                              # [TQ, 1]
+        hi = hi_ref[0][:, None]
+        mask = (col >= lo) & (col < hi)
+        _flash_update(scores, mask, kv, m_scr, l_scr, acc_scr)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        out = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "scale", "tq", "tk", "interpret"),
+)
+def flat_prefill_attention(
+    q: jnp.ndarray,          # [T_pad, Hq, hd] flat new tokens
+    kv_layer: jnp.ndarray,   # [Hkv, S, 2*hd] (paged, K/V interleaved)
+    flat_pages: jnp.ndarray, # [P_pad] page ids, per-seq runs concatenated
+    row_lo: jnp.ndarray,     # [T_pad] flat-context interval start per token
+    row_hi: jnp.ndarray,     # [T_pad] interval end (padding rows: lo==hi==0)
+    block_size: int,
+    scale: float,
+    tq: int = 512,
+    tk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One-dispatch ragged prefill over the packed page stream (see module
+    comment). Returns [T_pad, Hq, hd]; padding rows are zero."""
+    T, Hq, hd = q.shape
+    Hkv, S, hd2 = kv_layer.shape
+    G = Hq // Hkv
+    TG = T * G
+    # Pack the attended pages densely: one XLA page-granular gather.
+    dense = kv_layer.reshape(Hkv, S // block_size, block_size, hd2)[
+        :, jnp.clip(flat_pages, 0)
+    ].reshape(Hkv, flat_pages.shape[0] * block_size, hd2)
+    Cflat = dense.shape[1]
+
+    TQ = min(tq, TG)
+    while TG % TQ:
+        TQ //= 2
+    TK = min(tk, Cflat)
+    while Cflat % TK:
+        TK //= 2
+    nT, nK = TG // TQ, Cflat // TK
+
+    # Rows that share a kv head are grouped like the other kernels; the
+    # per-ROW intervals are the per-token ones repeated G times, reordered
+    # to (Hkv, T*G) so the block for (h, t) is rows [t*TQ, (t+1)*TQ).
+    qg = _regroup_q(q[None], Hkv)[0]                         # [Hkv, TG, hd]
+    qp = jnp.concatenate([qg, jnp.zeros_like(qg)], axis=-1)  # [q | 0]
+    lo_rows = jnp.repeat(row_lo, G)[None]                    # [1, TG]
+    hi_rows = jnp.repeat(row_hi, G)[None]
+    # Per-q-tile interval hulls for the skip test (rows of ALL kv heads at
+    # tile t are the same tokens, so one table serves every head).
+    tlo = jnp.min(lo_rows.reshape(nT, TQ), axis=1)
+    thi = jnp.max(hi_rows.reshape(nT, TQ), axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Hkv, nT, nK),
+        in_specs=[
+            pl.BlockSpec((1, TQ), lambda h, t, k, tlo, thi: (0, t)),
+            pl.BlockSpec((1, TQ), lambda h, t, k, tlo, thi: (0, t)),
+            pl.BlockSpec((1, TQ, 2 * hd),
+                         lambda h, t, k, tlo, thi: (h, t, 0)),
+            # Clamp the kv-tile index into the q-tile's needed range: tiles
+            # outside repeat a neighbour's index, so their DMA is skipped
+            # (the kernel also skips their flash update).
+            pl.BlockSpec(
+                (1, TK, 2 * hd),
+                lambda h, t, k, tlo, thi: (
+                    h,
+                    jnp.clip(k, tlo[t] // TK,
+                             jnp.maximum(thi[t] - 1, 0) // TK),
+                    0,
+                ),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, TQ, 2 * hd),
+                               lambda h, t, k, tlo, thi: (h, t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((TQ, 1), jnp.float32),
+            pltpu.VMEM((TQ, 1), jnp.float32),
+            pltpu.VMEM((TQ, 2 * hd), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_flat_prefill_kernel, scale=scale, TK=TK)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Hkv, TG, 2 * hd), q.dtype),
+        interpret=interpret,
+    )(
+        tlo.astype(jnp.int32),
+        thi.astype(jnp.int32),
+        lo_rows.astype(jnp.int32),
+        hi_rows.astype(jnp.int32),
+        qp,
+        dense,
+    )
+    return _ungroup_o(out[None, ..., hd:], T)[0]

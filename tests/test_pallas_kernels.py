@@ -296,3 +296,74 @@ def test_paged_attention_overshoot_ctx_beyond_pad(kernel_name):
     got = fn(q, kv, bt, ctx, qeff, block_size, ctx_pad, scale, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def _flat_meta(ctx_lens, qeffs, block_size, T_pad):
+    """Flat-packed prefill metadata: per-seq page runs concatenated, and each
+    new token's half-open attention interval in flat context coordinates."""
+    pages_per = [(c + block_size - 1) // block_size for c in ctx_lens]
+    page_off = np.concatenate([[0], np.cumsum(pages_per)])[:-1]
+    lo, hi = [], []
+    for s, (c, qe) in enumerate(zip(ctx_lens, qeffs)):
+        base = page_off[s] * block_size
+        for i in range(qe):
+            lo.append(base)
+            hi.append(base + (c - qe + i) + 1)
+    pad = T_pad - len(lo)
+    lo += [0] * pad
+    hi += [0] * pad
+    return (np.asarray(lo, np.int32), np.asarray(hi, np.int32),
+            page_off, pages_per)
+
+
+def test_flat_prefill_attention_matches_oracles():
+    """The one-dispatch flat ragged prefill matches (a) the interval-mask jnp
+    oracle and (b) the per-sequence paged-attention oracle — proving both the
+    kernel and the interval metadata encoding."""
+    B, Hq, Hkv, hd = 3, 8, 2, 64
+    block_size, max_blocks = 16, 8
+    ctx_lens = [9, 12, 19]
+    qeffs = [5, 12, 3]   # seqs 0/2 are prefix-cached, 1 is fresh
+    q_dummy, kv, bt, ctx = make_case(51, B, max(qeffs), Hq, Hkv, hd,
+                                     block_size, max_blocks, ctx_lens)
+    T = sum(qeffs)
+    T_pad = 32
+    rng_l = np.random.default_rng(52)
+    qflat = jnp.asarray(rng_l.normal(size=(T_pad, Hq, hd)).astype(np.float32))
+    scale = hd ** -0.5
+
+    lo, hi, page_off, pages_per = _flat_meta(ctx_lens, qeffs, block_size,
+                                             T_pad)
+    flat_pages = np.concatenate(
+        [np.asarray(bt)[s, :pages_per[s]] for s in range(B)])
+    P_pad = 8
+    flat_pages = np.pad(flat_pages, (0, P_pad - len(flat_pages)),
+                        constant_values=-1).astype(np.int32)
+
+    got = patt.flat_prefill_attention(
+        qflat, kv, jnp.asarray(flat_pages), jnp.asarray(lo), jnp.asarray(hi),
+        block_size, scale, tq=16, tk=32, interpret=True)
+
+    # (a) interval-mask jnp oracle on the same packed stream.
+    dense = np.asarray(kv).reshape(Hkv, -1, block_size, 2 * hd)[
+        :, np.clip(flat_pages, 0, None)
+    ].reshape(Hkv, P_pad * block_size, 2 * hd)
+    want = att.flat_prefill_attention(
+        qflat, jnp.asarray(dense), jnp.asarray(lo), jnp.asarray(hi), scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # (b) per-sequence paged oracle: each seq's rows must equal a [1, qeff]
+    # multi-query paged attention over its own block table.
+    off = 0
+    for s in range(B):
+        qe = qeffs[s]
+        qs = qflat[off:off + qe][None]                      # [1, qe, Hq, hd]
+        want_s = att.paged_attention(
+            qs, kv, jnp.asarray(np.asarray(bt)[s:s + 1]),
+            jnp.asarray([ctx_lens[s]], jnp.int32), block_size, 128, scale,
+            qeff=jnp.asarray([qe], jnp.int32))
+        np.testing.assert_allclose(
+            np.asarray(got)[off:off + qe], np.asarray(want_s)[0],
+            rtol=2e-5, atol=2e-5, err_msg=f"seq {s}")
+        off += qe
