@@ -86,6 +86,12 @@ class Config:
     dtype: str = "bfloat16"
     seed: int = 0
     use_pallas: bool | None = None  # None = auto (on for TPU backend)
+    # Flat-packed ragged prefill: the whole mixed-length prefill batch as ONE
+    # dispatch with exact per-token attention windows (the TPU-native form
+    # of the reference's flash_attn_varlen_func packing) instead of one
+    # padded dispatch per pow2 length bucket. EAGLE prefill always uses the
+    # grouped path (it needs per-sequence activation rows).
+    flat_prefill: bool = True
     # AR multi-step decoding: sample this many tokens per engine step as ONE
     # lax.scan program (EOS overshoot is truncated and rolled back like a
     # rejected speculation). Amortises per-step dispatch/host latency.

@@ -352,6 +352,92 @@ def prefill_step_packed(
 
 @partial(
     jax.jit,
+    static_argnames=("arch", "block_size", "use_pallas"),
+    donate_argnames=("kv_cache",),
+)
+def flat_prefill_step(
+    params,
+    kv_cache,
+    input_ids,      # [T_pad] ALL sequences' new tokens, concatenated
+    positions,      # [T_pad]
+    slot_map,       # [T_pad]
+    flat_pages,     # [P_pad] per-seq attended-page runs, concatenated
+    row_lo,         # [T_pad] flat-context interval start per token
+    row_hi,         # [T_pad] interval end (padding tokens: lo == hi == 0)
+    gather_idx,     # [B_pad] flat index of each sequence's last new token
+    temperatures,   # [B_pad]
+    key,
+    *,
+    arch: Arch,
+    block_size: int,
+    use_pallas: bool = False,
+):
+    """Mixed-length prefill as ONE flat-packed dispatch (no per-bucket
+    dispatches, no pow2 per-sequence padding): the TPU-native form of the
+    reference's flash_attn_varlen_func prefill
+    (/root/reference/ssd/layers/attention.py:90-93). Attention windows are
+    per-token intervals of a packed page stream — see
+    ops/pallas_attention.py::flat_prefill_attention. EAGLE taps are not
+    produced here (EAGLE prefill keeps the grouped path)."""
+    scale = arch.head_dim ** -0.5
+
+    def attn_call(q, k, v, kv_layer):
+        kv_layer = att.store_kv(kv_layer, k, v, slot_map)
+        if use_pallas:
+            from ssd_tpu.ops import pallas_attention as patt
+
+            o = patt.flat_prefill_attention(
+                q, kv_layer, flat_pages, row_lo, row_hi, block_size, scale,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            S = kv_layer.shape[1]
+            dense = kv_layer.reshape(
+                arch.num_kv_heads, S // block_size, block_size, -1
+            )[:, jnp.clip(flat_pages, 0)].reshape(
+                arch.num_kv_heads, flat_pages.shape[0] * block_size, -1
+            )
+            o = att.flat_prefill_attention(q, dense, row_lo, row_hi, scale)
+        return o, kv_layer
+
+    hidden, kv_cache = forward_hidden(
+        params, kv_cache, input_ids, positions, attn_call, arch
+    )[:2]
+    logits = compute_logits(params, hidden, arch, gather_idx=gather_idx)
+    tokens = sample(logits, temperatures, key)
+    return tokens, logits, kv_cache
+
+
+@partial(
+    jax.jit,
+    static_argnames=("arch", "block_size", "T_pad", "P_pad", "B_pad",
+                     "use_pallas"),
+    donate_argnames=("kv_cache",),
+)
+def flat_prefill_step_packed(
+    params, kv_cache, packed, *,
+    arch: Arch, block_size: int, T_pad: int, P_pad: int, B_pad: int,
+    use_pallas: bool = False,
+):
+    """flat_prefill_step with one flat int32 payload:
+    [ids(T) | pos(T) | slots(T) | pages(P) | lo(T) | hi(T) | gather(B) |
+     temp_bits(B) | seed(1)]."""
+    T, P, B = T_pad, P_pad, B_pad
+    p_end = 3 * T + P
+    return flat_prefill_step(
+        params, kv_cache,
+        packed[:T], packed[T:2 * T], packed[2 * T:3 * T],
+        packed[3 * T:p_end],
+        packed[p_end:p_end + T], packed[p_end + T:p_end + 2 * T],
+        packed[p_end + 2 * T:p_end + 2 * T + B],
+        _f32(packed[p_end + 2 * T + B:p_end + 2 * T + 2 * B]),
+        _key_from(packed[p_end + 2 * T + 2 * B]),
+        arch=arch, block_size=block_size, use_pallas=use_pallas,
+    )
+
+
+@partial(
+    jax.jit,
     static_argnames=("arch", "block_size", "ctx_pad", "K", "B_pad", "M",
                      "sampler_x", "fan_out", "tree_sampling", "use_pallas",
                      "extra_write"),
@@ -557,6 +643,13 @@ class ModelRunner:
             buckets.setdefault(
                 next_pow2(max(8, seq.num_tokens - cached)), []
             ).append(i)
+        # Flat-packed path: the whole mixed-length batch as ONE dispatch with
+        # exact per-token attention windows (no per-bucket dispatches, no
+        # pow2 per-seq padding). EAGLE needs per-seq activation rows and
+        # keeps the grouped path.
+        if (self.config.flat_prefill and not self.eagle_layers
+                and not return_acts):
+            return self._run_prefill_flat(seqs)
         if len(buckets) == 1:
             return self._run_prefill_group(seqs, return_acts)
 
@@ -585,6 +678,72 @@ class ModelRunner:
         if return_acts:
             return tokens_out, acts_out
         return tokens_out
+
+    def _run_prefill_flat(self, seqs: list[Sequence]):
+        """One flat-packed dispatch for the whole (possibly mixed-length,
+        possibly prefix-cached/-shared) prefill batch. Intra-batch prefix
+        sharing is safe here for the same reason as in a single grouped
+        dispatch: every layer's store_kv covers ALL sequences before its
+        attention reads."""
+        draft = self.is_draft
+        B = len(seqs)
+        cached_list, n_new_list, pages_per = [], [], []
+        bt_rows = self._block_table_array(seqs, draft)
+        for seq in seqs:
+            cached = seq.num_draft_cached_tokens if draft else seq.num_cached_tokens
+            cached = min(cached, seq.num_tokens - 1)
+            cached_list.append(cached)
+            n_new_list.append(seq.num_tokens - cached)
+            pages_per.append(
+                (seq.num_tokens + self.block_size - 1) // self.block_size
+            )
+        T = sum(n_new_list)
+        T_pad = next_pow2(max(8, T))
+        P_pad = next_pow2(max(2, sum(pages_per)))
+        B_pad = next_pow2(B)
+
+        input_ids = np.zeros(T_pad, dtype=np.int32)
+        positions = np.zeros(T_pad, dtype=np.int32)
+        slot_map = np.full(T_pad, -1, dtype=np.int32)
+        flat_pages = np.full(P_pad, -1, dtype=np.int32)
+        row_lo = np.zeros(T_pad, dtype=np.int32)
+        row_hi = np.zeros(T_pad, dtype=np.int32)
+        gather_idx = np.zeros(B_pad, dtype=np.int32)
+        temps = np.ones(B_pad, dtype=np.float32)
+
+        tok_off = page_off = 0
+        from ssd_tpu.utils.native import prepare_prefill
+
+        for i, seq in enumerate(seqs):
+            cached, n_new = cached_list[i], n_new_list[i]
+            sl = slice(tok_off, tok_off + n_new)
+            input_ids[sl] = seq.token_ids[cached:]
+            pos_i, slots_i = prepare_prefill(
+                bt_rows[i], cached, n_new, self.block_size, n_new
+            )
+            positions[sl], slot_map[sl] = pos_i, slots_i
+            flat_pages[page_off:page_off + pages_per[i]] = (
+                bt_rows[i][:pages_per[i]]
+            )
+            base = page_off * self.block_size
+            # Token at prompt position p sees flat context [base, base+p+1).
+            row_lo[sl] = base
+            row_hi[sl] = base + pos_i + 1
+            gather_idx[i] = tok_off + n_new - 1
+            temps[i] = seq.temperature
+            tok_off += n_new
+            page_off += pages_per[i]
+
+        payload = pack_i32(input_ids, positions, slot_map, flat_pages,
+                           row_lo, row_hi, gather_idx, temps,
+                           np.int32([self._next_seed()]))
+        tokens, _, self.kv_cache = flat_prefill_step_packed(
+            self.params, self.kv_cache, self._upload(payload),
+            arch=self.arch, block_size=self.block_size,
+            T_pad=T_pad, P_pad=P_pad, B_pad=B_pad,
+            use_pallas=self.use_pallas,
+        )
+        return np.asarray(tokens)[:B].tolist()
 
     def _run_prefill_group(self, seqs: list[Sequence], return_acts: bool):
         """One padded prefill dispatch (ragged lengths via per-seq qeff)."""
