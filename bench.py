@@ -62,6 +62,9 @@ def build_spec_checkpoints(model_dir: str) -> tuple[str, str]:
         layer = {
             pre + "input_layernorm.weight": np.ones((D,), np.float16),
             pre + "post_attention_layernorm.weight": np.ones((D,), np.float16),
+            **({pre + "self_attn.q_norm.weight": np.ones((hd,), np.float16),
+                pre + "self_attn.k_norm.weight": np.ones((hd,), np.float16)}
+               if cfg.get("model_type") == "qwen3" else {}),
             pre + "self_attn.q_proj.weight": w(Hq * hd, D),
             pre + "self_attn.k_proj.weight": w(Hkv * hd, D),
             pre + "self_attn.v_proj.weight": w(Hkv * hd, D),
@@ -83,9 +86,18 @@ def build_spec_checkpoints(model_dir: str) -> tuple[str, str]:
 
 
 def main():
+    if os.environ.get("SSD_BENCH_CPU") == "1":
+        # The env var JAX_PLATFORMS is clobbered by TPU plugin wrappers, so
+        # CPU smokes must force the backend in-process (see tests/conftest.py).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
-    mode = os.environ.get("SSD_BENCH_MODE", "ar")
+    # Default = fused sync SD, the engine's flagship mode (measured 262 tok/s
+    # b=1 on the v5e = 1.25x the AR best in the same hour; see PERF.md).
+    # SSD_BENCH_MODE=ar measures the autoregressive baseline instead.
+    mode = os.environ.get("SSD_BENCH_MODE", "sd")
     out_len = int(os.environ.get("SSD_BENCH_OUT_LEN", "128"))
     batch = int(os.environ.get("SSD_BENCH_BATCH", "1"))
 

@@ -74,8 +74,12 @@ def run_impl(impl, args):
     M = ctx // bs
     S = B * ctx + bs
     rng = np.random.default_rng(0)
-    kv = jnp.asarray(rng.normal(size=(Hkv, S, 2 * hd)), dt)
-    q = jnp.asarray(rng.normal(size=(B, Q, Hq, hd)), dt)
+    # Generate the big operands ON the device: at ctx 16384 the KV pool is
+    # ~269 MB, which the tunneled runtime's HTTP transfer rejects (413) if
+    # materialized on the host and shipped.
+    kv_key, q_key, qt_key = jax.random.split(jax.random.PRNGKey(0), 3)
+    kv = jax.random.normal(kv_key, (Hkv, S, 2 * hd), dt)
+    q = jax.random.normal(q_key, (B, Q, Hq, hd), dt)
     bt = jnp.asarray(
         rng.permutation(B * M).reshape(B, M).astype(np.int32) + 1
     )
@@ -120,7 +124,7 @@ def run_impl(impl, args):
         fan = jnp.asarray(
             np.tile(np.repeat(np.arange(K + 1), max(1, MQ // (K + 1)))[:MQ],
                     (B, 1)), jnp.int32)
-        qt = jnp.asarray(rng.normal(size=(B, MQ, Hq, hd)), dt)
+        qt = jax.random.normal(qt_key, (B, MQ, Hq, hd), dt)
         if impl == "tree":
             body = lambda qq: patt.tree_attention(
                 qq, kv, bt, ctx_lens, fan, step, K, bs, ctx, scale,
