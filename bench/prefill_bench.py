@@ -27,9 +27,6 @@ def main():
     os.environ.setdefault("SSD_BENCH_TINY", "1" if args.tiny else "0")
     import numpy as np
 
-    # Reuse the driver bench's model construction.
-    import bench as driver_bench  # repo-root bench.py
-
     sys_argv_tiny = os.environ["SSD_BENCH_TINY"] == "1"
     model_dir = ("/tmp/ssd_bench_model_tiny" if sys_argv_tiny
                  else "/tmp/ssd_bench_model_llama1b")
