@@ -23,6 +23,12 @@ def main():
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--tiny", action="store_true", help="CPU smoke geometry")
     args = p.parse_args()
+    if args.tiny:
+        # The JAX_PLATFORMS env var is clobbered by the TPU plugin wrapper,
+        # so the CPU smoke must force the backend in-process (CLAUDE.md).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     os.environ.setdefault("SSD_BENCH_TINY", "1" if args.tiny else "0")
     import numpy as np
