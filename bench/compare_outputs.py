@@ -30,6 +30,8 @@ def parse_arguments():
     p.add_argument("--k", type=int, default=6)
     p.add_argument("--f", type=int, default=3)
     p.add_argument("--max_new_tokens", type=int, default=128)
+    p.add_argument("--max_model_len", type=int, default=4096)
+    p.add_argument("--block_sz", type=int, default=256)
     p.add_argument("--prompt", type=str,
                    default="Explain the Chudnovsky algorithm to compute pi.")
     p.add_argument("--prompt-ids", type=int, nargs="+", default=None,
@@ -47,7 +49,9 @@ def run_mode(model_path, draft_path, prompt, args, mode):
     from ssd_tpu import SamplingParams
     from ssd_tpu.llm import LLM
 
-    kw = dict(num_devices=args.chips, max_num_seqs=1, draft=draft_path)
+    kw = dict(num_devices=args.chips, max_num_seqs=1, draft=draft_path,
+              max_model_len=args.max_model_len,
+              kvcache_block_size=args.block_sz)
     if mode == "sd":
         kw.update(speculate=True, speculate_k=args.k)
     elif mode == "sd-fused":
