@@ -52,6 +52,8 @@ def parse_arguments():
     p.add_argument("--ddp", type=int, default=1,
                    help="draft data parallelism (replica chips)")
     p.add_argument("--f", type=int, default=3)
+    p.add_argument("--fl", type=int, nargs="+", default=None,
+                   help="fan-out list (alias of --flh; --flh wins if both)")
     p.add_argument("--flh", type=int, nargs="+", default=None)
     p.add_argument("--flm", type=int, nargs="+", default=None)
     p.add_argument("--backup", type=str, choices=["jit", "fast"], default="jit")
@@ -84,6 +86,8 @@ def parse_arguments():
 
     # Debug / logging
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--debug", action="store_true",
+                   help="save draft prefill inputs for offline comparison")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--group", type=str, default=None)
@@ -130,10 +134,13 @@ def create_llm_kwargs(args, draft_path):
         max_steps=args.max_steps,
         use_eagle=args.eagle,
     )
-    if args.flh is not None:
-        kw["fan_out_list"] = args.flh
+    fl = args.flh if args.flh is not None else args.fl
+    if fl is not None:
+        kw["fan_out_list"] = fl
     if args.flm is not None:
         kw["fan_out_list_miss"] = args.flm
+    if args.debug:
+        kw["debug_mode"] = True
     return kw
 
 
