@@ -35,9 +35,12 @@ import jax
 import jax.numpy as jnp
 
 from ssd_tpu.engine.model_runner import (
+    _f32,
+    _key_from,
     chain_decode_step,
     decode_step,
     next_pow2,
+    pack_i32,
     slot_of,
 )
 from ssd_tpu.models.transformer import Arch
@@ -124,14 +127,49 @@ def sd_superstep(
     return specs, accs, recs, target_kv, draft_kv
 
 
+@partial(
+    jax.jit,
+    static_argnames=("t_arch", "d_arch", "block_size", "ctx_pad_t",
+                     "ctx_pad_d", "K", "R", "B_pad", "M_t", "M_d",
+                     "use_pallas"),
+    donate_argnames=("target_kv", "draft_kv"),
+)
+def sd_superstep_packed(
+    t_params, target_kv, d_params, draft_kv, packed, *,
+    t_arch: Arch, d_arch: Arch, block_size: int, ctx_pad_t: int,
+    ctx_pad_d: int, K: int, R: int, B_pad: int, M_t: int, M_d: int,
+    use_pallas: bool = False,
+):
+    """sd_superstep with its entire per-step metadata in one flat int32
+    payload (the same <=1-upload-per-dispatch discipline as
+    model_runner.decode_step_packed): [rec(B) | n0(B) | bt_t(B*M_t) |
+    bt_d(B*M_d) | temps_t_bits(B) | temps_d_bits(B) | seed(1)]."""
+    B = B_pad
+    o = 2 * B
+    bt_t = packed[o:o + B * M_t].reshape(B, M_t)
+    o += B * M_t
+    bt_d = packed[o:o + B * M_d].reshape(B, M_d)
+    o += B * M_d
+    return sd_superstep(
+        t_params, target_kv, d_params, draft_kv,
+        packed[:B], packed[B:2 * B], bt_t, bt_d,
+        _f32(packed[o:o + B]), _f32(packed[o + B:o + 2 * B]),
+        _key_from(packed[o + 2 * B]),
+        t_arch=t_arch, d_arch=d_arch, block_size=block_size,
+        ctx_pad_t=ctx_pad_t, ctx_pad_d=ctx_pad_d, K=K, R=R,
+        use_pallas=use_pallas,
+    )
+
+
 def run_sd_superstep(target_runner, draft_runner, seqs, K: int, R: int):
     """Host driver: one dispatch, one readback, R rounds.
 
     Returns (suffixes list[B] of list[int] — accepted tokens + recovery per
     round, concatenated across rounds — and final recovery tokens list[B]).
     The caller truncates for EOS / max_new_tokens and commits via
-    scheduler.postprocess_speculate.
-    """
+    scheduler.postprocess_speculate. The whole superstep ships ONE packed
+    int32 upload (via the runner's global-mesh upload path, so fused SD works
+    under num_hosts > 1 where jit inputs must be global arrays)."""
     B = len(seqs)
     B_pad = next_pow2(B)
     rec = np.zeros(B_pad, np.int32)
@@ -155,18 +193,20 @@ def run_sd_superstep(target_runner, draft_runner, seqs, K: int, R: int):
     horizon = int(n0[:B].max()) + R * (K + 1) + 1
     ctx_pad_t = target_runner._ctx_bucket(horizon)
     ctx_pad_d = draft_runner._ctx_bucket(horizon)
-    target_runner.key, sub = jax.random.split(target_runner.key)
+    payload = target_runner._upload(pack_i32(
+        rec, n0, bt_t, bt_d, temps_t, temps_d,
+        np.asarray([target_runner._next_seed()], np.int32),
+    ))
 
     specs, accs, recs, target_runner.kv_cache, draft_runner.kv_cache = (
-        sd_superstep(
+        sd_superstep_packed(
             target_runner.params, target_runner.kv_cache,
-            draft_runner.params, draft_runner.kv_cache,
-            jnp.asarray(rec), jnp.asarray(n0), jnp.asarray(bt_t),
-            jnp.asarray(bt_d), jnp.asarray(temps_t), jnp.asarray(temps_d),
-            sub,
+            draft_runner.params, draft_runner.kv_cache, payload,
             t_arch=target_runner.arch, d_arch=draft_runner.arch,
             block_size=target_runner.block_size,
             ctx_pad_t=ctx_pad_t, ctx_pad_d=ctx_pad_d, K=K, R=R,
+            B_pad=B_pad, M_t=target_runner.max_blocks,
+            M_d=draft_runner.max_blocks,
             use_pallas=target_runner.use_pallas,
         )
     )

@@ -35,6 +35,7 @@ METRICS = {
     "decode_total_tokens": 0,
     "target_step_times": [],
     "target_verify_times": [],
+    "sd_superstep_times": [],
 }
 
 
@@ -126,11 +127,16 @@ class LLMEngine:
                     self.draft_server.runner.num_kvcache_blocks
                 )
             else:
+                # The sync draft lives on the SAME mesh as the target: the
+                # fused superstep (engine/fused_sd.py) traces both models'
+                # params into one program, so they must share a placement —
+                # and under num_hosts > 1 every jit input must be global.
                 self.draft_runner = ModelRunner(
                     self.draft_cfg,
                     hf_config=config.draft_hf_config,
                     is_draft=True,
                     init_random=self._init_random,
+                    mesh=mesh,
                 )
                 self.draft_cfg.num_kvcache_blocks = self.draft_runner.num_kvcache_blocks
 
@@ -190,29 +196,34 @@ class LLMEngine:
     def _warmup_superstep(self, batch_pads):
         """Pre-compile the fused multi-round SD program (engine/fused_sd.py)
         for every (batch bucket, ctx bucket) with ghost inputs (block tables
-        -1 => all KV writes dropped)."""
+        -1 => all KV writes dropped). Compiles the PACKED variant — the exact
+        program run_sd_superstep dispatches in production."""
         import numpy as np
 
         import jax
-        import jax.numpy as jnp
 
-        from ssd_tpu.engine.fused_sd import sd_superstep
+        from ssd_tpu.engine.fused_sd import sd_superstep_packed
+        from ssd_tpu.engine.model_runner import pack_i32
 
         cfg = self.config
         t, d = self.model_runner, self.draft_runner
         for B_pad in batch_pads:
-            bt_t = jnp.full((B_pad, t.max_blocks), -1, jnp.int32)
-            bt_d = jnp.full((B_pad, d.max_blocks), -1, jnp.int32)
-            ones = jnp.ones(B_pad, jnp.int32)
-            temps = jnp.ones(B_pad, jnp.float32)
+            payload = t._upload(pack_i32(
+                np.zeros(B_pad, np.int32),                    # rec
+                np.ones(B_pad, np.int32),                     # n0
+                np.full((B_pad, t.max_blocks), -1, np.int32),  # bt_t
+                np.full((B_pad, d.max_blocks), -1, np.int32),  # bt_d
+                np.ones(B_pad, np.float32),                   # temps_t
+                np.ones(B_pad, np.float32),                   # temps_d
+                np.zeros(1, np.int32),                        # seed
+            ))
             for ctx_pad in t._ctx_buckets():
-                out = sd_superstep(
-                    t.params, t.kv_cache, d.params, d.kv_cache,
-                    jnp.zeros(B_pad, jnp.int32), ones, bt_t, bt_d,
-                    temps, temps, jax.random.PRNGKey(0),
+                out = sd_superstep_packed(
+                    t.params, t.kv_cache, d.params, d.kv_cache, payload,
                     t_arch=t.arch, d_arch=d.arch, block_size=t.block_size,
                     ctx_pad_t=ctx_pad, ctx_pad_d=d._ctx_bucket(ctx_pad),
                     K=cfg.speculate_k, R=cfg.spec_rounds,
+                    B_pad=B_pad, M_t=t.max_blocks, M_d=d.max_blocks,
                     use_pallas=t.use_pallas,
                 )
                 t.kv_cache, d.kv_cache = out[3], out[4]
@@ -358,6 +369,14 @@ class LLMEngine:
                 print(
                     f"[metrics] Avg target verify time (ms): "
                     f"{sum(METRICS['target_verify_times']) * 1000 / len(METRICS['target_verify_times']):.2f}",
+                    flush=True,
+                )
+            if METRICS["sd_superstep_times"]:
+                ss = METRICS["sd_superstep_times"]
+                print(
+                    f"[metrics] Avg fused superstep time "
+                    f"({self.config.spec_rounds} rounds, ms): "
+                    f"{sum(ss) * 1000 / len(ss):.2f}",
                     flush=True,
                 )
             if self.config.draft_async and METRICS["cache_hits"]:

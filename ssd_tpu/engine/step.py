@@ -100,7 +100,10 @@ class FusedSpecDecodeStep(InferenceStep):
         suffixes, final_recs, per_round_lens = run_sd_superstep(
             self.target_runner, self.draft_runner, seqs, self.K, self.rounds
         )
-        self.metrics.setdefault("target_verify_times", []).append(
+        # The whole R-round superstep (draft chains + verify forwards +
+        # verify() math + readback) gets its own key: it is NOT comparable to
+        # the unfused path's per-round "target_verify_times".
+        self.metrics.setdefault("sd_superstep_times", []).append(
             perf_counter() - t0
         )
         before_each = [s.num_tokens for s in seqs]

@@ -93,3 +93,34 @@ def test_fused_sd_eos_truncation(ckpts):
         use_tqdm=False,
     )
     assert len(outs[0]["token_ids"]) == 5
+
+
+def test_fused_sd_over_tp_mesh_token_exact(ckpts):
+    """Fused SD with the target AND draft sharded over a 4-device tp mesh:
+    the superstep traces both models' params into one SPMD program, so the
+    draft must share the target's mesh placement (llm_engine puts the sync
+    draft on the same mesh). Greedy output must match the 1-device run."""
+    target, draft = ckpts
+    want, _ = _generate(target, draft, spec_rounds=3)
+
+    engine = LLM(
+        str(target),
+        draft=str(draft),
+        speculate=True,
+        speculate_k=3,
+        spec_rounds=3,
+        num_devices=4,
+        dtype="float32",
+        max_model_len=256,
+        max_num_batched_tokens=1024,
+        kvcache_block_size=16,
+        num_kvcache_blocks=128,
+        max_num_seqs=4,
+        seed=0,
+    )
+    outs, _ = engine.generate(
+        [list(p) for p in PROMPTS],
+        SamplingParams(temperature=0.0, max_new_tokens=24, ignore_eos=True),
+        use_tqdm=False,
+    )
+    assert [o["token_ids"] for o in outs] == want

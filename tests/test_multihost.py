@@ -100,6 +100,7 @@ def test_two_process_dcn_tp_decode_matches_single_process():
 WORKER_GEN = textwrap.dedent("""
     import os, sys
     mode, port, local_devices, pid, model_dir = sys.argv[1:6]
+    draft_dir = sys.argv[6] if len(sys.argv) > 6 else None
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={local_devices}"
     )
@@ -111,6 +112,11 @@ WORKER_GEN = textwrap.dedent("""
     kw = dict(init_random=False, dtype="float32", max_model_len=128,
               max_num_seqs=2, kvcache_block_size=16, num_kvcache_blocks=32,
               num_hosts=2)
+    if draft_dir:
+        # Fused multi-round sync SD over the global mesh: one packed upload
+        # per superstep; target AND draft params are global arrays.
+        kw.update(draft=draft_dir, speculate=True, speculate_k=2,
+                  spec_rounds=2)
     if mode == "dist":
         # The ENGINE joins the distributed runtime (Config wiring under test).
         kw.update(coordinator_address=f"localhost:{port}", host_id=int(pid))
@@ -153,6 +159,49 @@ def test_two_process_generate_matches_single_process(tmp_path):
         subprocess.Popen(
             [sys.executable, "-c", WORKER_GEN, "dist", port, "2", str(i),
              model_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd="/root/repo",
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out[-2000:]
+        outs.append(out)
+    for out in outs:
+        got = _gen_line(out)
+        assert got == want, f"{got} != {want}"
+
+
+@pytest.mark.skipif(os.environ.get("SSD_SKIP_MULTIHOST") == "1",
+                    reason="multihost disabled")
+def test_two_process_generate_fused_sd_matches_single_process(tmp_path):
+    """Fused multi-round sync SD through LLM(num_hosts=2): the superstep's
+    packed payload travels the global-upload path and both models' params
+    live on the global mesh — two controllers must match one controller
+    token-for-token (the code-review finding was that fused SD bypassed the
+    multi-host upload discipline entirely)."""
+    from tests.utils_models import make_tiny_llama
+
+    model_dir = str(tmp_path / "t")
+    draft_dir = str(tmp_path / "d")
+    make_tiny_llama(model_dir, seed=11)
+    make_tiny_llama(draft_dir, layers=1, hidden=32, intermediate=64, seed=5)
+    port = str(29500 + (os.getpid() + 207) % 500)
+
+    ref = subprocess.run(
+        [sys.executable, "-c", WORKER_GEN, "single", port, "4", "0",
+         model_dir, draft_dir],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert ref.returncode == 0, ref.stdout + ref.stderr
+    want = _gen_line(ref.stdout)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER_GEN, "dist", port, "2", str(i),
+             model_dir, draft_dir],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             cwd="/root/repo",
         )

@@ -51,3 +51,46 @@ def test_ar_decode_step_is_one_upload(tiny_engine, monkeypatch):
     monkeypatch.undo()
 
     assert len(uploads) <= 2, f"decode step made {len(uploads)} uploads: {uploads}"
+
+
+def test_fused_sd_superstep_is_one_upload(tmp_path, monkeypatch):
+    """The flagship fused multi-round SD mode must obey the same discipline:
+    ONE packed payload upload per superstep (R rounds), not one per operand."""
+    from ssd_tpu.llm import LLM
+    from ssd_tpu.sampling_params import SamplingParams
+
+    t = str(tmp_path / "t")
+    d = str(tmp_path / "d")
+    make_tiny_llama(t, seed=0)
+    make_tiny_llama(d, layers=1, hidden=32, intermediate=64, seed=7)
+    eng = LLM(t, draft=d, speculate=True, speculate_k=2, spec_rounds=3,
+              dtype="float32", max_model_len=128, max_num_batched_tokens=512,
+              kvcache_block_size=16, num_kvcache_blocks=32, max_num_seqs=2,
+              ctx_bucket_policy="single")
+    eng.add_request([1, 5, 9, 2], SamplingParams(
+        temperature=0.0, max_new_tokens=24, ignore_eos=True))
+    step = eng.create_inference_step(eng.config)
+    eng.step(step)  # prefill (not counted)
+    eng.step(step)  # first superstep compiles the program (trace-time
+    #                 constants go through jnp.asarray; not runtime traffic)
+
+    uploads = []
+    real_asarray, real_put = jnp.asarray, jax.device_put
+
+    def counting_asarray(x, *a, **k):
+        if isinstance(x, (np.ndarray, list, int, float)):
+            uploads.append(("asarray", np.asarray(x).size
+                            if not isinstance(x, (int, float)) else 1))
+        return real_asarray(x, *a, **k)
+
+    def counting_put(x, *a, **k):
+        uploads.append(("device_put", None))
+        return real_put(x, *a, **k)
+
+    monkeypatch.setattr(jnp, "asarray", counting_asarray)
+    monkeypatch.setattr(jax, "device_put", counting_put)
+    eng.step(step)  # one fused superstep (3 rounds)
+    monkeypatch.undo()
+
+    assert len(uploads) <= 2, (
+        f"fused superstep made {len(uploads)} uploads: {uploads}")
