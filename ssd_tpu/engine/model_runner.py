@@ -631,6 +631,13 @@ class ModelRunner:
         sampled first tokens [B] in input order (and, with return_acts in
         EAGLE mode, per-seq activation arrays [num_tokens, 3D] on the host).
         """
+        # Flat-packed path: the whole mixed-length batch as ONE dispatch with
+        # exact per-token attention windows (no per-bucket dispatches, no
+        # pow2 per-seq padding). EAGLE needs per-seq activation rows and
+        # keeps the grouped path.
+        if (self.config.flat_prefill and not self.eagle_layers
+                and not return_acts):
+            return self._run_prefill_flat(seqs)
         buckets: dict[int, list[int]] = {}
         for i, seq in enumerate(seqs):
             cached = (
@@ -643,13 +650,6 @@ class ModelRunner:
             buckets.setdefault(
                 next_pow2(max(8, seq.num_tokens - cached)), []
             ).append(i)
-        # Flat-packed path: the whole mixed-length batch as ONE dispatch with
-        # exact per-token attention windows (no per-bucket dispatches, no
-        # pow2 per-seq padding). EAGLE needs per-seq activation rows and
-        # keeps the grouped path.
-        if (self.config.flat_prefill and not self.eagle_layers
-                and not return_acts):
-            return self._run_prefill_flat(seqs)
         if len(buckets) == 1:
             return self._run_prefill_group(seqs, return_acts)
 
@@ -956,6 +956,8 @@ class ModelRunner:
                         extra_write=self.is_draft,
                     )
                 for s_pad in prefill_s_pads:
+                    if self.config.flat_prefill and not self.eagle_layers:
+                        continue  # production prefill uses the flat program
                     T = B_pad * s_pad
                     zeros, ghost = np.zeros(T, np.int32), np.full(T, -1, np.int32)
                     last, _, _, self.kv_cache = prefill_step_packed(
@@ -966,6 +968,33 @@ class ModelRunner:
                         ctx_pad=ctx_pad, s_pad=s_pad, B_pad=B_pad, M=M,
                         use_pallas=self.use_pallas,
                         eagle_layers=self.eagle_layers,
+                    )
+            # Flat-packed prefill warmup (the program the default path
+            # actually dispatches): for each requested per-seq bucket, warm
+            # the (T_pad, P_pad) the FRESH-prompt batch of that shape hits
+            # (T_pad = pow2 of B_pad * s_pad tokens; P_pad = pow2 of the
+            # matching page count). Prefix-cache-heavy batches can still hit
+            # new P_pad buckets; the persistent XLA cache makes those
+            # compiles one-time per machine.
+            if self.config.flat_prefill and not self.eagle_layers:
+                for s_pad in prefill_s_pads:
+                    T_pad = next_pow2(max(8, B_pad * s_pad))
+                    pages = B_pad * (-(-s_pad // self.block_size))
+                    P_pad = next_pow2(max(2, pages))
+                    ghostT = np.full(T_pad, -1, np.int32)
+                    zerosT = np.zeros(T_pad, np.int32)
+                    last, _, self.kv_cache = flat_prefill_step_packed(
+                        self.params, self.kv_cache,
+                        jnp.asarray(pack_i32(
+                            zerosT, zerosT, ghostT,           # ids/pos/slots
+                            np.full(P_pad, -1, np.int32),     # pages
+                            zerosT, zerosT,                   # lo/hi
+                            np.zeros(B_pad, np.int32),        # gather
+                            temps, seed,
+                        )),
+                        arch=self.arch, block_size=self.block_size,
+                        T_pad=T_pad, P_pad=P_pad, B_pad=B_pad,
+                        use_pallas=self.use_pallas,
                     )
         if last is not None:
             jax.block_until_ready(last)
