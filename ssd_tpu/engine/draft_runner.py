@@ -540,17 +540,30 @@ class DraftServer:
     def prefill(self, input_id_lists: list[list[int]], block_tables: np.ndarray,
                 seq_ids: np.ndarray | None = None,
                 acts_list: list[np.ndarray] | None = None):
-        assert not self._dead, "draft server died"
+        if self._dead:
+            self._raise_dead()
         if seq_ids is None:
             seq_ids = np.zeros(len(input_id_lists), dtype=np.int64)
         self._req_q.put(
             ("prefill", (input_id_lists, block_tables, np.asarray(seq_ids), acts_list))
         )
 
+    def _raise_dead(self):
+        """Surface the worker's parked root-cause exception if one is (or is
+        about to land) in the response queue, else raise generically."""
+        try:
+            resp = self._resp_q.get(timeout=1.0)
+        except queue.Empty:
+            resp = None
+        if isinstance(resp, Exception):
+            raise RuntimeError("draft server died") from resp
+        raise RuntimeError("draft server died without replying")
+
     def speculate(self, req: SpecRequest) -> list[tuple[np.ndarray, SpecResponse]]:
         """Returns [(row_indices, SpecResponse)] parts covering every row of
         the request (one part per non-empty replica)."""
-        assert not self._dead, "draft server died"
+        if self._dead:
+            self._raise_dead()
         self._req_q.put(("spec", req))
         # Poll with a timeout so a worker that died without replying (e.g. in
         # a concurrent prefill) can't strand us: _dead is re-checked each
@@ -562,7 +575,7 @@ class DraftServer:
                 break
             except queue.Empty:
                 if self._dead:
-                    raise RuntimeError("draft server died without replying")
+                    self._raise_dead()
         if isinstance(resp, Exception):
             raise RuntimeError("draft server failed") from resp
         return resp
