@@ -77,6 +77,34 @@ def _flash_update(scores, mask, v, m_scr, l_scr, acc_scr):
     m_scr[:] = m_new
 
 
+def _flash_update_batched(q3, kv3, mask, scale, m_scr, l_scr, acc_scr):
+    """One online-softmax accumulation over a KV chunk, BATCHED over the
+    leading dim — kv head (v2/tree2) or merged seq x kv-head (v3/tree3;
+    Mosaic matmul allows a single batch dim). Shared by all double-buffered
+    kernels so masking-law changes and numerics fixes land in one place.
+
+    Dots run in the cache dtype with fp32 accumulation: the q.K products are
+    exact either way, p is cast like every production flash kernel, and
+    fp32-INPUT matmuls cost several MXU passes per tile. Under the fp32
+    engine dtype (the exactness tests) the casts are no-ops."""
+    scores = jax.lax.dot_general(
+        q3, kv3, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale                                                # [Nb, R, bk]
+
+    s3 = jnp.where(mask, scores, jnp.float32(-1e30))
+    m_cur = jnp.max(s3, axis=2, keepdims=True)
+    m_new = jnp.maximum(m_scr[:], m_cur)
+    p = jnp.where(mask, jnp.exp(s3 - m_new), 0.0)
+    alpha = jnp.exp(m_scr[:] - m_new)
+    l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=2, keepdims=True)
+    acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
+        p.astype(kv3.dtype), kv3, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = m_new
+
+
 def _paged_attn_kernel(
     # scalar prefetch
     bt_ref,      # [B, M] int32 block tables
@@ -380,29 +408,9 @@ def _paged_attn_v2_kernel(
         # the online-softmax state lives in [Hkv, QG, *] scratch touched only
         # as whole refs (Mosaic cannot slice refs below tile granularity), and
         # the head-independent mask is computed once and broadcast.
-        # Batched dots in the cache dtype (MXU native rate; fp32-input
-        # matmuls cost several passes per tile) with fp32 accumulation: the
-        # q.K products are exact either way, and p is cast to the cache
-        # dtype like every production flash kernel. Under fp32 engine dtype
-        # (exactness tests) the casts are no-ops.
         kv3 = kv_vmem[buf].reshape(num_kv_heads, bk, hd2)
         q3 = q_ref[0]                                        # [Hkv, QG, 2hd]
-        scores = jax.lax.dot_general(
-            q3, kv3, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale                                            # [Hkv, QG, bk]
-
-        s3 = jnp.where(mask, scores, jnp.float32(-1e30))
-        m_cur = jnp.max(s3, axis=2, keepdims=True)
-        m_new = jnp.maximum(m_scr[:], m_cur)
-        p = jnp.where(mask, jnp.exp(s3 - m_new), 0.0)
-        alpha = jnp.exp(m_scr[:] - m_new)
-        l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=2, keepdims=True)
-        acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
-            p.astype(kv3.dtype), kv3, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        m_scr[:] = m_new
+        _flash_update_batched(q3, kv3, mask, scale, m_scr, l_scr, acc_scr)
 
         @pl.when((i + 1) * bk >= length)
         def _():
@@ -656,25 +664,9 @@ def _paged_attn_v3_kernel(
         limit = lens - qeffs + row // G                      # [NBH, QG, 1]
         mask = (pos <= limit) & (pos < jnp.minimum(lens, CP))  # [NBH,QG,bk]
 
-        # Cache-dtype operands, fp32 accumulation (see _paged_attn_v2_kernel).
         kv3 = kv_vmem[buf].reshape(NBH, bk, hd2)
         q3 = q_ref[:].reshape(NBH, QG, hd2)
-        scores = jax.lax.dot_general(
-            q3, kv3, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale                                            # [NBH, QG, bk]
-
-        s3 = jnp.where(mask, scores, jnp.float32(-1e30))
-        m_cur = jnp.max(s3, axis=2, keepdims=True)
-        m_new = jnp.maximum(m_scr[:], m_cur)
-        p = jnp.where(mask, jnp.exp(s3 - m_new), 0.0)
-        alpha = jnp.exp(m_scr[:] - m_new)
-        l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=2, keepdims=True)
-        acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
-            p.astype(kv3.dtype), kv3, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        m_scr[:] = m_new
+        _flash_update_batched(q3, kv3, mask, scale, m_scr, l_scr, acc_scr)
 
         @pl.when((i + 1) * bk >= length)
         def _():
@@ -1008,25 +1000,9 @@ def _tree_attn_v2_kernel(
         )
         mask = (in_prefix | in_glue | in_tree) & (pos < ctx)  # [1, R, bk]
 
-        # Cache-dtype operands, fp32 accumulation (see _paged_attn_v2_kernel).
         kv3 = kv_vmem[buf].reshape(num_kv_heads, bk, hd2)
         q3 = q_ref[0]
-        scores = jax.lax.dot_general(
-            q3, kv3, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale                                            # [Hkv, R, bk]
-
-        s3 = jnp.where(mask, scores, jnp.float32(-1e30))
-        m_cur = jnp.max(s3, axis=2, keepdims=True)
-        m_new = jnp.maximum(m_scr[:], m_cur)
-        p = jnp.where(mask, jnp.exp(s3 - m_new), 0.0)
-        alpha = jnp.exp(m_scr[:] - m_new)
-        l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=2, keepdims=True)
-        acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
-            p.astype(kv3.dtype), kv3, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        m_scr[:] = m_new
+        _flash_update_batched(q3, kv3, mask, scale, m_scr, l_scr, acc_scr)
 
         @pl.when((i + 1) * bk >= length)
         def _():
@@ -1236,22 +1212,7 @@ def _tree_attn_v3_kernel(
 
         kv3 = kv_vmem[buf].reshape(NBH, bk, hd2)
         q3 = q_ref[:].reshape(NBH, R, hd2)
-        scores = jax.lax.dot_general(
-            q3, kv3, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale                                            # [NBH, R, bk]
-
-        s3 = jnp.where(mask, scores, jnp.float32(-1e30))
-        m_cur = jnp.max(s3, axis=2, keepdims=True)
-        m_new = jnp.maximum(m_scr[:], m_cur)
-        p = jnp.where(mask, jnp.exp(s3 - m_new), 0.0)
-        alpha = jnp.exp(m_scr[:] - m_new)
-        l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=2, keepdims=True)
-        acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
-            p.astype(kv3.dtype), kv3, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        m_scr[:] = m_new
+        _flash_update_batched(q3, kv3, mask, scale, m_scr, l_scr, acc_scr)
 
         @pl.when((i + 1) * bk >= length)
         def _():
