@@ -422,7 +422,9 @@ class DraftServer:
     run concurrently."""
 
     def __init__(self, config: Config, draft_cfg: Config, init_random=False):
-        devices = jax.devices()
+        # LOCAL devices: under multi-host serving every host runs its own
+        # (identical, deterministic) draft replica on a chip it can address.
+        devices = jax.local_devices()
         self.dp = config.draft_dp if config.draft_async else 1
         if len(devices) >= config.tp_size + self.dp:
             replica_devices = devices[-self.dp:]

@@ -98,8 +98,17 @@ class LLMEngine:
         # dcn x tp when serving across hosts).
         mesh = None
         if config.num_hosts > 1:
-            assert not config.draft_async, (
-                "async draft is not supported with num_hosts > 1 yet"
+            # Async SSD works multi-host by REPLICATING the draft server on
+            # every host: the draft's inputs are the (identical) host-side
+            # scheduler state and fixed seeds, so every replica computes the
+            # same speculations/logits and the global verify inputs agree.
+            # EAGLE conditioning and draft_dp sharding would break that
+            # replication symmetry and stay single-host for now.
+            assert not (config.draft_async and config.use_eagle), (
+                "EAGLE async draft is not supported with num_hosts > 1"
+            )
+            assert not (config.draft_async and config.draft_dp > 1), (
+                "draft_dp > 1 is not supported with num_hosts > 1"
             )
             from ssd_tpu.parallel.mesh import make_hybrid_mesh
 

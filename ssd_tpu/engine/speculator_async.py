@@ -106,14 +106,19 @@ class SpeculatorAsync(SpeculatorBase):
 
         # Reassemble replica parts in request-row order; each part's logits
         # move replica-chip -> target-chip(s) directly (no extra hop).
+        # Multi-controller serving cannot reshard a process-local device
+        # array onto the global mesh directly, so it hops through the host
+        # (every host's replica computed the identical logits).
+        multihost = jax.process_count() > 1
         tokens = np.zeros((B, K), dtype=np.int64)
         cache_hits = np.zeros(B, dtype=np.int64)
         part_logits = []
         for rows, resp in parts:
             tokens[rows] = resp.tokens
             cache_hits[rows] = resp.cache_hits
+            lq = np.asarray(resp.logits_q) if multihost else resp.logits_q
             part_logits.append(
-                (rows, jax.device_put(resp.logits_q, self.target_sharding))
+                (rows, jax.device_put(lq, self.target_sharding))
             )
         if len(part_logits) == 1:
             logits_q = part_logits[0][1]

@@ -89,13 +89,22 @@ class Verifier(VerifierBase):
 
         cache_hits = speculate_result.cache_hits
         self.key, sub = jax.random.split(self.key)
+        # Host inputs travel through the runner's upload path: under
+        # num_hosts > 1 every jit input must be a GLOBAL array, and every
+        # host computes identical values (same scheduler state, same seed
+        # chain), so a fully-replicated device_put is correct.
+        up = self.target_model_runner._upload
+        if self.target_model_runner._payload_sharding is not None:
+            sub = up(np.asarray(sub))
         accept_until, recovery = verify(
             logits_p,
-            jnp.asarray(speculate_result.logits_q),
-            jnp.asarray(np.asarray(speculate_result.speculations)),
-            jnp.asarray(temps_t),
-            jnp.asarray(temps_q),
-            None if cache_hits is None else jnp.asarray(np.asarray(cache_hits)),
+            jnp.asarray(speculate_result.logits_q)
+            if isinstance(speculate_result.logits_q, jax.Array)
+            else up(np.asarray(speculate_result.logits_q)),
+            up(np.asarray(speculate_result.speculations)),
+            up(temps_t),
+            up(temps_q),
+            None if cache_hits is None else up(np.asarray(cache_hits)),
             sub,
             jit_speculate=self.jit_speculate,
             sampler_x=self.sampler_x,
