@@ -62,6 +62,8 @@ def parse_arguments():
     p.add_argument("--block_sz", type=int, default=256)
     p.add_argument("--b", type=int, default=1)
     p.add_argument("--max_model_len", type=int, default=8192)
+    p.add_argument("--chunked_prefill", action="store_true",
+                   help="admit prompts longer than the token budget in chunks")
 
     # Generation
     p.add_argument("--input_len", type=int, default=128)
@@ -129,6 +131,7 @@ def create_llm_kwargs(args, draft_path):
         kvcache_block_size=args.block_sz,
         max_num_seqs=args.b,
         max_model_len=args.max_model_len,
+        chunked_prefill=args.chunked_prefill,
         sampler_x=args.x,
         jit_speculate=(args.backup == "jit"),
         max_steps=args.max_steps,

@@ -140,6 +140,12 @@ class Config:
     d_model_target: int | None = None
     tokenizer_path: str | None = None
 
+    # Chunked prefill (beyond reference): admit a prompt longer than the
+    # per-dispatch token budget in budget-sized chunks, interleaving decode
+    # steps between chunks. Lifts the max_model_len <= max_num_batched_tokens
+    # constraint and bounds per-dispatch prefill latency.
+    chunked_prefill: bool = False
+
     # debugging
     verbose: bool = False
     debug_mode: bool = False
@@ -200,7 +206,16 @@ class Config:
         if self.eos == -1:
             self.eos = self.hf_config.eos
 
-        assert self.max_num_batched_tokens >= self.max_model_len
+        # Without chunking, a batch-head prefill must fit one dispatch
+        # (scheduler.py admission can never livelock at the queue head).
+        assert self.chunked_prefill or (
+            self.max_num_batched_tokens >= self.max_model_len
+        ), "max_num_batched_tokens < max_model_len requires chunked_prefill"
+        # Chunked target prefill cannot produce the per-token activations an
+        # EAGLE draft prefill is conditioned on.
+        assert not (self.chunked_prefill and self.use_eagle), (
+            "chunked_prefill is not supported with use_eagle"
+        )
         # The fused superstep drives the draft through the plain-transformer
         # chain program; an EAGLE draft needs conditioning activations and
         # the -1 position shift, which that program does not provide.

@@ -258,12 +258,36 @@ class LLMEngine:
                 f"prompt length {len(prompt)} leaves no room for generation "
                 f"(max_model_len={self.config.max_model_len})"
             )
-        if len(prompt) > self.config.max_num_batched_tokens:
+        if (len(prompt) > self.config.max_num_batched_tokens
+                and not self.config.chunked_prefill):
             raise ValueError(
                 f"prompt length {len(prompt)} exceeds max_num_batched_tokens="
-                f"{self.config.max_num_batched_tokens}"
+                f"{self.config.max_num_batched_tokens} "
+                f"(set chunked_prefill=True to admit it in chunks)"
             )
         self.scheduler.add(Sequence(prompt, sampling_params))
+
+    def _run_prefill_chunk(self, seq) -> int:
+        """One partial prefill dispatch (Config.chunked_prefill): write the
+        chunk's KV on the target, advance the cached-token boundary, and
+        leave the sequence in the waiting queue. Mode-independent: no token
+        is sampled mid-prompt, and the draft prefills the whole prompt in
+        one dispatch at final admission."""
+        chunk = seq.prefill_chunk
+        self.model_runner.run([seq], is_prefill=True)  # sampled token unused
+        seq.num_cached_tokens += chunk
+        seq.prefill_chunk = None
+        return chunk
+
+    def _publish_deferred_hashes(self, seqs):
+        """Prefix-cache hashes for chunk-allocated prompts publish only once
+        the whole prompt's KV exists (see BlockManager.allocate)."""
+        for seq in seqs:
+            if seq.defer_publish:
+                self.scheduler.block_manager.publish_prompt_hashes(seq)
+                if self.scheduler.speculate:
+                    self.scheduler._draft_bm(seq).publish_prompt_hashes(seq)
+                seq.defer_publish = False
 
     def step(self, step: InferenceStep | None = None):
         if step is None:  # reference-style no-arg stepping (llm_engine.py:193)
@@ -272,7 +296,12 @@ class LLMEngine:
             step = self._default_step
         t = perf_counter()
         seqs, is_prefill = self.scheduler.schedule()
-        ttl_tokens = step.prefill(seqs) if is_prefill else step.decode(seqs)
+        if is_prefill and seqs and seqs[0].prefill_chunk is not None:
+            ttl_tokens = self._run_prefill_chunk(seqs[0])
+        else:
+            ttl_tokens = step.prefill(seqs) if is_prefill else step.decode(seqs)
+            if is_prefill:
+                self._publish_deferred_hashes(seqs)
         time_taken = perf_counter() - t
 
         if is_prefill:

@@ -647,9 +647,10 @@ class ModelRunner:
             if self.eagle_layers and cached > 0:
                 cached = 0
             cached = min(cached, seq.num_tokens - 1)
-            buckets.setdefault(
-                next_pow2(max(8, seq.num_tokens - cached)), []
-            ).append(i)
+            n_new = seq.num_tokens - cached
+            if seq.prefill_chunk is not None:
+                n_new = min(n_new, seq.prefill_chunk)
+            buckets.setdefault(next_pow2(max(8, n_new)), []).append(i)
         if len(buckets) == 1:
             return self._run_prefill_group(seqs, return_acts)
 
@@ -692,10 +693,13 @@ class ModelRunner:
         for seq in seqs:
             cached = seq.num_draft_cached_tokens if draft else seq.num_cached_tokens
             cached = min(cached, seq.num_tokens - 1)
+            n_new = seq.num_tokens - cached
+            if seq.prefill_chunk is not None:
+                n_new = min(n_new, seq.prefill_chunk)
             cached_list.append(cached)
-            n_new_list.append(seq.num_tokens - cached)
+            n_new_list.append(n_new)
             pages_per.append(
-                (seq.num_tokens + self.block_size - 1) // self.block_size
+                (cached + n_new + self.block_size - 1) // self.block_size
             )
         T = sum(n_new_list)
         T_pad = next_pow2(max(8, T))
@@ -717,7 +721,7 @@ class ModelRunner:
         for i, seq in enumerate(seqs):
             cached, n_new = cached_list[i], n_new_list[i]
             sl = slice(tok_off, tok_off + n_new)
-            input_ids[sl] = seq.token_ids[cached:]
+            input_ids[sl] = seq.token_ids[cached:cached + n_new]
             pos_i, slots_i = prepare_prefill(
                 bt_rows[i], cached, n_new, self.block_size, n_new
             )
@@ -762,8 +766,11 @@ class ModelRunner:
             # Fully prefix-cached prompt: recompute the last token so real
             # last-token logits exist to sample the first output from.
             cached = min(cached, seq.num_tokens - 1)
+            n_new = seq.num_tokens - cached
+            if seq.prefill_chunk is not None:
+                n_new = min(n_new, seq.prefill_chunk)
             cached_list.append(cached)
-            n_new_list.append(seq.num_tokens - cached)
+            n_new_list.append(n_new)
         s_pad = next_pow2(max(8, max(n_new_list)))
 
         input_ids = np.zeros((B_pad, s_pad), dtype=np.int32)
@@ -776,11 +783,13 @@ class ModelRunner:
         bt[:B] = self._block_table_array(seqs, draft)
         for i, seq in enumerate(seqs):
             cached, n_new = cached_list[i], n_new_list[i]
-            input_ids[i, :n_new] = seq.token_ids[cached:]
+            input_ids[i, :n_new] = seq.token_ids[cached:cached + n_new]
             positions[i], slot_map[i] = prepare_prefill(
                 bt[i], cached, n_new, self.block_size, s_pad
             )
-            context_lens[i] = seq.num_tokens
+            # Chunked prefill: attention context ends at the chunk (later
+            # prompt positions have no KV yet).
+            context_lens[i] = cached + n_new
             qeff[i] = n_new
             temps[i] = seq.temperature
 

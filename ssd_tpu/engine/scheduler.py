@@ -31,6 +31,7 @@ class Scheduler:
             self.MQ_LEN = sum(self.fan_out_list)
         self.max_num_batched_tokens = config.max_num_batched_tokens
         self.max_model_len = config.max_model_len
+        self.chunked_prefill = config.chunked_prefill
         self.eos = config.eos
         self.speculate = config.speculate
         self.F = config.async_fan_out
@@ -113,24 +114,60 @@ class Scheduler:
         while self.waiting and len(batch) < self.max_num_seqs:
             head = self.waiting[0]
             # cost <= len(seq) <= max_model_len <= max_num_batched_tokens
-            # (Config asserts the last inequality), so a batch-head prefill —
-            # including a reprefill whose prompt absorbed completions under
-            # preemption — always fits an EMPTY budget and can never
-            # livelock at the queue head.
+            # (Config asserts the last inequality unless chunked_prefill is
+            # on), so a batch-head prefill — including a reprefill whose
+            # prompt absorbed completions under preemption — always fits an
+            # EMPTY budget and can never livelock at the queue head.
             cost = len(head) - head.num_cached_tokens
             if cost > token_budget:
+                if self.chunked_prefill and not batch:
+                    return self._admit_chunk(head, token_budget)
                 break
-            if not self.bms_can_allocate(head):
-                break
-            self.block_manager.allocate(head)
-            if self.speculate:
-                self._draft_bm(head).allocate(head)
+            if head.block_table:
+                # Final chunk of a chunked prefill: blocks were allocated
+                # with the first chunk; its hashes publish after this step.
+                assert head.defer_publish
+            else:
+                if not self.bms_can_allocate(head):
+                    break
+                self.block_manager.allocate(head)
+                if self.speculate:
+                    self._draft_bm(head).allocate(head)
             token_budget -= cost
             head.status = SequenceStatus.RUNNING
             self.waiting.popleft()
             self.running.append(head)
             batch.append(head)
         return batch
+
+    def _admit_chunk(self, head: Sequence, token_budget: int) -> list[Sequence]:
+        """Partial prefill of the queue head (Config.chunked_prefill): the
+        runner prefills `token_budget` prompt tokens this dispatch; the
+        sequence stays in the waiting queue until the whole prompt is in KV.
+        Blocks for the FULL prompt are allocated on the first chunk — only
+        the dispatch is chunked — but their prefix-cache hashes stay
+        unpublished until the KV is actually written."""
+        if not head.block_table:
+            if not self.bms_can_allocate(head):
+                if not self.running:
+                    raise RuntimeError(
+                        f"prompt of {len(head)} tokens cannot fit the KV pool"
+                    )
+                return []  # decode on; blocks may free up later
+            self.block_manager.allocate(head, publish=False)
+            if self.speculate:
+                self._draft_bm(head).allocate(head, publish=False)
+            head.defer_publish = True
+        remain = len(head) - head.num_cached_tokens
+        if remain <= token_budget:
+            # Prefix-cache hits inside allocate() shrank the remainder to
+            # one dispatch: admit normally (hashes still publish at the end).
+            head.status = SequenceStatus.RUNNING
+            self.waiting.popleft()
+            self.running.append(head)
+            return [head]
+        head.prefill_chunk = min(token_budget, remain)
+        return [head]
 
     def _lookaheads(self) -> tuple[int, int | None]:
         """KV slots each mode may write beyond the committed trunk this step:

@@ -61,6 +61,15 @@ class Sequence:
         self.last_spec_step_accepted_len = -1
         self.recovery_token_id: int | None = None
 
+        # --- chunked prefill (Config.chunked_prefill) ---
+        # Non-None while a partial prefill dispatch is scheduled: the runner
+        # prefills at most this many new tokens and the sequence stays in the
+        # waiting queue until the whole prompt is in KV.
+        self.prefill_chunk: int | None = None
+        # Blocks were allocated without publishing prefix-cache hashes (their
+        # KV is not written yet); published when the prompt completes.
+        self.defer_publish = False
+
         # --- sampling knobs (flattened off SamplingParams) ---
         self.temperature = sp.temperature
         self.draft_temperature = sp.draft_temperature

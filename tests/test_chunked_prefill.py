@@ -1,0 +1,141 @@
+"""Chunked prefill (Config.chunked_prefill, beyond reference): prompts longer
+than max_num_batched_tokens prefill in budget-sized dispatches with decode
+steps interleaved, and greedy outputs stay token-exact vs HF."""
+
+import numpy as np
+import pytest
+
+from ssd_tpu import SamplingParams
+from ssd_tpu.llm import LLM
+from tests.utils_models import hf_greedy, make_tiny_llama, random_prompt, rng
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("chunked_m")
+    make_tiny_llama(d, seed=3)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def draft_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("chunked_d")
+    make_tiny_llama(d, layers=1, hidden=32, intermediate=64, seed=9)
+    return str(d)
+
+
+def _engine(model_dir, budget=32, **kw):
+    return LLM(
+        model_dir,
+        chunked_prefill=True,
+        max_num_batched_tokens=budget,
+        max_model_len=256,
+        dtype="float32",
+        kvcache_block_size=16,
+        num_kvcache_blocks=96,
+        max_num_seqs=4,
+        **kw,
+    )
+
+
+def test_long_prompt_chunks_and_matches_hf(model_dir, monkeypatch):
+    """A 100-token prompt against a 32-token dispatch budget must take
+    multiple chunk dispatches and still match HF token-for-token."""
+    from ssd_tpu.engine import llm_engine as le
+
+    chunks = []
+    orig = le.LLMEngine._run_prefill_chunk
+
+    def spy(self, seq):
+        chunks.append(seq.prefill_chunk)
+        return orig(self, seq)
+
+    monkeypatch.setattr(le.LLMEngine, "_run_prefill_chunk", spy)
+
+    eng = _engine(model_dir)
+    prompt = random_prompt(rng(42), 100, 101)
+    want = hf_greedy(model_dir, prompt, 16)
+    outs, _ = eng.generate(
+        [list(prompt)],
+        SamplingParams(temperature=0.0, max_new_tokens=16, ignore_eos=True),
+        use_tqdm=False,
+    )
+    assert outs[0]["token_ids"] == want
+    # 100 tokens / 32 budget: at least two 32-token chunks before the final
+    # normal-path admission of the remainder.
+    assert len(chunks) >= 2 and all(c == 32 for c in chunks), chunks
+
+
+def test_mixed_long_and_short_prompts(model_dir):
+    eng = _engine(model_dir)
+    prompts = [
+        random_prompt(rng(1), 90, 91),
+        random_prompt(rng(2), 8, 12),
+        random_prompt(rng(3), 40, 45),
+    ]
+    wants = [hf_greedy(model_dir, p, 12) for p in prompts]
+    outs, _ = eng.generate(
+        [list(p) for p in prompts],
+        SamplingParams(temperature=0.0, max_new_tokens=12, ignore_eos=True),
+        use_tqdm=False,
+    )
+    for out, want in zip(outs, wants):
+        assert out["token_ids"] == want
+
+
+def test_chunked_prefill_with_sync_sd(model_dir, draft_dir):
+    """Chunked target prefill composes with sync speculative decoding (the
+    draft prefills the whole prompt in one dispatch at final admission)."""
+    eng = _engine(model_dir, draft=draft_dir, speculate=True, speculate_k=2)
+    prompt = random_prompt(rng(7), 80, 81)
+    want = hf_greedy(model_dir, prompt, 16)
+    outs, metrics = eng.generate(
+        [list(prompt)],
+        SamplingParams(temperature=0.0, max_new_tokens=16, ignore_eos=True),
+        use_tqdm=False,
+    )
+    assert outs[0]["token_ids"] == want
+    assert metrics["accepted_suffix_lens_with_recovery"], "spec path unused"
+
+
+def test_mid_chunk_request_never_hits_unpublished_blocks(model_dir):
+    """Deferred hash publication: a request sharing the long prompt's prefix
+    that arrives while the long prompt is mid-chunk must not prefix-hit
+    blocks whose KV is not written yet — and must still be exact."""
+    eng = _engine(model_dir)
+    step = eng.create_inference_step(eng.config)
+    prompt = random_prompt(rng(11), 100, 101)
+    sp = SamplingParams(temperature=0.0, max_new_tokens=8, ignore_eos=True)
+
+    eng.add_request(list(prompt), sp)
+    eng.step(step)  # chunk 1 of the long prompt (32 of 100 tokens)
+    # Same full prompt arrives mid-chunk: its allocate() must MISS on every
+    # block (nothing published yet) and produce its own exact prefill.
+    eng.add_request(list(prompt), sp)
+    outs = {}
+    for _ in range(200):
+        for sid, toks in eng.step(step):
+            outs[sid] = toks
+        if len(outs) == 2:
+            break
+    want = hf_greedy(model_dir, prompt, 8)
+    assert list(outs.values()) == [want, want]
+
+
+def test_published_after_completion_enables_prefix_hits(model_dir):
+    """After a chunked prompt finishes, its blocks ARE published: a later
+    request with the same prompt prefix-hits and stays exact."""
+    eng = _engine(model_dir)
+    prompt = random_prompt(rng(13), 100, 101)
+    sp = SamplingParams(temperature=0.0, max_new_tokens=8, ignore_eos=True)
+    want = hf_greedy(model_dir, prompt, 8)
+
+    outs, _ = eng.generate([list(prompt)], sp, use_tqdm=False)
+    assert outs[0]["token_ids"] == want
+
+    # The long prompt's full blocks are published now: the rerun prefix-hits
+    # (its prefill admits in ONE dispatch, under budget) and stays exact.
+    from ssd_tpu.engine import llm_engine as le
+
+    outs2, _ = eng.generate([list(prompt)], sp, use_tqdm=False)
+    assert outs2[0]["token_ids"] == want
