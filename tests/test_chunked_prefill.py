@@ -139,3 +139,20 @@ def test_published_after_completion_enables_prefix_hits(model_dir):
 
     outs2, _ = eng.generate([list(prompt)], sp, use_tqdm=False)
     assert outs2[0]["token_ids"] == want
+
+
+def test_chunked_prefill_with_async_ssd(model_dir, draft_dir):
+    """Chunked target prefill composes with async SSD: mid-prompt chunks are
+    target-only; the draft server prefills the full prompt once at final
+    admission, before the first speculation request."""
+    eng = _engine(model_dir, draft=draft_dir, speculate=True, speculate_k=2,
+                  draft_async=True, async_fan_out=2)
+    prompt = random_prompt(rng(21), 80, 81)
+    want = hf_greedy(model_dir, prompt, 16)
+    outs, metrics = eng.generate(
+        [list(prompt)],
+        SamplingParams(temperature=0.0, max_new_tokens=16, ignore_eos=True),
+        use_tqdm=False,
+    )
+    assert outs[0]["token_ids"] == want
+    assert metrics["cache_hits"], "async spec path unused"
