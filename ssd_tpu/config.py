@@ -39,6 +39,15 @@ class ModelConfig:
     attention_bias: bool = False
     # EAGLE-3 draft checkpoints carry a reduced LM-head vocab.
     draft_vocab_size: int | None = None
+    # Mixture-of-experts (qwen3_moe): every decoder layer is sparse
+    # (uniform stacking; decoder_sparse_step must be 1 and mlp_only_layers
+    # empty — true for all released Qwen3-MoE checkpoints).
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    norm_topk_prob: bool = False
+    decoder_sparse_step: int = 1
+    mlp_only_layers: list[int] | None = None
 
     @property
     def head_dim_actual(self) -> int:

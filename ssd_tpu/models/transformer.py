@@ -44,9 +44,21 @@ class Arch:
     rope_theta: float
     use_qk_norm: bool
     tie_embeddings: bool
+    # Mixture-of-experts (Qwen3-MoE): 0 experts = dense MLP. With experts,
+    # EVERY layer is sparse (uniform stack — the lax.scan requires one layer
+    # structure; all released Qwen3-MoE checkpoints satisfy this).
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    norm_topk_prob: bool = False
 
     @classmethod
     def from_model_config(cls, mc: ModelConfig) -> "Arch":
+        if mc.num_experts:
+            assert mc.decoder_sparse_step == 1 and not mc.mlp_only_layers, (
+                "MoE requires a uniform layer stack (decoder_sparse_step=1, "
+                "no mlp_only_layers)"
+            )
         return cls(
             vocab_size=mc.vocab_size,
             hidden_size=mc.hidden_size,
@@ -57,8 +69,12 @@ class Arch:
             head_dim=mc.head_dim_actual,
             rms_norm_eps=mc.rms_norm_eps,
             rope_theta=mc.rope_theta,
-            use_qk_norm=mc.model_type == "qwen3",
+            use_qk_norm=mc.model_type in ("qwen3", "qwen3_moe"),
             tie_embeddings=mc.tie_word_embeddings,
+            num_experts=mc.num_experts,
+            num_experts_per_tok=mc.num_experts_per_tok,
+            moe_intermediate_size=mc.moe_intermediate_size,
+            norm_topk_prob=mc.norm_topk_prob,
         )
 
     @property
@@ -86,10 +102,21 @@ def init_params(arch: Arch, key: jax.Array, dtype=jnp.float32) -> dict:
         "wv": w(next(keys), (L, D, Hkv * hd)),
         "wo": w(next(keys), (L, Hq * hd, D)),
         "post_ln": jnp.ones((L, D), dtype),
-        "gate": w(next(keys), (L, D, I)),
-        "up": w(next(keys), (L, D, I)),
-        "down": w(next(keys), (L, I, D)),
     }
+    if arch.num_experts:
+        E, Im = arch.num_experts, arch.moe_intermediate_size
+        layers.update(
+            router=w(next(keys), (L, D, E)),
+            moe_gate=w(next(keys), (L, E, D, Im)),
+            moe_up=w(next(keys), (L, E, D, Im)),
+            moe_down=w(next(keys), (L, E, Im, D)),
+        )
+    else:
+        layers.update(
+            gate=w(next(keys), (L, D, I)),
+            up=w(next(keys), (L, D, I)),
+            down=w(next(keys), (L, I, D)),
+        )
     if arch.use_qk_norm:
         layers["q_norm"] = jnp.ones((L, hd), dtype)
         layers["k_norm"] = jnp.ones((L, hd), dtype)
@@ -102,6 +129,34 @@ def init_params(arch: Arch, key: jax.Array, dtype=jnp.float32) -> dict:
         next(keys), (arch.vocab_size, D)
     )
     return params
+
+
+def _moe_mlp(x: jnp.ndarray, lp: dict, arch: Arch) -> jnp.ndarray:
+    """Sparse MoE feed-forward (HF Qwen3MoeSparseMoeBlock semantics: fp32
+    softmax router, top-k, optional renormalisation, weighted expert sum).
+
+    TPU shape: ALL experts run as one batched einsum and the top-k selection
+    becomes a [T, E] combine matrix. At decode batch sizes the layer is
+    weight-read-bound, and every expert's weights stream from HBM exactly
+    once — the extra (E/k)x FLOPs are free next to the HBM time, and there is
+    no ragged gather/scatter for the compiler to choke on. Expert weights
+    shard over the mesh's tp axis (expert parallelism); the combine
+    contraction reduces over E, so GSPMD inserts the all-reduce."""
+    T = x.shape[0]
+    E, k = arch.num_experts, arch.num_experts_per_tok
+    logits = x @ lp["router"]                                # [T, E]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    top_w, top_i = jax.lax.top_k(probs, k)                   # [T, k]
+    if arch.norm_topk_prob:
+        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    top_w = top_w.astype(x.dtype)
+    combine = jnp.zeros((T, E), x.dtype).at[
+        jnp.arange(T)[:, None], top_i
+    ].add(top_w)                                             # [T, E]
+    g = jnp.einsum("td,edi->tei", x, lp["moe_gate"])
+    u = jnp.einsum("td,edi->tei", x, lp["moe_up"])
+    eo = jnp.einsum("tei,eid->ted", silu_mul(g, u), lp["moe_down"])
+    return jnp.einsum("ted,te->td", eo, combine)
 
 
 def forward_hidden(
@@ -148,7 +203,10 @@ def forward_hidden(
 
         # --- MLP block ---
         x, residual = rms_norm_residual(hidden, residual, lp["post_ln"], eps)
-        hidden = silu_mul(x @ lp["gate"], x @ lp["up"]) @ lp["down"]
+        if arch.num_experts:
+            hidden = _moe_mlp(x, lp, arch)
+        else:
+            hidden = silu_mul(x @ lp["gate"], x @ lp["up"]) @ lp["down"]
         return (hidden, residual), kv_layer
 
     def scan_segment(carry, lo, hi):

@@ -93,6 +93,13 @@ _PARAM_SPECS = {
         "down": P(None, "tp", None),
         "q_norm": P(None, None),
         "k_norm": P(None, None),
+        # MoE (Qwen3-MoE): expert parallelism — the expert axis shards over
+        # tp; the combine einsum contracts over E, so GSPMD inserts the
+        # all-reduce there (one per layer, same count as dense TP).
+        "router": P(None, None, None),
+        "moe_gate": P(None, "tp", None, None),
+        "moe_up": P(None, "tp", None, None),
+        "moe_down": P(None, "tp", None, None),
     },
 }
 

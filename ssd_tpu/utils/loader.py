@@ -58,10 +58,27 @@ def load_params(model_path: str, mc: ModelConfig, dtype=jnp.bfloat16) -> dict:
         "wv": stack_t("model.layers.{}.self_attn.v_proj.weight"),
         "wo": stack_t("model.layers.{}.self_attn.o_proj.weight"),
         "post_ln": stack_t("model.layers.{}.post_attention_layernorm.weight", transpose=False),
-        "gate": stack_t("model.layers.{}.mlp.gate_proj.weight"),
-        "up": stack_t("model.layers.{}.mlp.up_proj.weight"),
-        "down": stack_t("model.layers.{}.mlp.down_proj.weight"),
     }
+    if arch.num_experts:
+        # Qwen3-MoE: router = mlp.gate [E, D] (transposed to [D, E]); expert
+        # weights stack into [L, E, in, out].
+        def stack_experts(proj: str) -> jnp.ndarray:
+            return jnp.stack([
+                jnp.stack([
+                    get(f"model.layers.{i}.mlp.experts.{e}.{proj}.weight").T
+                    for e in range(arch.num_experts)
+                ], axis=0)
+                for i in range(L)
+            ], axis=0)
+
+        layers["router"] = stack_t("model.layers.{}.mlp.gate.weight")
+        layers["moe_gate"] = stack_experts("gate_proj")
+        layers["moe_up"] = stack_experts("up_proj")
+        layers["moe_down"] = stack_experts("down_proj")
+    else:
+        layers["gate"] = stack_t("model.layers.{}.mlp.gate_proj.weight")
+        layers["up"] = stack_t("model.layers.{}.mlp.up_proj.weight")
+        layers["down"] = stack_t("model.layers.{}.mlp.down_proj.weight")
     if arch.use_qk_norm:
         layers["q_norm"] = stack_t("model.layers.{}.self_attn.q_norm.weight", transpose=False)
         layers["k_norm"] = stack_t("model.layers.{}.self_attn.k_norm.weight", transpose=False)

@@ -1,0 +1,94 @@
+"""Qwen3-MoE end-to-end: greedy outputs token-exact vs HF through the full
+engine (paged KV, continuous batching, jitted decode). MoE is the reference's
+roadmap feature (README.md:132) implemented TPU-first: all experts run as one
+batched einsum per layer (weight-read-optimal at decode batch sizes) and the
+expert axis shards over the mesh (expert parallelism)."""
+
+import numpy as np
+import pytest
+
+from ssd_tpu import SamplingParams
+from ssd_tpu.llm import LLM
+from tests.utils_models import hf_greedy, make_tiny_qwen3_moe, random_prompt, rng
+
+
+@pytest.fixture(scope="module")
+def moe_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("qwen3_moe")
+    make_tiny_qwen3_moe(d, seed=0)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def moe_dir_unnormed(tmp_path_factory):
+    d = tmp_path_factory.mktemp("qwen3_moe_unnormed")
+    make_tiny_qwen3_moe(d, norm_topk_prob=False, seed=4)
+    return str(d)
+
+
+def _engine(model_dir, **kw):
+    return LLM(
+        model_dir,
+        dtype="float32",
+        max_model_len=256,
+        max_num_batched_tokens=1024,
+        kvcache_block_size=16,
+        num_kvcache_blocks=64,
+        max_num_seqs=4,
+        **kw,
+    )
+
+
+def test_qwen3_moe_greedy_token_exact(moe_dir):
+    eng = _engine(moe_dir)
+    prompts = [random_prompt(rng(31), 8, 24) for _ in range(3)]
+    wants = [hf_greedy(moe_dir, p, 24) for p in prompts]
+    outs, _ = eng.generate(
+        [list(p) for p in prompts],
+        SamplingParams(temperature=0.0, max_new_tokens=24, ignore_eos=True),
+        use_tqdm=False,
+    )
+    for out, want in zip(outs, wants):
+        assert out["token_ids"] == want
+
+
+def test_qwen3_moe_without_topk_renorm(moe_dir_unnormed):
+    """norm_topk_prob=False (the HF default) takes the un-renormalised
+    routing-weight path."""
+    eng = _engine(moe_dir_unnormed)
+    prompt = random_prompt(rng(33), 10, 20)
+    want = hf_greedy(moe_dir_unnormed, prompt, 16)
+    outs, _ = eng.generate(
+        [list(prompt)],
+        SamplingParams(temperature=0.0, max_new_tokens=16, ignore_eos=True),
+        use_tqdm=False,
+    )
+    assert outs[0]["token_ids"] == want
+
+
+def test_qwen3_moe_expert_parallel_tp4(moe_dir):
+    """Expert parallelism: the 4 experts shard one-per-device over a 4-device
+    tp mesh; outputs must match the single-device run token-for-token."""
+    eng1 = _engine(moe_dir)
+    eng4 = _engine(moe_dir, num_devices=4)
+    prompts = [random_prompt(rng(35), 8, 16) for _ in range(2)]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=16, ignore_eos=True)
+    outs1, _ = eng1.generate([list(p) for p in prompts], sp, use_tqdm=False)
+    outs4, _ = eng4.generate([list(p) for p in prompts], sp, use_tqdm=False)
+    assert [o["token_ids"] for o in outs1] == [o["token_ids"] for o in outs4]
+
+
+def test_qwen3_moe_sync_sd_self_draft_exact(moe_dir):
+    """Speculative decoding over an MoE target (self-draft): exactness holds
+    and every speculated token is accepted at temp 0."""
+    eng = _engine(moe_dir, draft=moe_dir, speculate=True, speculate_k=2)
+    prompt = random_prompt(rng(37), 8, 16)
+    want = hf_greedy(moe_dir, prompt, 16)
+    outs, metrics = eng.generate(
+        [list(prompt)],
+        SamplingParams(temperature=0.0, max_new_tokens=16, ignore_eos=True),
+        use_tqdm=False,
+    )
+    assert outs[0]["token_ids"] == want
+    lens = metrics["accepted_suffix_lens_with_recovery"]
+    assert lens and np.mean(lens) == 3.0  # K+1 with draft == target

@@ -155,3 +155,38 @@ def make_tiny_eagle(path, target_hidden=64, draft_hidden=64, vocab=128,
             "rope_theta": 10000.0,
             "eos_token_id": 2,
         }, f)
+
+
+def make_tiny_qwen3_moe(path, vocab=128, hidden=64, layers=2, heads=4,
+                        kv_heads=2, head_dim=16, num_experts=4, top_k=2,
+                        moe_intermediate=96, norm_topk_prob=True, seed=0):
+    import torch
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Qwen3MoeConfig(
+        vocab_size=vocab,
+        hidden_size=hidden,
+        intermediate_size=moe_intermediate,  # dense size unused (all sparse)
+        num_hidden_layers=layers,
+        num_attention_heads=heads,
+        num_key_value_heads=kv_heads,
+        head_dim=head_dim,
+        num_experts=num_experts,
+        num_experts_per_tok=top_k,
+        moe_intermediate_size=moe_intermediate,
+        norm_topk_prob=norm_topk_prob,
+        decoder_sparse_step=1,
+        mlp_only_layers=[],
+        max_position_embeddings=512,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        initializer_range=0.4,
+        eos_token_id=2,
+        bos_token_id=1,
+    )
+    model = Qwen3MoeForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(path, safe_serialization=True)
+    return cfg
