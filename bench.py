@@ -47,6 +47,8 @@ def build_spec_checkpoints(model_dir: str) -> tuple[str, str]:
     D, I, V = cfg["hidden_size"], cfg["intermediate_size"], cfg["vocab_size"]
     Hq, Hkv = cfg["num_attention_heads"], cfg["num_key_value_heads"]
     hd = cfg.get("head_dim") or D // Hq
+    E = cfg.get("num_experts", 0)
+    I_moe = cfg.get("moe_intermediate_size", I)
 
     def w(*shape):
         return (rng.standard_normal(shape, dtype=np.float32) * 0.02).astype(np.float16)
@@ -64,19 +66,31 @@ def build_spec_checkpoints(model_dir: str) -> tuple[str, str]:
             pre + "post_attention_layernorm.weight": np.ones((D,), np.float16),
             **({pre + "self_attn.q_norm.weight": np.ones((hd,), np.float16),
                 pre + "self_attn.k_norm.weight": np.ones((hd,), np.float16)}
-               if cfg.get("model_type") == "qwen3" else {}),
+               if cfg.get("model_type") in ("qwen3", "qwen3_moe") else {}),
             pre + "self_attn.q_proj.weight": w(Hq * hd, D),
             pre + "self_attn.k_proj.weight": w(Hkv * hd, D),
             pre + "self_attn.v_proj.weight": w(Hkv * hd, D),
             pre + "self_attn.o_proj.weight": (
                 w(D, Hq * hd) if live else np.zeros((D, Hq * hd), np.float16)
             ),
-            pre + "mlp.gate_proj.weight": w(I, D),
-            pre + "mlp.up_proj.weight": w(I, D),
-            pre + "mlp.down_proj.weight": (
-                w(D, I) if live else np.zeros((D, I), np.float16)
-            ),
         }
+        if E:
+            # MoE layer: a dead layer's experts all have down = 0, so the
+            # residual passes through exactly, same as the dense trick.
+            layer[pre + "mlp.gate.weight"] = w(E, D)
+            for e in range(E):
+                ep = pre + f"mlp.experts.{e}."
+                layer[ep + "gate_proj.weight"] = w(I_moe, D)
+                layer[ep + "up_proj.weight"] = w(I_moe, D)
+                layer[ep + "down_proj.weight"] = (
+                    w(D, I_moe) if live else np.zeros((D, I_moe), np.float16)
+                )
+        else:
+            layer[pre + "mlp.gate_proj.weight"] = w(I, D)
+            layer[pre + "mlp.up_proj.weight"] = w(I, D)
+            layer[pre + "mlp.down_proj.weight"] = (
+                w(D, I) if live else np.zeros((D, I), np.float16)
+            )
         target.update(layer)
         if live:
             draft.update(layer)
@@ -111,7 +125,7 @@ def main():
         # such so a CPU smoke can never seed a qwen3/llama3b history "best".
         arch = "llama"
     model_tag = {"llama": "llama1b", "qwen3": "qwen3_1p7b",
-                 "llama3b": "llama3b"}[arch]
+                 "llama3b": "llama3b", "qwen3moe": "qwen3moe_3b"}[arch]
     model_dir = ("/tmp/ssd_bench_model_tiny" if tiny
                  else f"/tmp/ssd_bench_model_{model_tag}")
     os.makedirs(model_dir, exist_ok=True)
@@ -131,6 +145,31 @@ def main():
             "rope_theta": 500000.0,
             "tie_word_embeddings": True,
             "eos_token_id": 128001,
+        }
+    elif arch == "qwen3moe" and not tiny:
+        # Qwen3-MoE-shaped 3B-total / ~0.6B-active geometry: 32 experts,
+        # top-4, per-layer expert weights stream from HBM once per forward
+        # (see models/transformer.py::_moe_mlp).
+        cfg = {
+            "model_type": "qwen3_moe",
+            "vocab_size": 151936,
+            "hidden_size": 1024,
+            "intermediate_size": 1408,
+            "num_hidden_layers": 24,
+            "num_attention_heads": 16,
+            "num_key_value_heads": 4,
+            "head_dim": 128,
+            "num_experts": 32,
+            "num_experts_per_tok": 4,
+            "moe_intermediate_size": 1408,
+            "norm_topk_prob": True,
+            "decoder_sparse_step": 1,
+            "mlp_only_layers": [],
+            "max_position_embeddings": 4096,
+            "rms_norm_eps": 1e-6,
+            "rope_theta": 1000000.0,
+            "tie_word_embeddings": True,
+            "eos_token_id": 151645,
         }
     elif arch == "qwen3" and not tiny:
         cfg = {

@@ -42,6 +42,17 @@ CFGS = {
         "rope_theta": 1000000.0, "tie_word_embeddings": True,
         "eos_token_id": 1,
     },
+    "qwen3moe": {
+        "model_type": "qwen3_moe", "vocab_size": 256, "hidden_size": 64,
+        "intermediate_size": 96, "num_hidden_layers": 4,
+        "num_attention_heads": 4, "num_key_value_heads": 2, "head_dim": 16,
+        "num_experts": 4, "num_experts_per_tok": 2,
+        "moe_intermediate_size": 96, "norm_topk_prob": True,
+        "decoder_sparse_step": 1, "mlp_only_layers": [],
+        "max_position_embeddings": 512, "rms_norm_eps": 1e-6,
+        "rope_theta": 1000000.0, "tie_word_embeddings": True,
+        "eos_token_id": 1,
+    },
 }
 
 ENGINE_KW = dict(
@@ -51,7 +62,7 @@ ENGINE_KW = dict(
 )
 
 
-@pytest.mark.parametrize("arch", ["llama", "qwen3"])
+@pytest.mark.parametrize("arch", ["llama", "qwen3", "qwen3moe"])
 def test_spec_ckpt_fused_sd_matches_target_ar(tmp_path, arch):
     d = tmp_path / arch
     d.mkdir()
