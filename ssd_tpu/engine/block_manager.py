@@ -110,8 +110,9 @@ class BlockManager:
         publish=False allocates without advertising the new blocks' hashes:
         a chunked prefill (Config.chunked_prefill) allocates its full prompt
         upfront but writes KV over several dispatches, and another sequence
-        must not prefix-hit a block whose KV does not exist yet — call
-        publish_prompt_hashes() once the prompt is fully prefilled."""
+        must not prefix-hit a block whose KV does not exist yet — the
+        scheduler's _finalize_full_blocks publishes them once the prompt is
+        fully prefilled (blocks keep hash == -1 until then)."""
         block_table = self._table(seq)
         assert not block_table
         h = -1
@@ -140,20 +141,6 @@ class BlockManager:
                 block.update(h, token_ids)
                 self.hash_to_block_id[h] = block_id
             block_table.append(block_id)
-
-    def publish_prompt_hashes(self, seq: Sequence):
-        """Hash-publish the full prompt blocks of a sequence allocated with
-        publish=False, now that their KV is materialized."""
-        block_table = self._table(seq)
-        n_prompt = seq.num_prompt_tokens
-        h = -1
-        for i in range(n_prompt // self.block_size):
-            token_ids = seq.block(i)
-            assert len(token_ids) == self.block_size
-            h = self.compute_hash(token_ids, h)
-            block = self.blocks[block_table[i]]
-            block.update(h, token_ids)
-            self.hash_to_block_id[h] = block.block_id
 
     def deallocate(self, seq: Sequence):
         block_table = self._table(seq)

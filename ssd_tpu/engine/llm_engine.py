@@ -281,13 +281,20 @@ class LLMEngine:
 
     def _publish_deferred_hashes(self, seqs):
         """Prefix-cache hashes for chunk-allocated prompts publish only once
-        the whole prompt's KV exists (see BlockManager.allocate)."""
+        the whole prompt's KV exists (see BlockManager.allocate). The AR path
+        publishes inside scheduler.postprocess (before the sampled token can
+        complete a block); this engine-level sweep covers the spec modes,
+        whose prefill bookkeeping never touches block hashes. Skips sequences
+        that finished (and deallocated) during the prefill step."""
+        sch = self.scheduler
         for seq in seqs:
-            if seq.defer_publish:
-                self.scheduler.block_manager.publish_prompt_hashes(seq)
-                if self.scheduler.speculate:
-                    self.scheduler._draft_bm(seq).publish_prompt_hashes(seq)
-                seq.defer_publish = False
+            if seq.defer_publish and seq.block_table:
+                sch._finalize_full_blocks(sch.block_manager, seq, seq.block_table)
+                if sch.speculate:
+                    sch._finalize_full_blocks(
+                        sch._draft_bm(seq), seq, seq.draft_block_table
+                    )
+            seq.defer_publish = False
 
     def step(self, step: InferenceStep | None = None):
         if step is None:  # reference-style no-arg stepping (llm_engine.py:193)

@@ -32,6 +32,9 @@ class Scheduler:
         self.max_num_batched_tokens = config.max_num_batched_tokens
         self.max_model_len = config.max_model_len
         self.chunked_prefill = config.chunked_prefill
+        # True right after a chunk dispatch: the next schedule() yields one
+        # decode step to the running batch before the next chunk.
+        self._chunk_streak = False
         self.eos = config.eos
         self.speculate = config.speculate
         self.F = config.async_fan_out
@@ -121,6 +124,13 @@ class Scheduler:
             cost = len(head) - head.num_cached_tokens
             if cost > token_budget:
                 if self.chunked_prefill and not batch:
+                    # Interleave: after each chunk dispatch, let the running
+                    # sequences take one decode step before the next chunk,
+                    # so a long prompt doesn't stall in-flight decodes for
+                    # its whole length.
+                    if self._chunk_streak and self.running:
+                        self._chunk_streak = False
+                        return []
                     return self._admit_chunk(head, token_budget)
                 break
             if head.block_table:
@@ -167,6 +177,7 @@ class Scheduler:
             self.running.append(head)
             return [head]
         head.prefill_chunk = min(token_budget, remain)
+        self._chunk_streak = True
         return [head]
 
     def _lookaheads(self) -> tuple[int, int | None]:
@@ -270,6 +281,19 @@ class Scheduler:
     # --- autoregressive postprocess ---
     def postprocess(self, seqs: list[Sequence], token_ids: list[int], is_prefill: bool):
         for seq, token_id in zip(seqs, token_ids):
+            if is_prefill and seq.defer_publish:
+                # Chunk-allocated prompt: its KV now fully exists — publish
+                # the prompt blocks' hashes BEFORE appending the sampled
+                # token, so the block the append may complete chains onto a
+                # published predecessor (not a -1 placeholder).
+                self._finalize_full_blocks(
+                    self.block_manager, seq, seq.block_table
+                )
+                if self.speculate:
+                    self._finalize_full_blocks(
+                        self._draft_bm(seq), seq, seq.draft_block_table
+                    )
+                seq.defer_publish = False
             seq.append_token(token_id)
             if is_prefill:
                 seq.num_cached_tokens = seq.num_prompt_tokens

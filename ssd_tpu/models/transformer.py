@@ -141,7 +141,14 @@ def _moe_mlp(x: jnp.ndarray, lp: dict, arch: Arch) -> jnp.ndarray:
     once — the extra (E/k)x FLOPs are free next to the HBM time, and there is
     no ragged gather/scatter for the compiler to choke on. Expert weights
     shard over the mesh's tp axis (expert parallelism); the combine
-    contraction reduces over E, so GSPMD inserts the all-reduce."""
+    contraction reduces over E, so GSPMD inserts the all-reduce.
+
+    Known trade-off: long PREFILL dispatches are FLOPs-bound, where the dense
+    all-expert form pays (E/k)x the ideal MLP compute and inflates TTFT. The
+    exact fix is a ragged grouped GEMM (tokens sorted by expert) — a Pallas
+    kernel on the roadmap; a capacity-bucketed dispatch is NOT an option here
+    because dropping overflow tokens breaks the engine's HF-exactness
+    contract."""
     T = x.shape[0]
     E, k = arch.num_experts, arch.num_experts_per_tok
     logits = x @ lp["router"]                                # [T, E]

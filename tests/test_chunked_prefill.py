@@ -156,3 +156,80 @@ def test_chunked_prefill_with_async_ssd(model_dir, draft_dir):
     )
     assert outs[0]["token_ids"] == want
     assert metrics["cache_hits"], "async spec path unused"
+
+
+def test_decode_interleaves_between_chunks(model_dir):
+    """While a long prompt chunk-prefills, already-running sequences keep
+    decoding: the scheduler alternates chunk and decode dispatches."""
+    eng = _engine(model_dir)
+    step = eng.create_inference_step(eng.config)
+    sp = SamplingParams(temperature=0.0, max_new_tokens=16, ignore_eos=True)
+
+    short = random_prompt(rng(51), 8, 12)
+    eng.add_request(list(short), sp)
+    eng.step(step)  # prefill the short prompt -> running
+    long = random_prompt(rng(52), 100, 101)
+    eng.add_request(list(long), sp)
+
+    kinds = []
+    for _ in range(6):
+        seqs, is_prefill = eng.scheduler.schedule()
+        kind = ("chunk" if is_prefill and seqs and seqs[0].prefill_chunk
+                else ("prefill" if is_prefill else "decode"))
+        kinds.append(kind)
+        if is_prefill and seqs and seqs[0].prefill_chunk is not None:
+            eng._run_prefill_chunk(seqs[0])
+        elif is_prefill:
+            step.prefill(seqs)
+            eng._publish_deferred_hashes(seqs)
+        else:
+            step.decode(seqs)
+    # 100 tokens / 32 budget: chunk, decode, chunk, decode, chunk, then the
+    # small final remainder admits immediately as a normal prefill (it is
+    # within budget, so it no longer defers to decode).
+    assert kinds == ["chunk", "decode", "chunk", "decode", "chunk", "prefill"], kinds
+
+    # And the outputs still match HF exactly for both requests.
+    outs = {}
+    for _ in range(200):
+        for sid, toks in eng.step(step):
+            outs[sid] = toks
+        if len(outs) == 2:
+            break
+    assert list(outs.values()) == [hf_greedy(model_dir, short, 16),
+                                   hf_greedy(model_dir, long, 16)]
+
+
+def test_finish_at_prefill_with_chunked_prompt(model_dir):
+    """A chunked prompt whose request wants a single token must finish at its
+    final prefill step without crashing the deferred-hash publication."""
+    eng = _engine(model_dir)
+    prompt = random_prompt(rng(53), 100, 101)
+    want = hf_greedy(model_dir, prompt, 1)
+    outs, _ = eng.generate(
+        [list(prompt)],
+        SamplingParams(temperature=0.0, max_new_tokens=1, ignore_eos=True),
+        use_tqdm=False,
+    )
+    assert outs[0]["token_ids"] == want
+
+
+def test_chunk_boundary_block_chain_not_poisoned(model_dir):
+    """The block completed by the FIRST SAMPLED TOKEN of a chunked prompt
+    must chain onto published prompt hashes (reproduces the review finding:
+    publishing after postprocess hashed it against a -1 prefix, and a later
+    same-prefix request silently produced wrong output)."""
+    eng = _engine(model_dir)
+    sp = SamplingParams(temperature=0.0, max_new_tokens=8, ignore_eos=True)
+    # 95-token prompt, block 16: appending the first sampled token completes
+    # block 5 (96 tokens) during prefill postprocess.
+    prompt = random_prompt(rng(54), 95, 96)
+    outs, _ = eng.generate([list(prompt)], sp, use_tqdm=False)
+    assert outs[0]["token_ids"] == hf_greedy(model_dir, prompt, 8)
+
+    # A prompt that BEGINS with the long prompt's first block must still be
+    # exact (a poisoned hash(ids, -1) entry would make it prefix-hit KV
+    # written for positions 80..95).
+    probe = list(prompt[:16]) + list(random_prompt(rng(55), 8, 12))
+    outs2, _ = eng.generate([probe], sp, use_tqdm=False)
+    assert outs2[0]["token_ids"] == hf_greedy(model_dir, probe, 8)
