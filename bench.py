@@ -226,6 +226,10 @@ def main():
         num_kvcache_blocks=max(64, 40 * batch),
         ctx_bucket_policy="single",
     )
+    if os.environ.get("SSD_BENCH_QUANT"):
+        # "int8" = weight-only quantization (utils/quant.py): halves the
+        # weight bytes the decode streams per token.
+        kw["quantization"] = os.environ["SSD_BENCH_QUANT"]
     if os.environ.get("SSD_BENCH_PALLAS"):
         # "0" forces the jnp-gather attention path, "1" forces Pallas —
         # for measuring the kernel-launch overhead at short contexts.
@@ -299,6 +303,8 @@ def main():
                              "bench_history.json")
     # llama keys stay unsuffixed so round-1/2 history and bests carry over.
     arch_sfx = "" if arch == "llama" else f"_{model_tag}"
+    if os.environ.get("SSD_BENCH_QUANT"):
+        arch_sfx += f"_{os.environ['SSD_BENCH_QUANT']}"
     key = f"decode_tok_s_{backend}_{mode}_b{batch}_o{out_len}{arch_sfx}"
     hist, best = {}, None
     if os.path.exists(hist_path):

@@ -149,6 +149,12 @@ class Config:
     d_model_target: int | None = None
     tokenizer_path: str | None = None
 
+    # Weight-only quantization (beyond reference): "int8" stores matmul
+    # weights as int8 with per-out-channel f32 scales (utils/quant.py) —
+    # decode at small batch is weight-read-bound, so halving the weight
+    # bytes is a ~2x throughput lever. None = native dtype.
+    quantization: str | None = None
+
     # Chunked prefill (beyond reference): admit a prompt longer than the
     # per-dispatch token budget in budget-sized chunks, interleaving decode
     # steps between chunks. Lifts the max_model_len <= max_num_batched_tokens

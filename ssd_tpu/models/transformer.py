@@ -131,6 +131,17 @@ def init_params(arch: Arch, key: jax.Array, dtype=jnp.float32) -> dict:
     return params
 
 
+def _mm(x: jnp.ndarray, lp: dict, name: str) -> jnp.ndarray:
+    """x @ lp[name], transparently dequantizing int8 weight-only params
+    (utils/quant.py layout: int8 weight + `name_scale` per-out-channel f32).
+    (x @ q) * s keeps HBM traffic at the int8 bytes — the int8->bf16 convert
+    fuses into the matmul operand — instead of materializing q * s."""
+    w = lp[name]
+    y = x @ w.astype(x.dtype)
+    s = lp.get(name + "_scale")
+    return y if s is None else y * s.astype(y.dtype)
+
+
 def _moe_mlp(x: jnp.ndarray, lp: dict, arch: Arch) -> jnp.ndarray:
     """Sparse MoE feed-forward (HF Qwen3MoeSparseMoeBlock semantics: fp32
     softmax router, top-k, optional renormalisation, weighted expert sum).
@@ -160,9 +171,15 @@ def _moe_mlp(x: jnp.ndarray, lp: dict, arch: Arch) -> jnp.ndarray:
     combine = jnp.zeros((T, E), x.dtype).at[
         jnp.arange(T)[:, None], top_i
     ].add(top_w)                                             # [T, E]
-    g = jnp.einsum("td,edi->tei", x, lp["moe_gate"])
-    u = jnp.einsum("td,edi->tei", x, lp["moe_up"])
-    eo = jnp.einsum("tei,eid->ted", silu_mul(g, u), lp["moe_down"])
+
+    def emm(spec, a, name):  # expert einsum with int8 dequant (see _mm)
+        y = jnp.einsum(spec, a, lp[name].astype(a.dtype))
+        s = lp.get(name + "_scale")                          # [E, out]
+        return y if s is None else y * s[None].astype(y.dtype)
+
+    g = emm("td,edi->tei", x, "moe_gate")
+    u = emm("td,edi->tei", x, "moe_up")
+    eo = emm("tei,eid->ted", silu_mul(g, u), "moe_down")
     return jnp.einsum("ted,te->td", eo, combine)
 
 
@@ -188,6 +205,11 @@ def forward_hidden(
     eps = arch.rms_norm_eps
 
     hidden = jnp.take(params["embed"], input_ids, axis=0)
+    if "embed_scale" in params:  # int8 weight-only (utils/quant.py)
+        cdt = params["final_ln"].dtype
+        hidden = hidden.astype(cdt) * jnp.take(
+            params["embed_scale"], input_ids, axis=0
+        ).astype(cdt)[:, None]
     cos, sin = rope_cos_sin(positions, hd, arch.rope_theta)
     residual = jnp.zeros_like(hidden)
 
@@ -197,23 +219,24 @@ def forward_hidden(
 
         # --- attention block ---
         x, residual = rms_norm_residual(hidden, residual, lp["input_ln"], eps)
-        q = (x @ lp["wq"]).reshape(T, Hq, hd)
-        k = (x @ lp["wk"]).reshape(T, Hkv, hd)
-        v = (x @ lp["wv"]).reshape(T, Hkv, hd)
+        q = _mm(x, lp, "wq").reshape(T, Hq, hd)
+        k = _mm(x, lp, "wk").reshape(T, Hkv, hd)
+        v = _mm(x, lp, "wv").reshape(T, Hkv, hd)
         if arch.use_qk_norm:
             q = rms_norm(q, lp["q_norm"], eps)
             k = rms_norm(k, lp["k_norm"], eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         o, kv_layer = attn_call(q, k, v, kv_layer)
-        hidden = o.reshape(T, Hq * hd) @ lp["wo"]
+        hidden = _mm(o.reshape(T, Hq * hd), lp, "wo")
 
         # --- MLP block ---
         x, residual = rms_norm_residual(hidden, residual, lp["post_ln"], eps)
         if arch.num_experts:
             hidden = _moe_mlp(x, lp, arch)
         else:
-            hidden = silu_mul(x @ lp["gate"], x @ lp["up"]) @ lp["down"]
+            hidden = _mm(silu_mul(_mm(x, lp, "gate"), _mm(x, lp, "up")),
+                         lp, "down")
         return (hidden, residual), kv_layer
 
     def scan_segment(carry, lo, hi):
@@ -263,4 +286,6 @@ def compute_logits(
         hidden = hidden[gather_idx]
     hidden = rms_norm(hidden, params["final_ln"], arch.rms_norm_eps)
     logits = hidden.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32).T
+    if "lm_head_scale" in params:  # int8 weight-only (utils/quant.py)
+        logits = logits * params["lm_head_scale"].astype(jnp.float32)[None, :]
     return logits

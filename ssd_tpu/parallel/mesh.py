@@ -79,8 +79,10 @@ def make_hybrid_mesh(tp_per_host: int | None = None,
 
 _PARAM_SPECS = {
     "embed": P("tp", None),
+    "embed_scale": P("tp"),
     "final_ln": P(None),
     "lm_head": P("tp", None),
+    "lm_head_scale": P("tp"),
     "layers": {
         "input_ln": P(None, None),
         "wq": P(None, None, "tp"),
@@ -100,6 +102,18 @@ _PARAM_SPECS = {
         "moe_gate": P(None, "tp", None, None),
         "moe_up": P(None, "tp", None, None),
         "moe_down": P(None, "tp", None, None),
+        # int8 weight-only scales (utils/quant.py): shard like the weight's
+        # out channels (the scale's last dim).
+        "wq_scale": P(None, "tp"),
+        "wk_scale": P(None, "tp"),
+        "wv_scale": P(None, "tp"),
+        "wo_scale": P(None, None),
+        "gate_scale": P(None, "tp"),
+        "up_scale": P(None, "tp"),
+        "down_scale": P(None, None),
+        "moe_gate_scale": P(None, "tp", None),
+        "moe_up_scale": P(None, "tp", None),
+        "moe_down_scale": P(None, "tp", None),
     },
 }
 
