@@ -32,15 +32,21 @@ def _dequantized(params: dict) -> dict:
     return out
 
 
-def test_quantized_decode_matches_dequantized_reference():
+@pytest.mark.parametrize("moe", [False, True])
+def test_quantized_decode_matches_dequantized_reference(moe):
     from ssd_tpu.config import ModelConfig
     from ssd_tpu.engine.model_runner import decode_step
     from ssd_tpu.models.transformer import Arch, init_params
     from ssd_tpu.utils.quant import quantize_params
 
-    mc = ModelConfig(model_type="llama", vocab_size=256, hidden_size=64,
+    mc = ModelConfig(model_type="qwen3_moe" if moe else "llama",
+                     vocab_size=256, hidden_size=64,
                      intermediate_size=128, num_hidden_layers=2,
                      num_attention_heads=4, num_key_value_heads=2,
+                     head_dim=16,
+                     **(dict(num_experts=4, num_experts_per_tok=2,
+                             moe_intermediate_size=96, norm_topk_prob=True)
+                        if moe else {}),
                      max_position_embeddings=256, rope_theta=10000.0)
     arch = Arch.from_model_config(mc)
     qp = quantize_params(init_params(arch, jax.random.PRNGKey(0), jnp.float32))
