@@ -328,8 +328,10 @@ def main():
         pass
 
     vs = decode_tps / best if best else 1.0
+    quant_sfx = (f"_{os.environ['SSD_BENCH_QUANT']}"
+                 if os.environ.get("SSD_BENCH_QUANT") else "")
     print(json.dumps({
-        "metric": f"decode_throughput_{model_tag}_{mode}_b{batch}",
+        "metric": f"decode_throughput_{model_tag}{quant_sfx}_{mode}_b{batch}",
         "value": round(decode_tps, 2),
         "unit": "tok/s",
         "vs_baseline": round(vs, 3),
