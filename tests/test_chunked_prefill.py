@@ -233,3 +233,28 @@ def test_chunk_boundary_block_chain_not_poisoned(model_dir):
     probe = list(prompt[:16]) + list(random_prompt(rng(55), 8, 12))
     outs2, _ = eng.generate([probe], sp, use_tqdm=False)
     assert outs2[0]["token_ids"] == hf_greedy(model_dir, probe, 8)
+
+
+def test_chunked_reprefill_after_preemption_token_exact(model_dir):
+    """Under KV pressure a preempted sequence re-prefills with its
+    completions absorbed into the prompt; when that reprefill exceeds the
+    dispatch budget it must go through the CHUNKED path and stay exact."""
+    eng = LLM(
+        model_dir,
+        chunked_prefill=True,
+        max_num_batched_tokens=32,
+        max_model_len=256,
+        dtype="float32",
+        kvcache_block_size=16,
+        num_kvcache_blocks=14,  # force preemption mid-flight
+        max_num_seqs=4,
+    )
+    prompts = [random_prompt(rng(71 + i), 16, 24) for i in range(4)]
+    wants = [hf_greedy(model_dir, p, 48) for p in prompts]
+    outs, _ = eng.generate(
+        [list(p) for p in prompts],
+        SamplingParams(temperature=0.0, max_new_tokens=48, ignore_eos=True),
+        use_tqdm=False,
+    )
+    for out, want in zip(outs, wants):
+        assert out["token_ids"] == want
