@@ -517,6 +517,8 @@ class ModelRunner:
         self._seed_state = (config.seed * 2654435761 + (1 if is_draft else 0)) & 0x7FFFFFFF
 
         self.params = self._make_params(init_random)
+        if config.quantization not in (None, "int8"):
+            raise ValueError(f"unknown quantization {config.quantization!r}")
         if config.quantization == "int8" and "layers" in self.params:
             # Weight-only int8 (utils/quant.py). EAGLE drafts keep native
             # weights (their param tree has its own structure and they are
@@ -524,8 +526,6 @@ class ModelRunner:
             from ssd_tpu.utils.quant import quantize_params
 
             self.params = quantize_params(self.params)
-        elif config.quantization:
-            raise ValueError(f"unknown quantization {config.quantization!r}")
         if mesh is not None:
             self.params = shard_params(self.params, mesh)
         elif device is not None:

@@ -126,3 +126,31 @@ def test_quantized_output_close_to_full_precision(model_dir):
     outs_f, _ = full.generate([list(prompt)], sp, use_tqdm=False)
     outs_q, _ = _engine(model_dir).generate([list(prompt)], sp, use_tqdm=False)
     assert outs_q[0]["token_ids"] == outs_f[0]["token_ids"]
+
+
+def test_quantized_target_with_eagle_mode_exact(tmp_path):
+    """EAGLE async SSD over an int8 target must match int8 AR token-for-token
+    (the draft conditions on the quantized target's activations; acceptance
+    may drop, exactness may not)."""
+    from tests.utils_models import make_tiny_eagle
+
+    t = str(tmp_path / "t")
+    e = str(tmp_path / "e")
+    make_tiny_llama(t, layers=6, seed=0)  # taps need layers 0/2/4
+    make_tiny_eagle(e, seed=3)
+
+    common = dict(dtype="float32", quantization="int8", max_model_len=256,
+                  max_num_batched_tokens=1024, kvcache_block_size=16,
+                  num_kvcache_blocks=96, max_num_seqs=4)
+    prompt = random_prompt(rng(67), 8, 20)
+    sp = SamplingParams(temperature=0.0, max_new_tokens=24, ignore_eos=True)
+
+    ar = LLM(t, **common)
+    want, _ = ar.generate([list(prompt)], sp, use_tqdm=False)
+
+    eagle = LLM(t, draft=e, speculate=True, draft_async=True, use_eagle=True,
+                jit_speculate=True, speculate_k=2, async_fan_out=3,
+                eagle_layers=[0, 2, 4], **common)
+    got, _ = eagle.generate([list(prompt)], sp, use_tqdm=False)
+    eagle.exit()
+    assert got[0]["token_ids"] == want[0]["token_ids"]
