@@ -149,6 +149,14 @@ class Config:
     d_model_target: int | None = None
     tokenizer_path: str | None = None
 
+    # Top-p / top-k sampling (beyond reference): compiles the nucleus/top-k
+    # warp into every sampling site AND the verify() acceptance math (both p
+    # and q warp, so speculative sampling stays exact w.r.t. the warped
+    # target distribution). Off by default: the warp adds a [*, V] sort per
+    # sample, and requests with top_p < 1 or top_k > 0 on an engine built
+    # without it are rejected at add_request.
+    enable_top_sampling: bool = False
+
     # Weight-only quantization (beyond reference): "int8" stores matmul
     # weights as int8 with per-out-channel f32 scales (utils/quant.py) —
     # decode at small batch is weight-read-bound, so halving the weight
@@ -230,6 +238,13 @@ class Config:
         # EAGLE draft prefill is conditioned on.
         assert not (self.chunked_prefill and self.use_eagle), (
             "chunked_prefill is not supported with use_eagle"
+        )
+        # The top-p/top-k warp is wired through the AR / sync / fused-SD
+        # programs and verify(); the async draft server's tree build and the
+        # EAGLE glue do not thread it yet.
+        assert not (self.enable_top_sampling
+                    and (self.draft_async or self.use_eagle)), (
+            "enable_top_sampling supports AR and sync/fused SD only"
         )
         # The fused superstep drives the draft through the plain-transformer
         # chain program; an EAGLE draft needs conditioning activations and

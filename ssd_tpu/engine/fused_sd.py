@@ -64,6 +64,8 @@ def sd_superstep(
     temps_t,     # [B] float32
     temps_d,     # [B] float32
     key,
+    top_ps=None,  # [B] nucleus filter (Config.enable_top_sampling)
+    top_ks=None,  # [B]
     *,
     t_arch: Arch,
     d_arch: Arch,
@@ -92,7 +94,7 @@ def sd_superstep(
         # --- draft chain: K tokens from the recovery token (one lax.scan) ---
         d_tokens, logits_q, dkv = chain_decode_step(
             d_params, dkv, rec, n, bt_draft, n + 1, temps_d,
-            jax.random.fold_in(rkey, 1),
+            jax.random.fold_in(rkey, 1), top_ps, top_ks,
             arch=d_arch, block_size=block_size, ctx_pad=ctx_pad_d, K=K,
             use_pallas=use_pallas, extra_write=True,
         )
@@ -115,6 +117,7 @@ def sd_superstep(
         acc, recovery = verify(
             logits_p.reshape(B, Kp1, V), logits_q, spec,
             temps_t, temps_d, None, jax.random.fold_in(rkey, 3),
+            top_p=top_ps, top_k=top_ks,
         )
         n_next = (n + acc + 1).astype(jnp.int32)
         out = (spec, acc.astype(jnp.int32), recovery.astype(jnp.int32))
@@ -131,30 +134,36 @@ def sd_superstep(
     jax.jit,
     static_argnames=("t_arch", "d_arch", "block_size", "ctx_pad_t",
                      "ctx_pad_d", "K", "R", "B_pad", "M_t", "M_d",
-                     "use_pallas"),
+                     "use_pallas", "use_warp"),
     donate_argnames=("target_kv", "draft_kv"),
 )
 def sd_superstep_packed(
     t_params, target_kv, d_params, draft_kv, packed, *,
     t_arch: Arch, d_arch: Arch, block_size: int, ctx_pad_t: int,
     ctx_pad_d: int, K: int, R: int, B_pad: int, M_t: int, M_d: int,
-    use_pallas: bool = False,
+    use_pallas: bool = False, use_warp: bool = False,
 ):
     """sd_superstep with its entire per-step metadata in one flat int32
     payload (the same <=1-upload-per-dispatch discipline as
     model_runner.decode_step_packed): [rec(B) | n0(B) | bt_t(B*M_t) |
-    bt_d(B*M_d) | temps_t_bits(B) | temps_d_bits(B) | seed(1)]."""
+    bt_d(B*M_d) | temps_t_bits(B) | temps_d_bits(B) |
+    (top_p_bits(B) | top_k(B) when use_warp) | seed(1)]."""
     B = B_pad
     o = 2 * B
     bt_t = packed[o:o + B * M_t].reshape(B, M_t)
     o += B * M_t
     bt_d = packed[o:o + B * M_d].reshape(B, M_d)
     o += B * M_d
+    w_end = o + 2 * B
+    warp = ((_f32(packed[w_end:w_end + B]),
+             packed[w_end + B:w_end + 2 * B]) if use_warp else (None, None))
+    seed_at = w_end + (2 * B if use_warp else 0)
     return sd_superstep(
         t_params, target_kv, d_params, draft_kv,
         packed[:B], packed[B:2 * B], bt_t, bt_d,
         _f32(packed[o:o + B]), _f32(packed[o + B:o + 2 * B]),
-        _key_from(packed[o + 2 * B]),
+        _key_from(packed[seed_at]),
+        warp[0], warp[1],
         t_arch=t_arch, d_arch=d_arch, block_size=block_size,
         ctx_pad_t=ctx_pad_t, ctx_pad_d=ctx_pad_d, K=K, R=R,
         use_pallas=use_pallas,
@@ -193,8 +202,9 @@ def run_sd_superstep(target_runner, draft_runner, seqs, K: int, R: int):
     horizon = int(n0[:B].max()) + R * (K + 1) + 1
     ctx_pad_t = target_runner._ctx_bucket(horizon)
     ctx_pad_d = draft_runner._ctx_bucket(horizon)
+    warp_parts = target_runner._warp_parts(seqs, B_pad)
     payload = target_runner._upload(pack_i32(
-        rec, n0, bt_t, bt_d, temps_t, temps_d,
+        rec, n0, bt_t, bt_d, temps_t, temps_d, *warp_parts,
         np.asarray([target_runner._next_seed()], np.int32),
     ))
 
@@ -208,6 +218,7 @@ def run_sd_superstep(target_runner, draft_runner, seqs, K: int, R: int):
             B_pad=B_pad, M_t=target_runner.max_blocks,
             M_d=draft_runner.max_blocks,
             use_pallas=target_runner.use_pallas,
+            use_warp=target_runner.use_warp,
         )
     )
     # ONE host sync for the whole superstep.

@@ -258,6 +258,12 @@ class LLMEngine:
                 f"prompt length {len(prompt)} leaves no room for generation "
                 f"(max_model_len={self.config.max_model_len})"
             )
+        if ((sampling_params.top_p < 1.0 or sampling_params.top_k > 0)
+                and not self.config.enable_top_sampling):
+            raise ValueError(
+                "top_p/top_k need an engine built with enable_top_sampling=True"
+                " (the warp compiles into the sampling programs)"
+            )
         if (len(prompt) > self.config.max_num_batched_tokens
                 and not self.config.chunked_prefill):
             raise ValueError(

@@ -93,6 +93,8 @@ def decode_step(
     context_lens,   # [B]
     temperatures,   # [B]
     key,
+    top_ps=None,    # [B] nucleus filter (Config.enable_top_sampling)
+    top_ks=None,    # [B]
     *,
     arch: Arch,
     block_size: int,
@@ -133,7 +135,7 @@ def decode_step(
     acts = out[2] if eagle_layers else None
     logits = compute_logits(params, hidden, arch)          # [B*q_len, V]
     last = logits.reshape(B, q_len, -1)[:, -1, :]
-    tokens = sample(last, temperatures, key)
+    tokens = sample(last, temperatures, key, top_p=top_ps, top_k=top_ks)
     return tokens, logits, acts, kv_cache
 
 
@@ -154,6 +156,8 @@ def batched_prefill_step(
     qeff,           # [B] true new-token count per sequence
     temperatures,   # [B]
     key,
+    top_ps=None,    # [B] nucleus filter (Config.enable_top_sampling)
+    top_ks=None,    # [B]
     *,
     arch: Arch,
     block_size: int,
@@ -195,7 +199,7 @@ def batched_prefill_step(
     acts = out[2] if eagle_layers else None
     gather_idx = jnp.arange(B) * s_pad + jnp.maximum(qeff - 1, 0)
     logits = compute_logits(params, hidden, arch, gather_idx=gather_idx)  # [B, V]
-    tokens = sample(logits, temperatures, key)
+    tokens = sample(logits, temperatures, key, top_p=top_ps, top_k=top_ks)
     return tokens, logits, acts, kv_cache
 
 
@@ -214,6 +218,8 @@ def chain_decode_step(
     start_context_lens,  # [B] context length incl. first_tokens
     temperatures,        # [B]
     key,
+    top_ps=None,         # [B] nucleus filter (Config.enable_top_sampling)
+    top_ks=None,         # [B]
     *,
     arch: Arch,
     block_size: int,
@@ -265,6 +271,7 @@ def chain_decode_step(
         next_tok = sample(
             logits, temperatures, jax.random.fold_in(key, i),
             sampler_x=sampler_x, fan_out=fan_out, is_tree=tree_sampling,
+            top_p=top_ps, top_k=top_ks,
         )
         return (kv, next_tok), (next_tok, logits)
 
@@ -296,26 +303,32 @@ def pack_i32(*arrays) -> np.ndarray:
 @partial(
     jax.jit,
     static_argnames=("arch", "block_size", "ctx_pad", "q_len", "B_pad", "M",
-                     "use_pallas", "eagle_layers"),
+                     "use_pallas", "eagle_layers", "use_warp"),
     donate_argnames=("kv_cache",),
 )
 def decode_step_packed(
     params, kv_cache, packed, *,
     arch: Arch, block_size: int, ctx_pad: int, q_len: int, B_pad: int, M: int,
     use_pallas: bool = False, eagle_layers: tuple[int, ...] | None = None,
+    use_warp: bool = False,
 ):
     """decode_step with its entire per-step metadata in one flat int32 array:
     [ids(B*q) | pos(B*q) | slots(B*q) | block_tables(B*M) | ctx(B) |
-     temp_bits(B) | seed(1)]."""
+     temp_bits(B) | (top_p_bits(B) | top_k(B) when use_warp) | seed(1)]."""
     T = B_pad * q_len
     bt_end = 3 * T + B_pad * M
+    o = bt_end + 2 * B_pad
+    warp = ((_f32(packed[o:o + B_pad]), packed[o + B_pad:o + 2 * B_pad])
+            if use_warp else (None, None))
+    o += 2 * B_pad if use_warp else 0
     return decode_step(
         params, kv_cache,
         packed[:T], packed[T:2 * T], packed[2 * T:3 * T],
         packed[3 * T:bt_end].reshape(B_pad, M),
         packed[bt_end:bt_end + B_pad],
         _f32(packed[bt_end + B_pad:bt_end + 2 * B_pad]),
-        _key_from(packed[bt_end + 2 * B_pad]),
+        _key_from(packed[o]),
+        warp[0], warp[1],
         arch=arch, block_size=block_size, ctx_pad=ctx_pad, q_len=q_len,
         use_pallas=use_pallas, eagle_layers=eagle_layers,
     )
@@ -324,19 +337,24 @@ def decode_step_packed(
 @partial(
     jax.jit,
     static_argnames=("arch", "block_size", "ctx_pad", "s_pad", "B_pad", "M",
-                     "use_pallas", "eagle_layers"),
+                     "use_pallas", "eagle_layers", "use_warp"),
     donate_argnames=("kv_cache",),
 )
 def prefill_step_packed(
     params, kv_cache, packed, *,
     arch: Arch, block_size: int, ctx_pad: int, s_pad: int, B_pad: int, M: int,
     use_pallas: bool = False, eagle_layers: tuple[int, ...] | None = None,
+    use_warp: bool = False,
 ):
     """batched_prefill_step with one flat int32 payload:
     [ids(B*s) | pos(B*s) | slots(B*s) | block_tables(B*M) | ctx(B) | qeff(B) |
-     temp_bits(B) | seed(1)]."""
+     temp_bits(B) | (top_p_bits(B) | top_k(B) when use_warp) | seed(1)]."""
     T = B_pad * s_pad
     bt_end = 3 * T + B_pad * M
+    o = bt_end + 3 * B_pad
+    warp = ((_f32(packed[o:o + B_pad]), packed[o + B_pad:o + 2 * B_pad])
+            if use_warp else (None, None))
+    o += 2 * B_pad if use_warp else 0
     return batched_prefill_step(
         params, kv_cache,
         packed[:T], packed[T:2 * T], packed[2 * T:3 * T],
@@ -344,7 +362,8 @@ def prefill_step_packed(
         packed[bt_end:bt_end + B_pad],
         packed[bt_end + B_pad:bt_end + 2 * B_pad],
         _f32(packed[bt_end + 2 * B_pad:bt_end + 3 * B_pad]),
-        _key_from(packed[bt_end + 3 * B_pad]),
+        _key_from(packed[o]),
+        warp[0], warp[1],
         arch=arch, block_size=block_size, ctx_pad=ctx_pad, s_pad=s_pad,
         use_pallas=use_pallas, eagle_layers=eagle_layers,
     )
@@ -367,6 +386,8 @@ def flat_prefill_step(
     gather_idx,     # [B_pad] flat index of each sequence's last new token
     temperatures,   # [B_pad]
     key,
+    top_ps=None,    # [B_pad] nucleus filter (Config.enable_top_sampling)
+    top_ks=None,    # [B_pad]
     *,
     arch: Arch,
     block_size: int,
@@ -404,26 +425,30 @@ def flat_prefill_step(
         params, kv_cache, input_ids, positions, attn_call, arch
     )[:2]
     logits = compute_logits(params, hidden, arch, gather_idx=gather_idx)
-    tokens = sample(logits, temperatures, key)
+    tokens = sample(logits, temperatures, key, top_p=top_ps, top_k=top_ks)
     return tokens, logits, kv_cache
 
 
 @partial(
     jax.jit,
     static_argnames=("arch", "block_size", "T_pad", "P_pad", "B_pad",
-                     "use_pallas"),
+                     "use_pallas", "use_warp"),
     donate_argnames=("kv_cache",),
 )
 def flat_prefill_step_packed(
     params, kv_cache, packed, *,
     arch: Arch, block_size: int, T_pad: int, P_pad: int, B_pad: int,
-    use_pallas: bool = False,
+    use_pallas: bool = False, use_warp: bool = False,
 ):
     """flat_prefill_step with one flat int32 payload:
     [ids(T) | pos(T) | slots(T) | pages(P) | lo(T) | hi(T) | gather(B) |
-     temp_bits(B) | seed(1)]."""
+     temp_bits(B) | (top_p_bits(B) | top_k(B) when use_warp) | seed(1)]."""
     T, P, B = T_pad, P_pad, B_pad
     p_end = 3 * T + P
+    o = p_end + 2 * T + 2 * B
+    warp = ((_f32(packed[o:o + B]), packed[o + B:o + 2 * B])
+            if use_warp else (None, None))
+    o += 2 * B if use_warp else 0
     return flat_prefill_step(
         params, kv_cache,
         packed[:T], packed[T:2 * T], packed[2 * T:3 * T],
@@ -431,7 +456,8 @@ def flat_prefill_step_packed(
         packed[p_end:p_end + T], packed[p_end + T:p_end + 2 * T],
         packed[p_end + 2 * T:p_end + 2 * T + B],
         _f32(packed[p_end + 2 * T + B:p_end + 2 * T + 2 * B]),
-        _key_from(packed[p_end + 2 * T + 2 * B]),
+        _key_from(packed[o]),
+        warp[0], warp[1],
         arch=arch, block_size=block_size, use_pallas=use_pallas,
     )
 
@@ -440,7 +466,7 @@ def flat_prefill_step_packed(
     jax.jit,
     static_argnames=("arch", "block_size", "ctx_pad", "K", "B_pad", "M",
                      "sampler_x", "fan_out", "tree_sampling", "use_pallas",
-                     "extra_write"),
+                     "extra_write", "use_warp"),
     donate_argnames=("kv_cache",),
 )
 def chain_decode_step_packed(
@@ -448,20 +474,25 @@ def chain_decode_step_packed(
     arch: Arch, block_size: int, ctx_pad: int, K: int, B_pad: int, M: int,
     sampler_x: float | None = None, fan_out: int = 3,
     tree_sampling: bool = False, use_pallas: bool = False,
-    extra_write: bool = True,
+    extra_write: bool = True, use_warp: bool = False,
 ):
     """chain_decode_step with one flat int32 payload:
     [first(B) | start_pos(B) | block_tables(B*M) | ctx0(B) | temp_bits(B) |
-     seed(1)]."""
+     (top_p_bits(B) | top_k(B) when use_warp) | seed(1)]."""
     B = B_pad
     bt_end = 2 * B + B * M
+    o = bt_end + 2 * B
+    warp = ((_f32(packed[o:o + B]), packed[o + B:o + 2 * B])
+            if use_warp else (None, None))
+    o += 2 * B if use_warp else 0
     return chain_decode_step(
         params, kv_cache,
         packed[:B], packed[B:2 * B],
         packed[2 * B:bt_end].reshape(B, M),
         packed[bt_end:bt_end + B],
         _f32(packed[bt_end + B:bt_end + 2 * B]),
-        _key_from(packed[bt_end + 2 * B]),
+        _key_from(packed[o]),
+        warp[0], warp[1],
         arch=arch, block_size=block_size, ctx_pad=ctx_pad, K=K,
         sampler_x=sampler_x, fan_out=fan_out, tree_sampling=tree_sampling,
         use_pallas=use_pallas, extra_write=extra_write,
@@ -515,6 +546,10 @@ class ModelRunner:
         # jax.random.split dispatch (or separate key transfer) happens per
         # step.
         self._seed_state = (config.seed * 2654435761 + (1 if is_draft else 0)) & 0x7FFFFFFF
+
+        # Static per engine: requests with top_p/top_k are only accepted
+        # when the warp is compiled into the programs (llm_engine gates).
+        self.use_warp = config.enable_top_sampling
 
         self.params = self._make_params(init_random)
         if config.quantization not in (None, "int8"):
@@ -620,6 +655,18 @@ class ModelRunner:
             table = seq.draft_block_table if draft else seq.block_table
             out[i, : len(table)] = table
         return out
+
+    def _warp_parts(self, seqs: list[Sequence], B_pad: int) -> tuple:
+        """(top_p f32, top_k i32) payload segments, or () when the engine
+        compiles without the sampling warp (Config.enable_top_sampling)."""
+        if not self.use_warp:
+            return ()
+        tp = np.ones(B_pad, dtype=np.float32)
+        tk = np.zeros(B_pad, dtype=np.int32)
+        for i, seq in enumerate(seqs):
+            tp[i] = seq.top_p
+            tk[i] = seq.top_k
+        return (tp, tk)
 
     def _ctx_bucket(self, need: int) -> int:
         limit = self.max_blocks * self.block_size
@@ -749,12 +796,13 @@ class ModelRunner:
 
         payload = pack_i32(input_ids, positions, slot_map, flat_pages,
                            row_lo, row_hi, gather_idx, temps,
+                           *self._warp_parts(seqs, B_pad),
                            np.int32([self._next_seed()]))
         tokens, _, self.kv_cache = flat_prefill_step_packed(
             self.params, self.kv_cache, self._upload(payload),
             arch=self.arch, block_size=self.block_size,
             T_pad=T_pad, P_pad=P_pad, B_pad=B_pad,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas, use_warp=self.use_warp,
         )
         return np.asarray(tokens)[:B].tolist()
 
@@ -804,12 +852,14 @@ class ModelRunner:
 
         ctx_pad = self._ctx_bucket(int(context_lens.max()))
         payload = pack_i32(input_ids, positions, slot_map, bt, context_lens,
-                           qeff, temps, np.int32([self._next_seed()]))
+                           qeff, temps, *self._warp_parts(seqs, B_pad),
+                           np.int32([self._next_seed()]))
         tokens, _, acts, self.kv_cache = prefill_step_packed(
             self.params, self.kv_cache, self._upload(payload),
             arch=self.arch, block_size=self.block_size,
             ctx_pad=ctx_pad, s_pad=s_pad, B_pad=B_pad, M=self.max_blocks,
             use_pallas=self.use_pallas, eagle_layers=self.eagle_layers,
+            use_warp=self.use_warp,
         )
         token_list = np.asarray(tokens)[:B].tolist()
         if return_acts:
@@ -863,12 +913,14 @@ class ModelRunner:
             temps[: len(seqs)] = temps_override
         ctx_pad = self._ctx_bucket(int(context_lens.max()))
         payload = pack_i32(input_ids, positions, slot_map, bt, context_lens,
-                           temps, np.int32([self._next_seed()]))
+                           temps, *self._warp_parts(seqs, B_pad),
+                           np.int32([self._next_seed()]))
         tokens, logits, acts, self.kv_cache = decode_step_packed(
             self.params, self.kv_cache, self._upload(payload),
             arch=self.arch, block_size=self.block_size,
             ctx_pad=ctx_pad, q_len=q_len, B_pad=B_pad, M=self.max_blocks,
             use_pallas=self.use_pallas, eagle_layers=self.eagle_layers,
+            use_warp=self.use_warp,
         )
         B = len(seqs)
         if prof:
@@ -915,12 +967,14 @@ class ModelRunner:
             )
         ctx_pad = self._ctx_bucket(int(ctx0.max()) + K + 1)
         payload = pack_i32(first, start_pos, bt, ctx0, temps,
+                           *self._warp_parts(seqs, B_pad),
                            np.int32([self._next_seed()]))
         tokens, logits_q, self.kv_cache = chain_decode_step_packed(
             self.params, self.kv_cache, self._upload(payload),
             arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad, K=K,
             B_pad=B_pad, M=self.max_blocks, use_pallas=self.use_pallas,
             extra_write=self.is_draft if extra_write is None else extra_write,
+            use_warp=self.use_warp,
         )
         return np.asarray(tokens)[:B], logits_q[:B]
 
@@ -949,6 +1003,10 @@ class ModelRunner:
             bt = np.full((B_pad, M), -1, np.int32)
             ctx1 = np.ones(B_pad, np.int32)
             temps = np.ones(B_pad, np.float32)
+            # Ghost warp segments (top_p=1, top_k=0) when the engine compiles
+            # the sampling warp into its programs.
+            warp = ((np.ones(B_pad, np.float32), np.zeros(B_pad, np.int32))
+                    if self.use_warp else ())
             seed = np.int32([0])
             for ctx_pad in self._ctx_buckets():
                 for q in q_lens:
@@ -957,21 +1015,24 @@ class ModelRunner:
                     last, _, _, self.kv_cache = decode_step_packed(
                         self.params, self.kv_cache,
                         jnp.asarray(pack_i32(zeros, zeros, ghost, bt, ctx1,
-                                             temps, seed)),
+                                             temps, *warp, seed)),
                         arch=self.arch, block_size=self.block_size,
                         ctx_pad=ctx_pad, q_len=q, B_pad=B_pad, M=M,
                         use_pallas=self.use_pallas,
                         eagle_layers=self.eagle_layers,
+                        use_warp=self.use_warp,
                     )
                 for K in chain_Ks:
                     zb = np.zeros(B_pad, np.int32)
                     last, _, self.kv_cache = chain_decode_step_packed(
                         self.params, self.kv_cache,
-                        jnp.asarray(pack_i32(zb, zb, bt, ctx1, temps, seed)),
+                        jnp.asarray(pack_i32(zb, zb, bt, ctx1, temps, *warp,
+                                             seed)),
                         arch=self.arch, block_size=self.block_size,
                         ctx_pad=ctx_pad, K=K, B_pad=B_pad, M=M,
                         use_pallas=self.use_pallas,
                         extra_write=self.is_draft,
+                        use_warp=self.use_warp,
                     )
                 for s_pad in prefill_s_pads:
                     if self.config.flat_prefill and not self.eagle_layers:
@@ -981,11 +1042,12 @@ class ModelRunner:
                     last, _, _, self.kv_cache = prefill_step_packed(
                         self.params, self.kv_cache,
                         jnp.asarray(pack_i32(zeros, zeros, ghost, bt, ctx1,
-                                             ctx1, temps, seed)),
+                                             ctx1, temps, *warp, seed)),
                         arch=self.arch, block_size=self.block_size,
                         ctx_pad=ctx_pad, s_pad=s_pad, B_pad=B_pad, M=M,
                         use_pallas=self.use_pallas,
                         eagle_layers=self.eagle_layers,
+                        use_warp=self.use_warp,
                     )
             # Flat-packed prefill warmup (the program the default path
             # actually dispatches): for each requested per-seq bucket, warm
@@ -1008,11 +1070,11 @@ class ModelRunner:
                             np.full(P_pad, -1, np.int32),     # pages
                             zerosT, zerosT,                   # lo/hi
                             np.zeros(B_pad, np.int32),        # gather
-                            temps, seed,
+                            temps, *warp, seed,
                         )),
                         arch=self.arch, block_size=self.block_size,
                         T_pad=T_pad, P_pad=P_pad, B_pad=B_pad,
-                        use_pallas=self.use_pallas,
+                        use_pallas=self.use_pallas, use_warp=self.use_warp,
                     )
         if last is not None:
             jax.block_until_ready(last)

@@ -75,6 +75,8 @@ class Sequence:
         self.draft_temperature = sp.draft_temperature
         self.max_new_tokens = sp.max_new_tokens
         self.ignore_eos = sp.ignore_eos
+        self.top_p = sp.top_p
+        self.top_k = sp.top_k
 
         # --- EAGLE conditioning carries (numpy, host-side) ---
         self.last_target_hidden_state = None  # [3*D_target]

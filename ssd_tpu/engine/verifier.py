@@ -96,6 +96,10 @@ class Verifier(VerifierBase):
         up = self.target_model_runner._upload
         if self.target_model_runner._payload_sharding is not None:
             sub = up(np.asarray(sub))
+        top_p = top_k = None
+        if self.target_model_runner.use_warp:
+            top_p = up(np.asarray([s.top_p for s in seqs], dtype=np.float32))
+            top_k = up(np.asarray([s.top_k for s in seqs], dtype=np.int32))
         accept_until, recovery = verify(
             logits_p,
             jnp.asarray(speculate_result.logits_q)
@@ -109,6 +113,7 @@ class Verifier(VerifierBase):
             jit_speculate=self.jit_speculate,
             sampler_x=self.sampler_x,
             async_fan_out=self.async_fan_out if self.sampler_x is not None else None,
+            top_p=top_p, top_k=top_k,
         )
 
         new_suffixes, _ = build_suffixes(

@@ -17,6 +17,35 @@ import jax.numpy as jnp
 from ssd_tpu.ops.spec_math import apply_sampler_x_rescaling
 
 
+def warp_top_probs(
+    probs: jnp.ndarray,   # [..., V]
+    top_p: jnp.ndarray,   # broadcastable [...] in (0, 1]; 1 = off
+    top_k: jnp.ndarray,   # broadcastable [...] int; <= 0 = off
+) -> jnp.ndarray:
+    """Nucleus (top-p) + top-k filtering with renormalisation (beyond
+    reference — the reference samples the full distribution). HF semantics:
+    top-p keeps the SMALLEST prefix of descending-sorted probs whose
+    cumulative mass reaches top_p (the first token is always kept); top-k
+    keeps the k highest. Rows with top_p == 1 and top_k <= 0 pass through
+    numerically unchanged (mask all-true, renorm by the exact sum)."""
+    V = probs.shape[-1]
+    order = jnp.argsort(-probs, axis=-1)
+    sorted_p = jnp.take_along_axis(probs, order, axis=-1)
+    cum = jnp.cumsum(sorted_p, axis=-1)
+    rank = jnp.arange(V)
+    shape = (1,) * (probs.ndim - 1) + (V,)
+    rank = rank.reshape(shape)
+    keep = (cum - sorted_p) < top_p[..., None]
+    k = jnp.where(top_k[..., None] > 0, top_k[..., None], V)
+    keep &= rank < k
+    inv = jnp.argsort(order, axis=-1)
+    keep = jnp.take_along_axis(keep, inv, axis=-1)
+    filtered = jnp.where(keep, probs, 0.0)
+    return filtered / jnp.clip(
+        jnp.sum(filtered, axis=-1, keepdims=True), min=1e-30
+    )
+
+
 @partial(jax.jit, static_argnames=("sampler_x", "fan_out", "is_tree"))
 def sample(
     logits: jnp.ndarray,        # [B, V]
@@ -25,6 +54,8 @@ def sample(
     sampler_x: float | None = None,
     fan_out: int = 3,
     is_tree: bool = False,
+    top_p: jnp.ndarray | None = None,   # [B]; None = off (no sort compiled)
+    top_k: jnp.ndarray | None = None,   # [B]
 ) -> jnp.ndarray:
     logits = logits.astype(jnp.float32)
     greedy = jnp.argmax(logits, axis=-1)
@@ -33,6 +64,8 @@ def sample(
     probs = jax.nn.softmax(logits / t, axis=-1)
     if sampler_x is not None and is_tree:
         probs = apply_sampler_x_rescaling(probs, sampler_x, fan_out)
+    if top_p is not None:
+        probs = warp_top_probs(probs, top_p, top_k)
 
     # Exponential-race sampling (equivalent to gumbel-max on log probs):
     # argmax(probs / Exp(1)) ~ Categorical(probs). Mirrors reference

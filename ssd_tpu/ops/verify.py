@@ -53,6 +53,8 @@ def verify(
     jit_speculate: bool = False,
     sampler_x: float | None = None,
     async_fan_out: int | None = None,
+    top_p: jnp.ndarray | None = None,  # [B]; warps BOTH p and q (the draft
+    top_k: jnp.ndarray | None = None,  # [B];  sampled from its warped dist)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (accept_until[B] in [0,K], recovery_token[B]).
 
@@ -85,6 +87,16 @@ def verify(
 
     probs_p = _probs_with_greedy_onehot(logits_p, temps_t)  # [B, K+1, V]
     probs_q = _probs_with_greedy_onehot(logits_q, temps_q)  # [B, K, V]
+    if top_p is not None:
+        # Rejection sampling is exact for ANY (p, q) pair as long as q is
+        # the distribution the draft actually sampled from — both sides warp
+        # with the request's top-p/top-k, so acceptance ratios, the
+        # max(0, p - q) recovery, and the p-fallback all live in the warped
+        # space. (Warping a greedy one-hot row is a no-op.)
+        from ssd_tpu.ops.sampler import warp_top_probs
+
+        probs_p = warp_top_probs(probs_p, top_p[:, None], top_k[:, None])
+        probs_q = warp_top_probs(probs_q, top_p[:, None], top_k[:, None])
     if sampler_x is not None:
         assert async_fan_out is not None
         probs_q = apply_sampler_x_rescaling(probs_q, sampler_x, async_fan_out)
