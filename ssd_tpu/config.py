@@ -239,12 +239,10 @@ class Config:
         assert not (self.chunked_prefill and self.use_eagle), (
             "chunked_prefill is not supported with use_eagle"
         )
-        # The top-p/top-k warp is wired through the AR / sync / fused-SD
-        # programs and verify(); the async draft server's tree build and the
-        # EAGLE glue do not thread it yet.
-        assert not (self.enable_top_sampling
-                    and (self.draft_async or self.use_eagle)), (
-            "enable_top_sampling supports AR and sync/fused SD only"
+        # The top-p/top-k warp is wired through the AR / sync / fused-SD /
+        # async-SSD programs and verify(); the EAGLE glue does not thread it.
+        assert not (self.enable_top_sampling and self.use_eagle), (
+            "enable_top_sampling is not supported with use_eagle"
         )
         # The fused superstep drives the draft through the plain-transformer
         # chain program; an EAGLE draft needs conditioning activations and

@@ -75,6 +75,8 @@ def tree_build_program(
     block_tables,     # [B, M] int32 (draft tables; -1 padded / ghost rows)
     cache_hits,       # [B] int32 {0,1}
     temperatures,     # [B] float32
+    top_ps,           # [B] float32 | None (Config.enable_top_sampling)
+    top_ks,           # [B] int32 | None
     key,
     *,
     arch: Arch,
@@ -152,6 +154,8 @@ def tree_build_program(
     base_n = base_positions[b_flat]                     # [N]
     fan_n = fan_idx_rows.reshape(-1)                    # [N]
     temps_n = temperatures[b_flat]                      # [N]
+    tp_n = None if top_ps is None else top_ps[b_flat]
+    tk_n = None if top_ks is None else top_ks[b_flat]
 
     def tree_step(carry, s):
         kv, tok = carry
@@ -182,6 +186,7 @@ def tree_build_program(
         next_tok = sample(
             logits, temps_n, jax.random.fold_in(key, s),
             sampler_x=sampler_x, fan_out=F, is_tree=True,
+            top_p=tp_n, top_k=tk_n,
         ).astype(jnp.int32)
         return (kv, next_tok), (next_tok, logits)
 
@@ -208,6 +213,9 @@ class SpecRequest:
     num_tokens: np.ndarray      # [B] int64, incl. the appended recovery token
     block_tables: np.ndarray    # [B, max_blocks] int32 draft tables
     temperatures: np.ndarray    # [B] float32 draft temps
+    # top-p/top-k warp (Config.enable_top_sampling); None when disabled.
+    top_ps: np.ndarray | None = None   # [B] float32
+    top_ks: np.ndarray | None = None   # [B] int32
     # EAGLE-only conditioning payload (speculator_async.py:158-179):
     recovery_acts: np.ndarray | None = None    # [B, 3*D_target]
     extend_counts: np.ndarray | None = None    # [B] int64
@@ -308,12 +316,19 @@ class DraftRunner(ModelRunner):
         ctx0[:B] = req.num_tokens
         temps[:B] = req.temperatures
         bt[:B] = req.block_tables
+        tp = tk = None
+        if req.top_ps is not None:
+            tp = np.ones(B_pad, np.float32)
+            tp[:B] = req.top_ps
+            tk = np.zeros(B_pad, np.int32)
+            tk[:B] = req.top_ks
+            tp, tk = jnp.asarray(tp), jnp.asarray(tk)
         ctx_pad = self._ctx_bucket(int(ctx0.max()) + self.K + 1)
         self.key, sub = jax.random.split(self.key)
         tokens, logits_q, self.kv_cache = chain_decode_step(
             self.params, self.kv_cache,
             jnp.asarray(first), jnp.asarray(start_pos), jnp.asarray(bt),
-            jnp.asarray(ctx0), jnp.asarray(temps), sub,
+            jnp.asarray(ctx0), jnp.asarray(temps), sub, tp, tk,
             arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad,
             K=self.K, sampler_x=self.sampler_x, fan_out=self.F,
             tree_sampling=True, use_pallas=self.use_pallas,
@@ -377,6 +392,13 @@ class DraftRunner(ModelRunner):
         hits[:B] = resp.cache_hits
         temps = np.ones(B_pad, dtype=np.float32)
         temps[:B] = req.temperatures
+        tp = tk = None
+        if req.top_ps is not None:
+            tp = np.ones(B_pad, np.float32)
+            tp[:B] = req.top_ps
+            tk = np.zeros(B_pad, np.int32)
+            tk[:B] = req.top_ks
+            tp, tk = jnp.asarray(tp), jnp.asarray(tk)
 
         ctx_pad = self._ctx_bucket(int(base.max()) + 1 + (K + 1) + K * MQ)
         self.key, sub = jax.random.split(self.key)
@@ -384,7 +406,8 @@ class DraftRunner(ModelRunner):
             tree_build_program(
                 self.params, self.kv_cache,
                 jnp.asarray(glue_ids.reshape(-1)), jnp.asarray(base),
-                jnp.asarray(bt), jnp.asarray(hits), jnp.asarray(temps), sub,
+                jnp.asarray(bt), jnp.asarray(hits), jnp.asarray(temps),
+                tp, tk, sub,
                 arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad,
                 K=K, MQ_LEN=MQ,
                 fan_out_list=self.fan_out_list,
@@ -467,6 +490,8 @@ class DraftServer:
             num_tokens=req.num_tokens[idx],
             block_tables=req.block_tables[idx],
             temperatures=req.temperatures[idx],
+            top_ps=take(req.top_ps),
+            top_ks=take(req.top_ks),
             recovery_acts=take(req.recovery_acts),
             extend_counts=take(req.extend_counts),
             extend_acts=take(req.extend_acts),
@@ -598,6 +623,10 @@ class DraftServer:
                 num_tokens=np.ones(B, dtype=np.int64),
                 block_tables=np.full((B, self.runner.max_blocks), -1, np.int32),
                 temperatures=np.zeros(B, np.float32),
+                top_ps=(np.ones(B, np.float32)
+                        if self.runner.use_warp else None),
+                top_ks=(np.zeros(B, np.int32)
+                        if self.runner.use_warp else None),
                 recovery_acts=(
                     np.zeros((B, self.runner.arch.num_eagle_layers
                               * self.runner.arch.d_model_target), np.float32)

@@ -93,11 +93,17 @@ class SpeculatorAsync(SpeculatorBase):
                     extend_acts[i, :n] = seq.extend_eagle_acts[:n]
                     extend_ids[i, :n] = seq.extend_token_ids[:n]
 
+        tp = tk = None
+        if self.draft_server.runner.use_warp:
+            tp = np.asarray([s.top_p for s in seqs], dtype=np.float32)
+            tk = np.asarray([s.top_k for s in seqs], dtype=np.int32)
         parts = self.draft_server.speculate(SpecRequest(
             cache_keys=keys,
             num_tokens=num_tokens,
             block_tables=self._block_tables(seqs),
             temperatures=temps,
+            top_ps=tp,
+            top_ks=tk,
             recovery_acts=recovery_acts,
             extend_counts=extend_counts,
             extend_acts=extend_acts,

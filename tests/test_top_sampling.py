@@ -165,3 +165,18 @@ def test_warped_request_rejected_without_engine_flag(model_dir):
               kvcache_block_size=16, num_kvcache_blocks=64, max_num_seqs=4)
     with pytest.raises(ValueError, match="enable_top_sampling"):
         eng.add_request([1, 2, 3], SamplingParams(temperature=1.0, top_p=0.9))
+
+
+def test_top_k1_equals_greedy_async_ssd(model_dir, draft_dir):
+    """temp=1 + top_k=1 through async SSD (tree build, jit-speculate chain,
+    and verify all warp) must also reproduce HF greedy."""
+    prompt = random_prompt(rng(85), 8, 20)
+    want = hf_greedy(model_dir, prompt, 20)
+    sp = SamplingParams(temperature=1.0, top_k=1, max_new_tokens=20,
+                        ignore_eos=True)
+    eng = _engine(model_dir, draft=draft_dir, speculate=True, speculate_k=2,
+                  draft_async=True, async_fan_out=2)
+    outs, metrics = eng.generate([list(prompt)], sp, use_tqdm=False)
+    eng.exit()
+    assert outs[0]["token_ids"] == want
+    assert metrics["cache_hits"], "async spec path unused"
