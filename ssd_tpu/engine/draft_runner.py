@@ -233,6 +233,19 @@ class SpecResponse:
     activations: jax.Array | None = None  # [B, K, D_draft] (EAGLE only)
 
 
+
+def _pad_warp(req: "SpecRequest", B_pad: int):
+    """Pad the request's top-p/top-k arrays to the batch bucket (ghost rows
+    pass through: top_p=1, top_k=0), or (None, None) when warping is off."""
+    if req.top_ps is None:
+        return None, None
+    B = req.top_ps.shape[0]
+    tp = np.ones(B_pad, np.float32)
+    tp[:B] = req.top_ps
+    tk = np.zeros(B_pad, np.int32)
+    tk[:B] = req.top_ks
+    return jnp.asarray(tp), jnp.asarray(tk)
+
 class DraftRunner(ModelRunner):
     """Draft-model execution + the tensor-keyed speculation tree cache."""
 
@@ -316,13 +329,7 @@ class DraftRunner(ModelRunner):
         ctx0[:B] = req.num_tokens
         temps[:B] = req.temperatures
         bt[:B] = req.block_tables
-        tp = tk = None
-        if req.top_ps is not None:
-            tp = np.ones(B_pad, np.float32)
-            tp[:B] = req.top_ps
-            tk = np.zeros(B_pad, np.int32)
-            tk[:B] = req.top_ks
-            tp, tk = jnp.asarray(tp), jnp.asarray(tk)
+        tp, tk = _pad_warp(req, B_pad)
         ctx_pad = self._ctx_bucket(int(ctx0.max()) + self.K + 1)
         self.key, sub = jax.random.split(self.key)
         tokens, logits_q, self.kv_cache = chain_decode_step(
@@ -392,13 +399,7 @@ class DraftRunner(ModelRunner):
         hits[:B] = resp.cache_hits
         temps = np.ones(B_pad, dtype=np.float32)
         temps[:B] = req.temperatures
-        tp = tk = None
-        if req.top_ps is not None:
-            tp = np.ones(B_pad, np.float32)
-            tp[:B] = req.top_ps
-            tk = np.zeros(B_pad, np.int32)
-            tk[:B] = req.top_ks
-            tp, tk = jnp.asarray(tp), jnp.asarray(tk)
+        tp, tk = _pad_warp(req, B_pad)
 
         ctx_pad = self._ctx_bucket(int(base.max()) + 1 + (K + 1) + K * MQ)
         self.key, sub = jax.random.split(self.key)

@@ -114,9 +114,14 @@ def sd_superstep(
         )
 
         # --- rejection-sampling acceptance + recovery ---
+        # cache_hits = all-ones: the chain tokens are real q samples, so
+        # ratio acceptance applies and temp>0 emissions follow the target
+        # distribution exactly (see speculator_sync.py — the reference
+        # degrades sync sampling to greedy acceptance instead).
         acc, recovery = verify(
             logits_p.reshape(B, Kp1, V), logits_q, spec,
-            temps_t, temps_d, None, jax.random.fold_in(rkey, 3),
+            temps_t, temps_d, jnp.ones((B,), jnp.int32),
+            jax.random.fold_in(rkey, 3),
             top_p=top_ps, top_k=top_ks,
         )
         n_next = (n + acc + 1).astype(jnp.int32)

@@ -258,6 +258,10 @@ class LLMEngine:
                 f"prompt length {len(prompt)} leaves no room for generation "
                 f"(max_model_len={self.config.max_model_len})"
             )
+        if not (0.0 < sampling_params.top_p <= 1.0):
+            raise ValueError(f"top_p must be in (0, 1], got {sampling_params.top_p}")
+        if sampling_params.top_k < 0:
+            raise ValueError(f"top_k must be >= 0, got {sampling_params.top_k}")
         if ((sampling_params.top_p < 1.0 or sampling_params.top_k > 0)
                 and not self.config.enable_top_sampling):
             raise ValueError(

@@ -46,4 +46,14 @@ class SpeculatorSync(SpeculatorBase):
             [np.asarray(recovery, dtype=np.int64)[:, None], tokens.astype(np.int64)],
             axis=1,
         )
-        return SpeculateResult(speculations, logits_q)
+        # Sync draft tokens are REAL samples of q (the chain program samples
+        # from the draft distribution), so verify() may ratio-accept them:
+        # at temp > 0 the emitted tokens then follow the target distribution
+        # exactly. The reference leaves cache_hits=None here and silently
+        # degrades sync sampled decoding to greedy acceptance
+        # (/root/reference/ssd/utils/verify.py:60-62); marking every row a
+        # "hit" is the statistically correct treatment.
+        return SpeculateResult(
+            speculations, logits_q,
+            cache_hits=np.ones(len(seqs), dtype=np.int64),
+        )

@@ -23,23 +23,27 @@ def warp_top_probs(
     top_k: jnp.ndarray,   # broadcastable [...] int; <= 0 = off
 ) -> jnp.ndarray:
     """Nucleus (top-p) + top-k filtering with renormalisation (beyond
-    reference — the reference samples the full distribution). HF semantics:
-    top-p keeps the SMALLEST prefix of descending-sorted probs whose
-    cumulative mass reaches top_p (the first token is always kept); top-k
-    keeps the k highest. Rows with top_p == 1 and top_k <= 0 pass through
-    numerically unchanged (mask all-true, renorm by the exact sum)."""
+    reference — the reference samples the full distribution). HF processor
+    semantics: top-k filters FIRST, then top-p measures cumulative mass on
+    the top-k-RENORMALISED survivors and keeps the smallest descending
+    prefix reaching top_p (the first token is always kept). Rows with
+    top_p == 1 and top_k <= 0 pass through numerically unchanged (mask
+    all-true, renorm by the exact sum)."""
     V = probs.shape[-1]
     order = jnp.argsort(-probs, axis=-1)
     sorted_p = jnp.take_along_axis(probs, order, axis=-1)
-    cum = jnp.cumsum(sorted_p, axis=-1)
-    rank = jnp.arange(V)
-    shape = (1,) * (probs.ndim - 1) + (V,)
-    rank = rank.reshape(shape)
-    keep = (cum - sorted_p) < top_p[..., None]
+    rank = jnp.arange(V).reshape((1,) * (probs.ndim - 1) + (V,))
     k = jnp.where(top_k[..., None] > 0, top_k[..., None], V)
-    keep &= rank < k
-    inv = jnp.argsort(order, axis=-1)
-    keep = jnp.take_along_axis(keep, inv, axis=-1)
+    keep_k = rank < k
+    kept = jnp.where(keep_k, sorted_p, 0.0)
+    denom = jnp.clip(jnp.sum(kept, axis=-1, keepdims=True), min=1e-30)
+    cum = jnp.cumsum(kept, axis=-1) / denom
+    keep = keep_k & ((cum - kept / denom) < top_p[..., None])
+    # Scatter the keep mask back to vocab order (cheaper than inverting the
+    # permutation with a second sort).
+    keep = jnp.put_along_axis(
+        jnp.zeros_like(keep), order, keep, axis=-1, inplace=False
+    )
     filtered = jnp.where(keep, probs, 0.0)
     return filtered / jnp.clip(
         jnp.sum(filtered, axis=-1, keepdims=True), min=1e-30

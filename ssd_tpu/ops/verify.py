@@ -87,19 +87,21 @@ def verify(
 
     probs_p = _probs_with_greedy_onehot(logits_p, temps_t)  # [B, K+1, V]
     probs_q = _probs_with_greedy_onehot(logits_q, temps_q)  # [B, K, V]
+    if sampler_x is not None:
+        assert async_fan_out is not None
+        probs_q = apply_sampler_x_rescaling(probs_q, sampler_x, async_fan_out)
     if top_p is not None:
         # Rejection sampling is exact for ANY (p, q) pair as long as q is
         # the distribution the draft actually sampled from — both sides warp
         # with the request's top-p/top-k, so acceptance ratios, the
         # max(0, p - q) recovery, and the p-fallback all live in the warped
-        # space. (Warping a greedy one-hot row is a no-op.)
+        # space. Order matters: the draft samples warp(rescale(softmax))
+        # (ops/sampler.py applies sampler_x BEFORE the warp), so q here must
+        # rescale first too. (Warping a greedy one-hot row is a no-op.)
         from ssd_tpu.ops.sampler import warp_top_probs
 
         probs_p = warp_top_probs(probs_p, top_p[:, None], top_k[:, None])
         probs_q = warp_top_probs(probs_q, top_p[:, None], top_k[:, None])
-    if sampler_x is not None:
-        assert async_fan_out is not None
-        probs_q = apply_sampler_x_rescaling(probs_q, sampler_x, async_fan_out)
 
     gather_idx = draft_tokens[:, :, None]
     p_vals = jnp.take_along_axis(probs_p[:, :K, :], gather_idx, axis=2)[:, :, 0]

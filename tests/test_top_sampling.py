@@ -15,14 +15,19 @@ from tests.utils_models import hf_greedy, make_tiny_llama, random_prompt, rng
 
 
 def _np_warp(probs, top_p, top_k):
-    """Reference (numpy) HF-style top-p/top-k filter over one row."""
+    """Reference (numpy) HF-processor-chain filter over one row: top-k
+    filters first, top-p measures cumulative mass on the top-k-RENORMALISED
+    survivors (HF chains TopKLogitsWarper before TopPLogitsWarper, and TopP
+    softmaxes the already-filtered logits)."""
+    V = len(probs)
     order = np.argsort(-probs, kind="stable")
     sp = probs[order]
-    cum = np.cumsum(sp)
-    keep_sorted = (cum - sp) < top_p
-    if top_k > 0:
-        keep_sorted &= np.arange(len(probs)) < top_k
-    keep = np.zeros(len(probs), bool)
+    k = top_k if top_k > 0 else V
+    keep_k = np.arange(V) < k
+    sp_k = np.where(keep_k, sp, 0.0)
+    cum = np.cumsum(sp_k) / sp_k.sum()
+    keep_sorted = keep_k & ((cum - sp_k / sp_k.sum()) < top_p)
+    keep = np.zeros(V, bool)
     keep[order] = keep_sorted
     out = np.where(keep, probs, 0.0)
     return out / out.sum()
@@ -42,6 +47,19 @@ def test_warp_matches_numpy_reference():
         np.testing.assert_allclose(got[b], want, rtol=1e-5, atol=1e-6)
     # top_p=1 / top_k=0 row passes through unchanged.
     np.testing.assert_allclose(got[0], probs[0] / probs[0].sum(), rtol=1e-6)
+
+
+def test_warp_joint_topk_then_topp_hf_semantics():
+    """With both filters set, top-p measures mass on the top-k-renormalised
+    survivors (HF chains the warpers): [0.5,0.2,0.2,0.1] with top_k=2,
+    top_p=0.7 keeps ONLY token 0 (0.5/0.7 = 0.714 >= 0.7 closes the
+    nucleus), not {0,1}."""
+    from ssd_tpu.ops.sampler import warp_top_probs
+
+    p = jnp.asarray([[0.5, 0.2, 0.2, 0.1]], jnp.float32)
+    got = np.asarray(warp_top_probs(
+        p, jnp.asarray([0.7], jnp.float32), jnp.asarray([2], jnp.int32)))
+    np.testing.assert_allclose(got, [[1.0, 0.0, 0.0, 0.0]], atol=1e-7)
 
 
 def test_sample_distribution_matches_warped_softmax():
@@ -180,3 +198,50 @@ def test_top_k1_equals_greedy_async_ssd(model_dir, draft_dir):
     eng.exit()
     assert outs[0]["token_ids"] == want
     assert metrics["cache_hits"], "async spec path unused"
+
+
+def test_spec_distribution_with_sampler_x_and_warp():
+    """sampler_x rescaling and the warp must compose in the SAME order in the
+    sampler and in verify() (rescale first, then warp): the emitted-token
+    distribution must equal the warped TARGET even when the draft samples
+    from warp(rescale(q))."""
+    from ssd_tpu.ops.sampler import sample
+    from ssd_tpu.ops.verify import verify
+
+    V, K, N, SX, F = 8, 1, 20000, 4.0, 2
+    rng_np = np.random.default_rng(5)
+    logits_p = jnp.asarray(rng_np.normal(size=(1, K + 1, V)).astype(np.float32))
+    logits_q = jnp.asarray(rng_np.normal(size=(1, K, V)).astype(np.float32))
+    temps = jnp.ones(1, jnp.float32)
+    hits = jnp.ones(1, jnp.int32)
+    tp = jnp.asarray([0.8], jnp.float32)
+    tk = jnp.asarray([0], jnp.int32)
+    p_warp = _np_warp(
+        np.asarray(jax.nn.softmax(logits_p[0, 0])).astype(np.float64), 0.8, 0)
+
+    def one_trial(key):
+        k_draft, k_verify = jax.random.split(key)
+        # The draft samples exactly as the engine's tree sampler does:
+        # softmax -> sampler_x rescale -> warp.
+        draft_tok = sample(logits_q[:, 0], temps, k_draft, sampler_x=SX,
+                           fan_out=F, is_tree=True, top_p=tp, top_k=tk)[0]
+        spec = jnp.stack([jnp.int32(0), draft_tok.astype(jnp.int32)])[None, :]
+        accept, recovery = verify(
+            logits_p, logits_q, spec, temps, temps, hits, k_verify,
+            sampler_x=SX, async_fan_out=F, top_p=tp, top_k=tk,
+        )
+        return jnp.where(accept[0] >= 1, draft_tok, recovery[0])
+
+    keys = jax.random.split(jax.random.PRNGKey(13), N)
+    emitted = np.asarray(jax.vmap(one_trial)(keys))
+    emp = np.bincount(emitted, minlength=V) / N
+    tv = 0.5 * np.abs(emp - p_warp).sum()
+    assert tv < 0.02, f"TV {tv:.4f}: sampler_x + warp ordering is inconsistent"
+
+
+def test_invalid_top_p_rejected(model_dir):
+    eng = _engine(model_dir)
+    with pytest.raises(ValueError, match="top_p"):
+        eng.add_request([1, 2, 3], SamplingParams(temperature=1.0, top_p=0.0))
+    with pytest.raises(ValueError, match="top_k"):
+        eng.add_request([1, 2, 3], SamplingParams(temperature=1.0, top_k=-2))
