@@ -1,0 +1,56 @@
+"""Kitchen-sink integration: every beyond-reference feature enabled at once
+(chunked prefill + int8 weights + top-sampling warp + fused multi-round SD)
+must still satisfy the mode-exactness contract."""
+
+import numpy as np
+import pytest
+
+from ssd_tpu import SamplingParams
+from ssd_tpu.llm import LLM
+from tests.utils_models import make_tiny_llama, random_prompt, rng
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    t = tmp_path_factory.mktemp("matrix_t")
+    d = tmp_path_factory.mktemp("matrix_d")
+    make_tiny_llama(t, seed=0)
+    make_tiny_llama(d, layers=1, hidden=32, intermediate=64, seed=7)
+    return str(t), str(d)
+
+
+def _engine(target, **kw):
+    return LLM(
+        target,
+        quantization="int8",
+        enable_top_sampling=True,
+        chunked_prefill=True,
+        max_num_batched_tokens=32,
+        dtype="float32",
+        max_model_len=256,
+        kvcache_block_size=16,
+        num_kvcache_blocks=96,
+        max_num_seqs=4,
+        **kw,
+    )
+
+
+def test_all_features_fused_sd_matches_ar(dirs):
+    """A 90-token prompt (chunked against the 32-token budget) through an
+    int8 + warp engine: fused SD with temp=1 + top_k=1 must match the same
+    engine's AR greedy token-for-token."""
+    target, draft = dirs
+    prompt = random_prompt(rng(91), 90, 91)
+    sp_greedy = SamplingParams(temperature=0.0, max_new_tokens=16,
+                               ignore_eos=True)
+    sp_warp = SamplingParams(temperature=1.0, top_k=1, max_new_tokens=16,
+                             ignore_eos=True)
+
+    ar = _engine(target)
+    want, _ = ar.generate([list(prompt)], sp_greedy, use_tqdm=False)
+
+    sd = _engine(target, draft=draft, speculate=True, speculate_k=2,
+                 spec_rounds=2)
+    got, metrics = sd.generate([list(prompt)], sp_warp, use_tqdm=False)
+    assert got[0]["token_ids"] == want[0]["token_ids"]
+    assert metrics["accepted_suffix_lens_with_recovery"]
