@@ -247,6 +247,12 @@ class LLMEngine:
         if hard:
             os._exit(0)
 
+    def abort_request(self, seq_id: int) -> bool:
+        """Cancel an in-flight or queued request by its seq_id (the id
+        returned alongside completions); frees its KV immediately. Beyond
+        reference — serving parity with vLLM's abort_request."""
+        return self.scheduler.abort(seq_id)
+
     def add_request(self, prompt: str | list[int], sampling_params: SamplingParams):
         if isinstance(prompt, str):
             assert self.tokenizer is not None, "string prompts need a tokenizer"
@@ -275,7 +281,9 @@ class LLMEngine:
                 f"{self.config.max_num_batched_tokens} "
                 f"(set chunked_prefill=True to admit it in chunks)"
             )
-        self.scheduler.add(Sequence(prompt, sampling_params))
+        seq = Sequence(prompt, sampling_params)
+        self.scheduler.add(seq)
+        return seq.seq_id
 
     def _run_prefill_chunk(self, seq) -> int:
         """One partial prefill dispatch (Config.chunked_prefill): write the

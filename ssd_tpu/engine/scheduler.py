@@ -85,6 +85,32 @@ class Scheduler:
     def add(self, seq: Sequence):
         self.waiting.append(seq)
 
+    def abort(self, seq_id: int) -> bool:
+        """Cancel a request (beyond reference — serving parity with
+        vLLM's abort_request): frees its KV blocks and marks it FINISHED so
+        generate() returns whatever it produced so far. Safe between engine
+        steps. Stale draft tree-cache entries keyed by this seq_id are
+        harmless: seq ids are never reused and the cache is rebuilt every
+        spec round."""
+        for seq in self.waiting:
+            if seq.seq_id == seq_id:
+                self.waiting.remove(seq)
+                seq.prefill_chunk = None
+                seq.defer_publish = False
+                if seq.block_table:
+                    self.block_manager.deallocate(seq)
+                    if self.speculate:
+                        self._draft_bm(seq).deallocate(seq)
+                seq.status = SequenceStatus.FINISHED
+                self.newly_finished.append(seq)
+                return True
+        for seq in self.running:
+            if seq.seq_id == seq_id:
+                self._finish(seq)
+                self.newly_finished.append(seq)
+                return True
+        return False
+
     def bms_can_allocate(self, seq: Sequence) -> bool:
         if not self.block_manager.can_allocate(seq):
             return False
