@@ -230,6 +230,9 @@ def main():
         # "int8" = weight-only quantization (utils/quant.py): halves the
         # weight bytes the decode streams per token.
         kw["quantization"] = os.environ["SSD_BENCH_QUANT"]
+    if os.environ.get("SSD_BENCH_MOE_GATHER") == "0":
+        # Dense all-expert control for the MoE decode gather path.
+        kw["moe_gather"] = False
     if os.environ.get("SSD_BENCH_PALLAS"):
         # "0" forces the jnp-gather attention path, "1" forces Pallas —
         # for measuring the kernel-launch overhead at short contexts.
@@ -305,6 +308,8 @@ def main():
     arch_sfx = "" if arch == "llama" else f"_{model_tag}"
     if os.environ.get("SSD_BENCH_QUANT"):
         arch_sfx += f"_{os.environ['SSD_BENCH_QUANT']}"
+    if os.environ.get("SSD_BENCH_MOE_GATHER") == "0":
+        arch_sfx += "_dense"
     key = f"decode_tok_s_{backend}_{mode}_b{batch}_o{out_len}{arch_sfx}"
     hist, best = {}, None
     if os.path.exists(hist_path):

@@ -95,6 +95,11 @@ class Config:
     dtype: str = "bfloat16"
     seed: int = 0
     use_pallas: bool | None = None  # None = auto (on for TPU backend)
+    # MoE decode-size dispatches gather only the selected experts' weight
+    # rows (models/transformer.py::_moe_mlp) — ~E/(T*k) x fewer HBM bytes at
+    # small batch. Auto-disabled under expert-parallel sharding (tp > 1);
+    # False forces the dense all-expert einsum everywhere (the control).
+    moe_gather: bool = True
     # Flat-packed ragged prefill: the whole mixed-length prefill batch as ONE
     # dispatch with exact per-token attention windows (the TPU-native form
     # of the reference's flash_attn_varlen_func packing) instead of one

@@ -525,6 +525,16 @@ class ModelRunner:
         self.block_size = config.kvcache_block_size
         self.max_blocks = config.max_blocks
         self.mesh = mesh
+        if getattr(self.arch, "num_experts", 0) and (
+            not config.moe_gather
+            or (mesh is not None and mesh.shape.get("tp", 1) > 1)
+        ):
+            # Expert weights are sharded over tp (expert parallelism): the
+            # decode-time selected-expert gather would make GSPMD move whole
+            # weight shards across the mesh — keep the dense all-expert form.
+            import dataclasses
+
+            self.arch = dataclasses.replace(self.arch, moe_gather=False)
         self.dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
         # Pallas kernels: auto-on for the TPU backend, jnp reference elsewhere.
         self.use_pallas = (

@@ -51,6 +51,10 @@ class Arch:
     num_experts_per_tok: int = 0
     moe_intermediate_size: int = 0
     norm_topk_prob: bool = False
+    # Decode-size MoE dispatches gather only the selected experts' weights
+    # (see _moe_mlp). The engine clears this under expert-parallel sharding,
+    # where gathering across the sharded expert axis would move weight shards.
+    moe_gather: bool = True
 
     @classmethod
     def from_model_config(cls, mc: ModelConfig) -> "Arch":
@@ -142,17 +146,23 @@ def _mm(x: jnp.ndarray, lp: dict, name: str) -> jnp.ndarray:
     return y if s is None else y * s.astype(y.dtype)
 
 
-def _moe_mlp(x: jnp.ndarray, lp: dict, arch: Arch) -> jnp.ndarray:
+def _moe_mlp(x: jnp.ndarray, lp: dict, arch: Arch,
+             side: dict | None = None,
+             layer: jnp.ndarray | None = None) -> jnp.ndarray:
     """Sparse MoE feed-forward (HF Qwen3MoeSparseMoeBlock semantics: fp32
     softmax router, top-k, optional renormalisation, weighted expert sum).
 
-    TPU shape: ALL experts run as one batched einsum and the top-k selection
-    becomes a [T, E] combine matrix. At decode batch sizes the layer is
-    weight-read-bound, and every expert's weights stream from HBM exactly
-    once — the extra (E/k)x FLOPs are free next to the HBM time, and there is
-    no ragged gather/scatter for the compiler to choke on. Expert weights
-    shard over the mesh's tp axis (expert parallelism); the combine
-    contraction reduces over E, so GSPMD inserts the all-reduce.
+    TPU shape, picked per dispatch size at trace time:
+    - T*k < E (decode): gather the selected experts' weight rows and run
+      T*k batched GEMVs — reads only the needed expert bytes from HBM,
+      which is what bounds decode throughput.
+    - T*k >= E (prefill): ALL experts run as one batched einsum and the
+      top-k selection becomes a [T, E] combine matrix — every expert's
+      weights stream from HBM exactly once, MXU-shaped dots, no ragged
+      gather/scatter. Expert weights shard over the mesh's tp axis (expert
+      parallelism); the combine contraction reduces over E, so GSPMD
+      inserts the all-reduce. Under that sharding the gather path is
+      disabled (arch.moe_gather, cleared by the engine).
 
     Known trade-off: long PREFILL dispatches are FLOPs-bound, where the dense
     all-expert form pays (E/k)x the ideal MLP compute and inflates TTFT. The
@@ -168,6 +178,46 @@ def _moe_mlp(x: jnp.ndarray, lp: dict, arch: Arch) -> jnp.ndarray:
     if arch.norm_topk_prob:
         top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
     top_w = top_w.astype(x.dtype)
+
+    if side is not None:
+        # Decode-size dispatches (T*k < E, a trace-time fact): gather ONLY
+        # the selected experts' weight rows. The dense all-expert einsum
+        # below streams every expert from HBM — optimal once T*k >= E
+        # (prefill), but at decode it reads E/(T*k) x the needed bytes and
+        # the layer is weight-read-bound. The rows come from `side`, the
+        # FULL flat [L*E, ...] expert stack closed over by the scan — NOT
+        # from the per-layer scanned slice `lp`: a scanned slice feeding a
+        # data-dependent gather materializes the whole slice (measured 2x
+        # WORSE than dense on-chip), while gathering [layer*E + expert]
+        # rows from the invariant stack is the embedding-lookup pattern and
+        # reads only the selected bytes.
+        # Lowering note (measured on the v5e): a data-dependent jnp.take of
+        # these rows lowers to a catastrophically slow gather (~159 ms vs
+        # ~2.1 ms per forward at Qwen3-MoE-3B geometry); an UNROLLED
+        # dynamic-slice per selected row, fused straight into its GEMV,
+        # reads just the row's bytes. The unroll count T*k is a trace-time
+        # constant (the gather path is capped at 32 rows in forward_hidden).
+        fi = (layer * E + top_i).reshape(-1)                 # [T*k]
+
+        def row_mm(a, name, n):  # a [in] @ expert-row n of `name` -> [out]
+            w = jax.lax.dynamic_index_in_dim(side[name], fi[n], 0,
+                                             keepdims=False)
+            y = a @ w.astype(a.dtype)
+            s = side.get(name + "_scale")
+            if s is None:
+                return y
+            return y * jax.lax.dynamic_index_in_dim(
+                s, fi[n], 0, keepdims=False
+            ).astype(y.dtype)
+
+        eo = []
+        for n in range(T * k):
+            xa = x[n // k]
+            gu = silu_mul(row_mm(xa, "moe_gate", n), row_mm(xa, "moe_up", n))
+            eo.append(row_mm(gu, "moe_down", n))
+        eo = jnp.stack(eo).reshape(T, k, -1)                 # [T, k, D]
+        return jnp.einsum("tkd,tk->td", eo, top_w)
+
     combine = jnp.zeros((T, E), x.dtype).at[
         jnp.arange(T)[:, None], top_i
     ].add(top_w)                                             # [T, E]
@@ -204,6 +254,22 @@ def forward_hidden(
     Hq, Hkv, hd = arch.num_heads, arch.num_kv_heads, arch.head_dim
     eps = arch.rms_norm_eps
 
+    # MoE decode-size gather (see _moe_mlp): the expert weights stay OUT of
+    # the scan xs, flattened to [L*E, ...] and indexed by layer*E + expert.
+    _MOE_SIDE = ("moe_gate", "moe_up", "moe_down",
+                 "moe_gate_scale", "moe_up_scale", "moe_down_scale")
+    moe_side = None
+    layers_xs = params["layers"]
+    if (arch.num_experts and arch.moe_gather
+            and T * arch.num_experts_per_tok < arch.num_experts
+            and T * arch.num_experts_per_tok <= 32):  # unroll-size cap
+        moe_side = {
+            k: v.reshape((-1,) + v.shape[2:])
+            for k, v in params["layers"].items() if k in _MOE_SIDE
+        }
+        layers_xs = {k: v for k, v in params["layers"].items()
+                     if k not in _MOE_SIDE}
+
     hidden = jnp.take(params["embed"], input_ids, axis=0)
     if "embed_scale" in params:  # int8 weight-only (utils/quant.py)
         cdt = params["final_ln"].dtype
@@ -215,7 +281,7 @@ def forward_hidden(
 
     def body(carry, xs):
         hidden, residual = carry
-        lp, kv_layer = xs
+        lp, kv_layer, li = xs
 
         # --- attention block ---
         x, residual = rms_norm_residual(hidden, residual, lp["input_ln"], eps)
@@ -233,21 +299,25 @@ def forward_hidden(
         # --- MLP block ---
         x, residual = rms_norm_residual(hidden, residual, lp["post_ln"], eps)
         if arch.num_experts:
-            hidden = _moe_mlp(x, lp, arch)
+            hidden = _moe_mlp(x, lp, arch, side=moe_side, layer=li)
         else:
             hidden = _mm(silu_mul(_mm(x, lp, "gate"), _mm(x, lp, "up")),
                          lp, "down")
         return (hidden, residual), kv_layer
 
+    L = arch.num_layers
+    layer_ids = jnp.arange(L, dtype=jnp.int32)
+
     def scan_segment(carry, lo, hi):
-        seg_params = jax.tree.map(lambda x: x[lo:hi], params["layers"])
-        carry, kv_seg = jax.lax.scan(body, carry, (seg_params, kv_cache[lo:hi]))
+        seg_params = jax.tree.map(lambda x: x[lo:hi], layers_xs)
+        carry, kv_seg = jax.lax.scan(
+            body, carry, (seg_params, kv_cache[lo:hi], layer_ids[lo:hi])
+        )
         return carry, kv_seg
 
-    L = arch.num_layers
     if not eagle_layers:
         (hidden, residual), kv_cache = jax.lax.scan(
-            body, (hidden, residual), (params["layers"], kv_cache)
+            body, (hidden, residual), (layers_xs, kv_cache, layer_ids)
         )
         hidden = (hidden.astype(jnp.float32) + residual.astype(jnp.float32)).astype(hidden.dtype)
         return hidden, kv_cache

@@ -78,6 +78,19 @@ def test_qwen3_moe_expert_parallel_tp4(moe_dir):
     assert [o["token_ids"] for o in outs1] == [o["token_ids"] for o in outs4]
 
 
+def test_qwen3_moe_gather_matches_dense(moe_dir):
+    """The decode-size selected-expert weight gather (moe_gather, the
+    default: reads only the top-k experts' rows per token) and the dense
+    all-expert einsum control produce identical greedy outputs."""
+    eng_g = _engine(moe_dir)
+    eng_d = _engine(moe_dir, moe_gather=False)
+    prompts = [random_prompt(rng(41), 8, 20) for _ in range(2)]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=20, ignore_eos=True)
+    outs_g, _ = eng_g.generate([list(p) for p in prompts], sp, use_tqdm=False)
+    outs_d, _ = eng_d.generate([list(p) for p in prompts], sp, use_tqdm=False)
+    assert [o["token_ids"] for o in outs_g] == [o["token_ids"] for o in outs_d]
+
+
 def test_qwen3_moe_sync_sd_self_draft_exact(moe_dir):
     """Speculative decoding over an MoE target (self-draft): exactness holds
     and every speculated token is accepted at temp 0."""
