@@ -276,8 +276,10 @@ def main():
     sp = SamplingParams(temperature=0.0, max_new_tokens=out_len, ignore_eos=True)
 
     # Warmup: pre-compile all decode buckets + a short generate for the
-    # prefill buckets, outside the timed window.
-    engine.warmup()
+    # prefill buckets, outside the timed window. prefill_s_pads=() skips the
+    # default full flat-prefill ladder (~18 one-time tunnel compiles this
+    # fixed-shape bench never hits): the warm generate covers its buckets.
+    engine.warmup(prefill_s_pads=())
     engine.generate(
         [p[:] for p in prompts],
         SamplingParams(temperature=0.0, max_new_tokens=4, ignore_eos=True),
@@ -308,7 +310,9 @@ def main():
     arch_sfx = "" if arch == "llama" else f"_{model_tag}"
     if os.environ.get("SSD_BENCH_QUANT"):
         arch_sfx += f"_{os.environ['SSD_BENCH_QUANT']}"
-    if os.environ.get("SSD_BENCH_MOE_GATHER") == "0":
+    if os.environ.get("SSD_BENCH_MOE_GATHER") == "0" and arch == "qwen3moe":
+        # MoE-only control flag; on expert-free arches it is a no-op and must
+        # not fork a mislabeled history series.
         arch_sfx += "_dense"
     key = f"decode_tok_s_{backend}_{mode}_b{batch}_o{out_len}{arch_sfx}"
     hist, best = {}, None

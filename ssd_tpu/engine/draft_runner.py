@@ -45,8 +45,11 @@ import jax.numpy as jnp
 from ssd_tpu.config import Config
 from ssd_tpu.engine.model_runner import (
     ModelRunner,
-    chain_decode_step,
+    _f32,
+    _key_from,
+    chain_decode_step_packed,
     next_pow2,
+    pack_i32,
     slot_of,
 )
 from ssd_tpu.models.transformer import Arch, compute_logits, forward_hidden
@@ -92,9 +95,11 @@ def tree_build_program(
 ):
     """Build next step's speculation tree in a single XLA program.
 
-    Returns (fork_tokens [B, MQ_LEN], fan_idx_rows [B, MQ_LEN],
-             spec_tokens [B, MQ_LEN, K], spec_logits [B, MQ_LEN, K, V],
-             glue_logits [B, K+1, V], kv).
+    Returns (host_out int32 [B*MQ_LEN*(1+K)] = [fork_tokens | spec_tokens] —
+             the ONE packed device->host payload the cache rebuild needs
+             (fan_idx is deterministic from cache_hits, so the host computes
+             it itself), spec_logits [B, MQ_LEN, K, V], glue_logits [B, K+1, V],
+             kv).
 
     Geometry (reference draft_runner.py:416-731): with base = num_tokens-1,
     the draft cache layout per sequence is
@@ -197,8 +202,56 @@ def tree_build_program(
         tree_step, (kv_cache, fork_tokens.reshape(-1)), jnp.arange(K)
     )
     spec_tokens = toks.transpose(1, 0).reshape(B, MQ_LEN, K)
-    spec_logits = logits.transpose(1, 0, 2).reshape(B, MQ_LEN, K, -1)
-    return fork_tokens, fan_idx_rows, spec_tokens, spec_logits, glue_logits, kv_cache
+    # Cache-row-major layout [B*MQ, K, V]: row b*MQ+r is tree row r of seq b,
+    # matching the host-side key order, so service() gathers by flat index.
+    spec_logits = logits.transpose(1, 0, 2).reshape(B * MQ_LEN, K, -1)
+    host_out = jnp.concatenate(
+        [fork_tokens.reshape(-1), spec_tokens.reshape(-1)]
+    ).astype(jnp.int32)
+    return host_out, spec_logits, glue_logits, kv_cache
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "arch", "block_size", "ctx_pad", "K", "MQ_LEN", "B_pad", "M",
+        "fan_out_list", "fan_out_list_miss", "sampler_x", "F", "use_pallas",
+        "use_warp",
+    ),
+    donate_argnames=("kv_cache",),
+)
+def tree_build_packed(
+    params, kv_cache, packed, *,
+    arch: Arch, block_size: int, ctx_pad: int, K: int, MQ_LEN: int,
+    B_pad: int, M: int,
+    fan_out_list: tuple[int, ...], fan_out_list_miss: tuple[int, ...],
+    sampler_x: float | None, F: int,
+    use_pallas: bool = False, use_warp: bool = False,
+):
+    """tree_build_program with one flat int32 payload — the draft-side
+    analogue of the reference fusing its whole handshake into one NCCL burst
+    (nccl_pack.py:5-32): [glue_ids(B*(K+1)) | base(B) | bt(B*M) | hits(B) |
+    temp_bits(B) | (top_p_bits(B) | top_k(B) when use_warp) | seed(1)]."""
+    B = B_pad
+    T = B * (K + 1)
+    bt_end = T + B + B * M
+    o = bt_end + 2 * B
+    warp = ((_f32(packed[o:o + B]), packed[o + B:o + 2 * B])
+            if use_warp else (None, None))
+    o += 2 * B if use_warp else 0
+    return tree_build_program(
+        params, kv_cache,
+        packed[:T], packed[T:T + B],
+        packed[T + B:bt_end].reshape(B, M),
+        packed[bt_end:bt_end + B],
+        _f32(packed[bt_end + B:bt_end + 2 * B]),
+        warp[0], warp[1],
+        _key_from(packed[o]),
+        arch=arch, block_size=block_size, ctx_pad=ctx_pad, K=K,
+        MQ_LEN=MQ_LEN, fan_out_list=fan_out_list,
+        fan_out_list_miss=fan_out_list_miss, sampler_x=sampler_x, F=F,
+        use_pallas=use_pallas,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -234,17 +287,17 @@ class SpecResponse:
 
 
 
-def _pad_warp(req: "SpecRequest", B_pad: int):
-    """Pad the request's top-p/top-k arrays to the batch bucket (ghost rows
-    pass through: top_p=1, top_k=0), or (None, None) when warping is off."""
+def _warp_np(req: "SpecRequest", B_pad: int) -> tuple[np.ndarray, ...]:
+    """Numpy top-p/top-k payload segments padded to the batch bucket (ghost
+    rows pass through: top_p=1, top_k=0); () when warping is off."""
     if req.top_ps is None:
-        return None, None
+        return ()
     B = req.top_ps.shape[0]
     tp = np.ones(B_pad, np.float32)
     tp[:B] = req.top_ps
     tk = np.zeros(B_pad, np.int32)
     tk[:B] = req.top_ks
-    return jnp.asarray(tp), jnp.asarray(tk)
+    return (tp, tk)
 
 class DraftRunner(ModelRunner):
     """Draft-model execution + the tensor-keyed speculation tree cache."""
@@ -316,7 +369,10 @@ class DraftRunner(ModelRunner):
     # --- spec-request service (reference hit_cache_and_respond, :186-286) ---
 
     def _jit_chain(self, req: SpecRequest) -> tuple[np.ndarray, jax.Array]:
-        """Cache-miss fallback: K real draft decodes as one chain program."""
+        """Cache-miss fallback: K real draft decodes as one chain program,
+        fed by ONE packed int32 upload. Returns B_pad-row logits (the fused
+        verify program consumes the same batch bucket; ghost rows are never
+        ratio-accepted)."""
         B = req.cache_keys.shape[0]
         B_pad = next_pow2(B)
         first = np.zeros(B_pad, dtype=np.int32)
@@ -329,18 +385,19 @@ class DraftRunner(ModelRunner):
         ctx0[:B] = req.num_tokens
         temps[:B] = req.temperatures
         bt[:B] = req.block_tables
-        tp, tk = _pad_warp(req, B_pad)
         ctx_pad = self._ctx_bucket(int(ctx0.max()) + self.K + 1)
-        self.key, sub = jax.random.split(self.key)
-        tokens, logits_q, self.kv_cache = chain_decode_step(
-            self.params, self.kv_cache,
-            jnp.asarray(first), jnp.asarray(start_pos), jnp.asarray(bt),
-            jnp.asarray(ctx0), jnp.asarray(temps), sub, tp, tk,
+        payload = pack_i32(first, start_pos, bt, ctx0, temps,
+                           *_warp_np(req, B_pad),
+                           np.int32([self._next_seed()]))
+        tokens, logits_q, self.kv_cache = chain_decode_step_packed(
+            self.params, self.kv_cache, self._upload(payload),
             arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad,
-            K=self.K, sampler_x=self.sampler_x, fan_out=self.F,
+            K=self.K, B_pad=B_pad, M=bt.shape[1],
+            sampler_x=self.sampler_x, fan_out=self.F,
             tree_sampling=True, use_pallas=self.use_pallas,
+            use_warp=self.use_warp,
         )
-        return np.asarray(tokens)[:B], logits_q[:B], None
+        return np.asarray(tokens)[:B], logits_q, None
 
     def service(self, req: SpecRequest) -> SpecResponse:
         B = req.cache_keys.shape[0]
@@ -361,27 +418,39 @@ class DraftRunner(ModelRunner):
             tokens, logits_q, acts = self._jit_chain(req)
             return SpecResponse(hits, tokens.astype(np.int64), logits_q, acts)
 
-        # Miss rows: random valid tokens, flat (zero) logits — verify() ignores
-        # q on miss rows (greedy acceptance), reference inits them randomly
-        # (draft_runner.py:193-194).
+        # Miss rows: random valid tokens, stale cached logits — verify()
+        # ignores q on miss rows (greedy acceptance; ratio_rows masks on
+        # cache_hits), reference inits them randomly (draft_runner.py:193-194).
         tokens = self._rng.integers(0, V, size=(B, K), dtype=np.int64)
         acts = None
+        B_pad = next_pow2(B)
         if hits.any():
             cached = self.tree_cache_tokens[idx]          # [B, K] (garbage on miss)
             tokens = np.where(hits[:, None].astype(bool), cached, tokens)
-            gathered = self.tree_cache_logits[jnp.asarray(idx)]  # [B, K, V]
-            logits_q = jnp.where(
-                jnp.asarray(hits)[:, None, None].astype(bool), gathered, 0.0
-            )
+            # ONE gather dispatch at the verifier's batch bucket; miss/ghost
+            # rows carry stale-but-finite logits that verify() never consults.
+            idx_pad = np.zeros(B_pad, dtype=np.int64)
+            idx_pad[:B] = idx
+            logits_q = self.tree_cache_logits[jnp.asarray(idx_pad)]  # [B_pad, K, V]
             if self.tree_cache_acts is not None:
                 acts = self.tree_cache_acts[jnp.asarray(idx)]  # all-hit in EAGLE
         else:
-            logits_q = jnp.zeros((B, K, V), jnp.float32)
+            logits_q = jnp.zeros((B_pad, K, V), jnp.float32)
             if self.device is not None:
                 logits_q = jax.device_put(logits_q, self.device)
         return SpecResponse(hits, tokens, logits_q, acts)
 
     # --- tree rebuild (reference _build_tree_batch/_decode_tree/_populate) ---
+
+    def _fan_rows(self, hits: np.ndarray) -> np.ndarray:
+        """[B, MQ_LEN] glue depth per tree row — deterministic from the hit
+        flags (fan_index of the hit vs miss fan-out list), so the host never
+        reads it back from the device."""
+        fan_hit = fan_index(list(self.fan_out_list))
+        fan_miss = fan_index(list(self.fan_out_list_miss))
+        return np.where(
+            hits.astype(bool)[:, None], fan_hit[None, :], fan_miss[None, :]
+        )
 
     def build_tree(self, req: SpecRequest, resp: SpecResponse):
         B = req.cache_keys.shape[0]
@@ -399,39 +468,45 @@ class DraftRunner(ModelRunner):
         hits[:B] = resp.cache_hits
         temps = np.ones(B_pad, dtype=np.float32)
         temps[:B] = req.temperatures
-        tp, tk = _pad_warp(req, B_pad)
 
         ctx_pad = self._ctx_bucket(int(base.max()) + 1 + (K + 1) + K * MQ)
-        self.key, sub = jax.random.split(self.key)
-        fork_tokens, fan_idx_rows, spec_tokens, spec_logits, glue_logits, self.kv_cache = (
-            tree_build_program(
-                self.params, self.kv_cache,
-                jnp.asarray(glue_ids.reshape(-1)), jnp.asarray(base),
-                jnp.asarray(bt), jnp.asarray(hits), jnp.asarray(temps),
-                tp, tk, sub,
-                arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad,
-                K=K, MQ_LEN=MQ,
-                fan_out_list=self.fan_out_list,
-                fan_out_list_miss=self.fan_out_list_miss,
-                sampler_x=self.sampler_x, F=self.F,
-                use_pallas=self.use_pallas,
-            )
+        payload = pack_i32(glue_ids, base, bt, hits, temps,
+                           *_warp_np(req, B_pad),
+                           np.int32([self._next_seed()]))
+        host_out, spec_logits, glue_logits, self.kv_cache = tree_build_packed(
+            self.params, self.kv_cache, self._upload(payload),
+            arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad,
+            K=K, MQ_LEN=MQ, B_pad=B_pad, M=bt.shape[1],
+            fan_out_list=self.fan_out_list,
+            fan_out_list_miss=self.fan_out_list_miss,
+            sampler_x=self.sampler_x, F=self.F,
+            use_pallas=self.use_pallas, use_warp=self.use_warp,
         )
 
         # Debug/test hook: glue logits at depth j must equal the chain logits
         # that produced spec_j (same tokens, positions, KV) — the reference's
-        # glue-vs-cached equivalence invariant (tests.py:68-126).
-        self._last_glue_logits = glue_logits[:B]
+        # glue-vs-cached equivalence invariant (tests.py:68-126). Device
+        # array at B_pad rows; tests slice.
+        self._last_glue_logits = glue_logits
 
-        # Cache population: keys host-side, logits stay on the draft device.
+        # Cache population: ONE device->host readback ([fork | spec] tokens,
+        # transfer started async so the wait overlaps the target's verify);
+        # fan indices are recomputed host-side; logits stay on the device.
+        try:
+            host_out.copy_to_host_async()
+        except AttributeError:
+            pass
         seq_ids = np.repeat(req.cache_keys[:, 0], MQ)               # [B*MQ]
-        fan_np = np.asarray(fan_idx_rows)[:B].reshape(-1)           # [B*MQ]
-        fork_np = np.asarray(fork_tokens)[:B].reshape(-1)           # [B*MQ]
+        fan_np = self._fan_rows(hits[:B]).reshape(-1)               # [B*MQ]
+        out_np = np.asarray(host_out)
+        fork_np = out_np[:B_pad * MQ].reshape(B_pad, MQ)[:B].reshape(-1)
         self.tree_cache_keys = np.stack(
             [seq_ids, fan_np.astype(np.int64), fork_np.astype(np.int64)], axis=1
         )
-        self.tree_cache_tokens = np.asarray(spec_tokens)[:B].reshape(B * MQ, K)
-        self.tree_cache_logits = spec_logits[:B].reshape(B * MQ, K, -1)
+        self.tree_cache_tokens = (
+            out_np[B_pad * MQ:].reshape(B_pad, MQ, K)[:B].reshape(B * MQ, K)
+        )
+        self.tree_cache_logits = spec_logits  # [B_pad*MQ, K, V], row b*MQ+r
 
 
 class DraftServer:
@@ -504,6 +579,9 @@ class DraftServer:
             cmd, payload = self._req_q.get()
             if cmd == "exit":
                 break
+            if cmd == "sync":
+                payload.set()
+                continue
             try:
                 if cmd == "prefill":
                     input_id_lists, block_tables, seq_ids, acts_list = payload
@@ -607,6 +685,13 @@ class DraftServer:
         if isinstance(resp, Exception):
             raise RuntimeError("draft server failed") from resp
         return resp
+
+    def drain(self, timeout: float = 120.0):
+        """Block until every queued draft command has been processed (test /
+        shutdown hook; the serving path never waits on the tree build)."""
+        ev = threading.Event()
+        self._req_q.put(("sync", ev))
+        ev.wait(timeout=timeout)
 
     def warmup(self, batch_pads=(1,)):
         """Pre-compile every replica's jit-chain and tree-build programs with

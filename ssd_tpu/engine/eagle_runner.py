@@ -197,8 +197,9 @@ def eagle_tree_build_program(
 ):
     """EAGLE glue + fork + tree in one XLA program.
 
-    Returns (fork_tokens [B,MQ], fan_idx_rows [B,MQ], spec_tokens [B,MQ,K],
-    spec_logits [B,MQ,K,V], spec_acts [B,MQ,K,D], kv).
+    Returns (host_out int32 [B*MQ*(1+K)] = [fork_tokens | spec_tokens] — the
+    single device->host payload, as in the plain tree_build_program —
+    spec_logits [B*MQ,K,V], spec_acts [B*MQ,K,D], kv).
     """
     B, W = glue_tokens.shape  # W = 2K+1
     Kp1 = K + 1
@@ -297,9 +298,12 @@ def eagle_tree_build_program(
         tree_step, (kv_cache, fork_tokens.reshape(-1), cond0), jnp.arange(K)
     )
     spec_tokens = toks.transpose(1, 0).reshape(B, MQ_LEN, K)
-    spec_logits = logits.transpose(1, 0, 2).reshape(B, MQ_LEN, K, -1)
-    spec_acts = prenorms.transpose(1, 0, 2).reshape(B, MQ_LEN, K, -1)
-    return fork_tokens, fan_idx_rows, spec_tokens, spec_logits, spec_acts, kv_cache
+    spec_logits = logits.transpose(1, 0, 2).reshape(B * MQ_LEN, K, -1)
+    spec_acts = prenorms.transpose(1, 0, 2).reshape(B * MQ_LEN, K, -1)
+    host_out = jnp.concatenate(
+        [fork_tokens.reshape(-1), spec_tokens.reshape(-1)]
+    ).astype(jnp.int32)
+    return host_out, spec_logits, spec_acts, kv_cache
 
 
 class EagleDraftRunner(DraftRunner):
@@ -409,7 +413,9 @@ class EagleDraftRunner(DraftRunner):
             K=self.K, sampler_x=self.sampler_x, F=self.F,
             use_pallas=self.use_pallas,
         )
-        return np.asarray(tokens)[:B], logits[:B], prenorms[:B]
+        # Logits stay at B_pad rows (the fused verify program's bucket);
+        # activations feed only the draft's own tree build, at true B.
+        return np.asarray(tokens)[:B], logits, prenorms[:B]
 
     # --- tree rebuild --------------------------------------------------------
 
@@ -458,7 +464,7 @@ class EagleDraftRunner(DraftRunner):
 
         ctx_pad = self._ctx_bucket(int(base.max()) + 1 + (K + 1) + K * MQ)
         self.key, sub = jax.random.split(self.key)
-        fork_tokens, fan_idx_rows, spec_tokens, spec_logits, spec_acts, self.kv_cache = (
+        host_out, spec_logits, spec_acts, self.kv_cache = (
             eagle_tree_build_program(
                 self.params, self.kv_cache,
                 jnp.asarray(glue_tokens), jnp.asarray(glue_fc_acts), prev,
@@ -473,12 +479,20 @@ class EagleDraftRunner(DraftRunner):
             )
         )
 
+        # ONE device->host readback; fan indices recomputed host-side.
+        try:
+            host_out.copy_to_host_async()
+        except AttributeError:
+            pass
         seq_ids = np.repeat(req.cache_keys[:, 0], MQ)
-        fan_np = np.asarray(fan_idx_rows)[:B].reshape(-1)
-        fork_np = np.asarray(fork_tokens)[:B].reshape(-1)
+        fan_np = self._fan_rows(hits[:B]).reshape(-1)
+        out_np = np.asarray(host_out)
+        fork_np = out_np[:B_pad * MQ].reshape(B_pad, MQ)[:B].reshape(-1)
         self.tree_cache_keys = np.stack(
             [seq_ids, fan_np.astype(np.int64), fork_np.astype(np.int64)], axis=1
         )
-        self.tree_cache_tokens = np.asarray(spec_tokens)[:B].reshape(B * MQ, K)
-        self.tree_cache_logits = spec_logits[:B].reshape(B * MQ, K, -1)
-        self.tree_cache_acts = spec_acts[:B].reshape(B * MQ, K, -1)
+        self.tree_cache_tokens = (
+            out_np[B_pad * MQ:].reshape(B_pad, MQ, K)[:B].reshape(B * MQ, K)
+        )
+        self.tree_cache_logits = spec_logits  # [B_pad*MQ, K, V]
+        self.tree_cache_acts = spec_acts      # [B_pad*MQ, K, D]

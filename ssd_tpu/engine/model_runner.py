@@ -956,7 +956,9 @@ class ModelRunner:
     def run_chain(self, seqs: list[Sequence], K: int, extra_write: bool | None = None):
         """Draft speculation chain: K+1 decodes in one dispatch. Sequences must
         already carry the recovery token as their last token. Returns
-        (tokens [B, K] np, logits_q [B, K, V] device array)."""
+        (tokens [B, K] np, logits_q [B_pad, K, V] device array — kept at the
+        batch bucket so the fused verify program consumes it without a
+        slice dispatch)."""
         draft = self.is_draft
         B = len(seqs)
         B_pad = next_pow2(B)
@@ -986,7 +988,7 @@ class ModelRunner:
             extra_write=self.is_draft if extra_write is None else extra_write,
             use_warp=self.use_warp,
         )
-        return np.asarray(tokens)[:B], logits_q[:B]
+        return np.asarray(tokens)[:B], logits_q
 
     def _ctx_buckets(self) -> list[int]:
         limit = self.max_blocks * self.block_size
@@ -1086,6 +1088,53 @@ class ModelRunner:
                         T_pad=T_pad, P_pad=P_pad, B_pad=B_pad,
                         use_pallas=self.use_pallas, use_warp=self.use_warp,
                     )
+        if last is not None:
+            jax.block_until_ready(last)
+
+    def warmup_flat_prefill(self, batch_pads=(1,)):
+        """Pre-compile every (T_pad, P_pad, B_pad) flat-prefill bucket a
+        FRESH-prompt batch can hit, so the first real prompt of any length is
+        dispatch-bound, not compile-bound. For a batch of B <= B_pad fresh
+        prompts totalling T <= max_num_batched_tokens new tokens, the page
+        count lies in [ceil((T_pad/2+1)/bs), T_pad//bs + B], so the P_pad
+        ladder spans [pow2(T_pad//bs), pow2(T_pad//bs + B_pad)]. Prefix-cache
+        hits can still land outside (cached pages count toward P but not T);
+        the persistent XLA cache makes those compiles one-time per machine."""
+        if not self.config.flat_prefill or self.eagle_layers:
+            return
+        cap = min(self.config.max_num_batched_tokens,
+                  self.config.max_num_seqs * self.config.max_model_len)
+        bs = self.block_size
+        last = None
+        seed = np.int32([0])
+        for B_pad in batch_pads:
+            warp = ((np.ones(B_pad, np.float32), np.zeros(B_pad, np.int32))
+                    if self.use_warp else ())
+            temps = np.ones(B_pad, np.float32)
+            T_pad = next_pow2(max(8, B_pad))
+            while True:
+                p = next_pow2(max(2, T_pad // bs))
+                p_hi = next_pow2(max(2, T_pad // bs + B_pad))
+                while p <= p_hi:
+                    ghostT = np.full(T_pad, -1, np.int32)
+                    zerosT = np.zeros(T_pad, np.int32)
+                    last, _, self.kv_cache = flat_prefill_step_packed(
+                        self.params, self.kv_cache,
+                        jnp.asarray(pack_i32(
+                            zerosT, zerosT, ghostT,        # ids/pos/slots
+                            np.full(p, -1, np.int32),      # pages
+                            zerosT, zerosT,                # lo/hi
+                            np.zeros(B_pad, np.int32),     # gather
+                            temps, *warp, seed,
+                        )),
+                        arch=self.arch, block_size=self.block_size,
+                        T_pad=T_pad, P_pad=p, B_pad=B_pad,
+                        use_pallas=self.use_pallas, use_warp=self.use_warp,
+                    )
+                    p *= 2
+                if T_pad >= next_pow2(cap):
+                    break
+                T_pad *= 2
         if last is not None:
             jax.block_until_ready(last)
 

@@ -115,6 +115,8 @@ class SpeculatorAsync(SpeculatorBase):
         # Multi-controller serving cannot reshard a process-local device
         # array onto the global mesh directly, so it hops through the host
         # (every host's replica computed the identical logits).
+        # Draft replies carry B_pad rows (the fused verify program's batch
+        # bucket); ghost rows hold stale logits verify() never consults.
         multihost = jax.process_count() > 1
         tokens = np.zeros((B, K), dtype=np.int64)
         cache_hits = np.zeros(B, dtype=np.int64)
@@ -129,10 +131,12 @@ class SpeculatorAsync(SpeculatorBase):
         if len(part_logits) == 1:
             logits_q = part_logits[0][1]
         else:
+            from ssd_tpu.engine.model_runner import next_pow2
+
             V = part_logits[0][1].shape[-1]
-            logits_q = jnp.zeros((B, K, V), part_logits[0][1].dtype)
+            logits_q = jnp.zeros((next_pow2(B), K, V), part_logits[0][1].dtype)
             for rows, lp in part_logits:
-                logits_q = logits_q.at[jnp.asarray(rows)].set(lp)
+                logits_q = logits_q.at[jnp.asarray(rows)].set(lp[:len(rows)])
             logits_q = jax.device_put(logits_q, self.target_sharding)
 
         speculations = np.concatenate([keys[:, 2:3], tokens], axis=1)  # [B, K+1]

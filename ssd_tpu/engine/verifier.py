@@ -2,13 +2,22 @@
 
 Parity: /root/reference/ssd/engine/verifier.py — one multi-query forward over
 the K+1 [recovery | spec] tokens per sequence, then rejection-sampling
-verify(); tracks acceptance metrics. The verify math runs on-device
-(ssd_tpu.ops.verify) and only the small accept/recovery vectors cross to the
-host.
+verify(); tracks acceptance metrics.
+
+TPU-native re-design: the verify forward AND the verify() rejection-sampling
+math fuse into ONE jitted program (`verify_step_packed`) taking a single
+packed int32 payload and the draft's [B,K,V] logits, and returning a single
+packed int32 [accept_until | recovery] vector — so a full verification costs
+one upload, one dispatch, and one host readback. The reference pays a
+CUDA-graph replay plus a separate host-side verify() with its own transfers
+(verifier.py:65-106, utils/verify.py); on a high-latency dispatch path (any
+remote/tunneled runtime) collapsing those round-trips is the difference
+between the async flagship being RTT-bound and compute-bound.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from time import perf_counter
 
 import numpy as np
@@ -17,9 +26,87 @@ import jax
 import jax.numpy as jnp
 
 from ssd_tpu.engine.helpers.speculate_types import SpeculateResult, VerifierBase, VerifyResult
-from ssd_tpu.engine.model_runner import ModelRunner
+from ssd_tpu.engine.model_runner import (
+    ModelRunner,
+    _f32,
+    _key_from,
+    decode_step,
+    next_pow2,
+    pack_i32,
+)
 from ssd_tpu.engine.sequence import Sequence
 from ssd_tpu.ops.verify import build_suffixes, verify
+
+
+@partial(
+    jax.jit,
+    static_argnames=("arch", "block_size", "ctx_pad", "K", "B_pad", "M",
+                     "jit_speculate", "sampler_x", "async_fan_out",
+                     "use_pallas", "eagle_layers", "use_warp", "has_hits"),
+    donate_argnames=("kv_cache",),
+)
+def verify_step_packed(
+    params, kv_cache, logits_q, packed, *,
+    arch, block_size: int, ctx_pad: int, K: int, B_pad: int, M: int,
+    jit_speculate: bool = False, sampler_x: float | None = None,
+    async_fan_out: int | None = None, use_pallas: bool = False,
+    eagle_layers: tuple[int, ...] | None = None, use_warp: bool = False,
+    has_hits: bool = True,
+):
+    """Fused target verify: K+1 multi-query forward + verify() in one program.
+
+    packed = [ids(B*(K+1)) | pos(B*(K+1)) | slots(B*(K+1)) | bt(B*M) | ctx(B) |
+              temps_t_bits(B) | temps_q_bits(B) | hits(B) |
+              (top_p_bits(B) | top_k(B) when use_warp) | seed(1)]
+
+    ids IS the speculation matrix [recovery | draft tokens] flattened, so no
+    separate speculations payload exists. Returns (packed_out int32 [2*B] =
+    [accept_until | recovery], eagle acts [B*(K+1), 3D] | None, kv_cache).
+    """
+    B = B_pad
+    Kp1 = K + 1
+    T = B * Kp1
+    bt_end = 3 * T + B * M
+    ids = packed[:T]
+    ctx = packed[bt_end:bt_end + B]
+    temps_t = _f32(packed[bt_end + B:bt_end + 2 * B])
+    temps_q = _f32(packed[bt_end + 2 * B:bt_end + 3 * B])
+    hits = packed[bt_end + 3 * B:bt_end + 4 * B]
+    o = bt_end + 4 * B
+    top_p = top_k = None
+    if use_warp:
+        top_p = _f32(packed[o:o + B])
+        top_k = packed[o + B:o + 2 * B]
+        o += 2 * B
+    key = _key_from(packed[o])
+
+    # The forward's own sampled token is unused -> XLA dead-code-eliminates
+    # the sampler; only the [B*(K+1), V] logits survive.
+    _, logits_p, acts, kv_cache = decode_step(
+        params, kv_cache,
+        ids, packed[T:2 * T], packed[2 * T:3 * T],
+        packed[3 * T:bt_end].reshape(B, M), ctx, temps_t,
+        jax.random.fold_in(key, 0),
+        arch=arch, block_size=block_size, ctx_pad=ctx_pad, q_len=Kp1,
+        use_pallas=use_pallas, eagle_layers=eagle_layers,
+    )
+    V = logits_p.shape[-1]
+    accept_until, recovery = verify(
+        logits_p.reshape(B, Kp1, V),
+        logits_q,
+        ids.reshape(B, Kp1),
+        temps_t, temps_q,
+        hits if has_hits else None,
+        jax.random.fold_in(key, 1),
+        jit_speculate=jit_speculate,
+        sampler_x=sampler_x,
+        async_fan_out=async_fan_out,
+        top_p=top_p, top_k=top_k,
+    )
+    packed_out = jnp.concatenate(
+        [accept_until.astype(jnp.int32), recovery.astype(jnp.int32)]
+    )
+    return packed_out, acts, kv_cache
 
 
 class Verifier(VerifierBase):
@@ -39,9 +126,6 @@ class Verifier(VerifierBase):
         self.async_fan_out = async_fan_out
         self.jit_speculate = jit_speculate
         self.metrics = metrics if metrics is not None else {}
-        self.key = jax.random.PRNGKey(
-            target_model_runner.config.seed + 0x5EED
-        )
 
     def prefill(self, seqs: list[Sequence], eagle: bool = False) -> VerifyResult:
         """Target prefill; in EAGLE mode also returns per-seq activation
@@ -65,67 +149,84 @@ class Verifier(VerifierBase):
     def verify(self, seqs: list[Sequence], speculate_result: SpeculateResult,
                eagle: bool = False) -> VerifyResult:
         t0 = perf_counter()
+        runner = self.target_model_runner
         B = len(seqs)
         K = self.lookahead
+        Kp1 = K + 1
 
-        eagle_acts = None
-        if eagle:
-            _, logits_p, eagle_acts = self.target_model_runner.run_decode(
-                seqs, q_len=K + 1, return_logits=True, return_acts=True
-            )  # logits [B, K+1, V] device; acts [B, K+1, 3D] np
-        else:
-            _, logits_p = self.target_model_runner.run_decode(
-                seqs, q_len=K + 1, return_logits=True
-            )  # [B, K+1, V] device array
-
-        temps_t = np.asarray([s.temperature for s in seqs], dtype=np.float32)
-        temps_q = np.asarray(
-            [
-                s.draft_temperature if s.draft_temperature is not None else s.temperature
-                for s in seqs
-            ],
-            dtype=np.float32,
+        # The sequences already carry [recovery | draft tokens] as their last
+        # K+1 tokens (the speculator appended them), so the multi-query prep
+        # tensorises exactly the speculation matrix.
+        (input_ids, positions, slot_map, bt, context_lens, temps_t, B_pad) = (
+            runner._prepare_multi_query(seqs, Kp1, draft=False)
         )
-
+        temps_q = np.ones(B_pad, dtype=np.float32)
+        for i, s in enumerate(seqs):
+            temps_q[i] = (
+                s.draft_temperature if s.draft_temperature is not None
+                else s.temperature
+            )
         cache_hits = speculate_result.cache_hits
-        self.key, sub = jax.random.split(self.key)
-        # Host inputs travel through the runner's upload path: under
-        # num_hosts > 1 every jit input must be a GLOBAL array, and every
-        # host computes identical values (same scheduler state, same seed
-        # chain), so a fully-replicated device_put is correct.
-        up = self.target_model_runner._upload
-        if self.target_model_runner._payload_sharding is not None:
-            sub = up(np.asarray(sub))
-        top_p = top_k = None
-        if self.target_model_runner.use_warp:
-            top_p = up(np.asarray([s.top_p for s in seqs], dtype=np.float32))
-            top_k = up(np.asarray([s.top_k for s in seqs], dtype=np.int32))
-        accept_until, recovery = verify(
-            logits_p,
-            jnp.asarray(speculate_result.logits_q)
-            if isinstance(speculate_result.logits_q, jax.Array)
-            else up(np.asarray(speculate_result.logits_q)),
-            up(np.asarray(speculate_result.speculations)),
-            up(temps_t),
-            up(temps_q),
-            None if cache_hits is None else up(np.asarray(cache_hits)),
-            sub,
+        has_hits = cache_hits is not None
+        hits_np = np.zeros(B_pad, dtype=np.int32)
+        if has_hits:
+            hits_np[:B] = np.asarray(cache_hits, dtype=np.int32)
+
+        # Draft logits: device array at the verifier's batch bucket. The
+        # speculator paths produce B_pad rows already; pad the rare
+        # mismatched case (ghost rows are never ratio-accepted).
+        logits_q = speculate_result.logits_q
+        if not isinstance(logits_q, jax.Array):
+            lq = np.asarray(logits_q, dtype=np.float32)
+            full = np.zeros((B_pad, K, lq.shape[-1]), dtype=np.float32)
+            full[:lq.shape[0]] = lq
+            logits_q = runner._upload(full)
+        elif logits_q.shape[0] != B_pad:
+            logits_q = jnp.concatenate([
+                logits_q,
+                jnp.zeros((B_pad - logits_q.shape[0],) + logits_q.shape[1:],
+                          logits_q.dtype),
+            ])
+
+        ctx_pad = runner._ctx_bucket(int(context_lens.max()))
+        payload = pack_i32(
+            input_ids, positions, slot_map, bt, context_lens,
+            temps_t, temps_q, hits_np, *runner._warp_parts(seqs, B_pad),
+            np.int32([runner._next_seed()]),
+        )
+        packed_out, acts, runner.kv_cache = verify_step_packed(
+            runner.params, runner.kv_cache, logits_q,
+            runner._upload(payload),
+            arch=runner.arch, block_size=runner.block_size,
+            ctx_pad=ctx_pad, K=K, B_pad=B_pad, M=runner.max_blocks,
             jit_speculate=self.jit_speculate,
             sampler_x=self.sampler_x,
-            async_fan_out=self.async_fan_out if self.sampler_x is not None else None,
-            top_p=top_p, top_k=top_k,
+            async_fan_out=(
+                self.async_fan_out if self.sampler_x is not None else None
+            ),
+            use_pallas=runner.use_pallas,
+            eagle_layers=runner.eagle_layers,
+            use_warp=runner.use_warp,
+            has_hits=has_hits,
         )
+        # ONE host readback for the whole verification.
+        out_np = np.asarray(packed_out)
+        accept_until = out_np[:B_pad][:B]
+        recovery_tokens = out_np[B_pad:B_pad + B_pad][:B].tolist()
+
+        eagle_acts = None
+        if eagle and acts is not None:
+            eagle_acts = np.asarray(acts).reshape(B_pad, Kp1, -1)[:B]
 
         new_suffixes, _ = build_suffixes(
-            np.asarray(speculate_result.speculations), np.asarray(accept_until)
+            np.asarray(speculate_result.speculations), accept_until
         )
-        recovery_tokens = np.asarray(recovery).tolist()
 
         self.metrics.setdefault("target_verify_times", []).append(perf_counter() - t0)
         self.metrics.setdefault("accepted_suffix_lens_with_recovery", []).extend(
             [len(s) for s in new_suffixes]
         )
-        if cache_hits is not None:
+        if has_hits:
             ch = np.asarray(cache_hits)
             self.metrics.setdefault("cache_hits", []).append(float(ch.mean()))
             for i, n in enumerate(len(s) for s in new_suffixes):

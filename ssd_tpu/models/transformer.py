@@ -28,6 +28,13 @@ from ssd_tpu.ops.layers import apply_rope, rms_norm, rms_norm_residual, rope_cos
 AttnCall = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
                     tuple[jnp.ndarray, jnp.ndarray]]
 
+# MoE decode-size gather path: max T*k rows unrolled as per-row GEMVs (see
+# _moe_mlp). Crossing the cap switches a dispatch to the dense all-expert
+# einsum — outputs remain contract-exact (same math, same expert-index
+# accumulation order) but are not guaranteed bitwise-stable across the
+# boundary (different XLA kernels).
+MOE_GATHER_UNROLL_CAP = 32
+
 
 @dataclass(frozen=True)
 class Arch:
@@ -178,6 +185,13 @@ def _moe_mlp(x: jnp.ndarray, lp: dict, arch: Arch,
     if arch.norm_topk_prob:
         top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
     top_w = top_w.astype(x.dtype)
+    # Accumulate selected experts in EXPERT-INDEX order (not router-rank
+    # order): the dense control below reduces over the E axis in index
+    # order, and on real geometry (k=8, bf16) a different summation order
+    # can drift an ULP and flip a greedy argmax across dispatch paths.
+    order = jnp.argsort(top_i, axis=-1)
+    top_i = jnp.take_along_axis(top_i, order, axis=-1)
+    top_w = jnp.take_along_axis(top_w, order, axis=-1)
 
     if side is not None:
         # Decode-size dispatches (T*k < E, a trace-time fact): gather ONLY
@@ -196,7 +210,7 @@ def _moe_mlp(x: jnp.ndarray, lp: dict, arch: Arch,
         # ~2.1 ms per forward at Qwen3-MoE-3B geometry); an UNROLLED
         # dynamic-slice per selected row, fused straight into its GEMV,
         # reads just the row's bytes. The unroll count T*k is a trace-time
-        # constant (the gather path is capped at 32 rows in forward_hidden).
+        # constant (capped at MOE_GATHER_UNROLL_CAP rows in forward_hidden).
         fi = (layer * E + top_i).reshape(-1)                 # [T*k]
 
         def row_mm(a, name, n):  # a [in] @ expert-row n of `name` -> [out]
@@ -262,7 +276,7 @@ def forward_hidden(
     layers_xs = params["layers"]
     if (arch.num_experts and arch.moe_gather
             and T * arch.num_experts_per_tok < arch.num_experts
-            and T * arch.num_experts_per_tok <= 32):  # unroll-size cap
+            and T * arch.num_experts_per_tok <= MOE_GATHER_UNROLL_CAP):
         moe_side = {
             k: v.reshape((-1,) + v.shape[2:])
             for k, v in params["layers"].items() if k in _MOE_SIDE

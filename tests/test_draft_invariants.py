@@ -64,8 +64,8 @@ def test_glue_logits_match_chain_logits(runner):
     runner.reset_tree_cache()
     runner.build_tree(req, resp)
 
-    glue = np.asarray(runner._last_glue_logits)          # [B, K+1, V]
-    chain = np.asarray(resp.logits_q)                    # [B, K, V]
+    glue = np.asarray(runner._last_glue_logits)[:B]      # [B, K+1, V]
+    chain = np.asarray(resp.logits_q)[:B]                # [B, K, V]
     np.testing.assert_allclose(glue[:, :K], chain, rtol=2e-4, atol=2e-4)
 
     # And the tree cache must hold one entry per (depth, fork) with K tokens.

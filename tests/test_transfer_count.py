@@ -94,3 +94,55 @@ def test_fused_sd_superstep_is_one_upload(tmp_path, monkeypatch):
 
     assert len(uploads) <= 2, (
         f"fused superstep made {len(uploads)} uploads: {uploads}")
+
+
+def test_async_ssd_step_is_four_uploads(tmp_path, monkeypatch):
+    """The async-SSD flagship path must obey the packed discipline on BOTH
+    sides of the handshake (reference: the whole exchange is one NCCL burst
+    each way, nccl_pack.py:5-32). Per decode step the budget is:
+      target side: 1 packed verify upload + 1 draft-logits device_put
+      draft side:  1 cache-gather index upload (hit) or packed chain upload
+                   (miss), + 1 packed tree-build upload
+    = 4 total. The draft controller thread is drained inside the counted
+    window so its tree-build traffic is counted deterministically."""
+    from ssd_tpu.llm import LLM
+    from ssd_tpu.sampling_params import SamplingParams
+
+    t = str(tmp_path / "t")
+    d = str(tmp_path / "d")
+    make_tiny_llama(t, seed=0)
+    make_tiny_llama(d, layers=1, hidden=32, intermediate=64, seed=7)
+    eng = LLM(t, draft=d, speculate=True, speculate_k=2, draft_async=True,
+              async_fan_out=2, dtype="float32", max_model_len=128,
+              max_num_batched_tokens=512, kvcache_block_size=16,
+              num_kvcache_blocks=64, max_num_seqs=2,
+              ctx_bucket_policy="single")
+    eng.add_request([1, 5, 9, 2], SamplingParams(
+        temperature=0.0, max_new_tokens=24, ignore_eos=True))
+    step = eng.create_inference_step(eng.config)
+    eng.step(step)  # prefill (not counted)
+    eng.step(step)  # miss step: compiles chain + tree programs
+    eng.step(step)  # hit step: compiles the gather + packed verify
+    eng.draft_server.drain()
+
+    uploads = []
+    real_asarray, real_put = jnp.asarray, jax.device_put
+
+    def counting_asarray(x, *a, **k):
+        if isinstance(x, (np.ndarray, list, int, float)):
+            uploads.append(("asarray", np.asarray(x).size
+                            if not isinstance(x, (int, float)) else 1))
+        return real_asarray(x, *a, **k)
+
+    def counting_put(x, *a, **k):
+        uploads.append(("device_put", None))
+        return real_put(x, *a, **k)
+
+    monkeypatch.setattr(jnp, "asarray", counting_asarray)
+    monkeypatch.setattr(jax, "device_put", counting_put)
+    eng.step(step)              # one async-SSD decode step (cache hit)
+    eng.draft_server.drain()    # include the overlapped tree rebuild
+    monkeypatch.undo()
+
+    assert len(uploads) <= 4, (
+        f"async SSD step made {len(uploads)} uploads: {uploads}")
