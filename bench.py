@@ -21,11 +21,16 @@ import sys
 import time
 
 
-def build_spec_checkpoints(model_dir: str) -> tuple[str, str]:
+def build_spec_checkpoints(model_dir: str, draft_noise: float = 0.0) -> tuple[str, str]:
     """Write (once) a target/draft checkpoint pair for the spec bench: the
     target's layers >= L/4 have wo = down = 0 (exact residual passthrough),
     and the draft shares the live layers + embeddings, so greedy outputs
-    agree token-for-token while the draft costs ~1/4 of the target."""
+    agree token-for-token while the draft costs ~1/4 of the target.
+
+    draft_noise > 0 perturbs the DRAFT's live projections by that relative
+    magnitude (weights are 0.02-scaled, the noise is 0.02*draft_noise-scaled)
+    — the acceptance-rate knob for measuring the SD win as a function of
+    draft quality instead of only at the constructed best case."""
     import numpy as np
     from safetensors.numpy import save_file
 
@@ -33,7 +38,9 @@ def build_spec_checkpoints(model_dir: str) -> tuple[str, str]:
         cfg = json.load(f)
     L = cfg["num_hidden_layers"]
     Ld = max(1, L // 4)
-    tdir, ddir = model_dir + "_spec_target", model_dir + "_spec_draft"
+    tdir = model_dir + "_spec_target"
+    ddir = model_dir + "_spec_draft" + (
+        f"_n{draft_noise:g}" if draft_noise else "")
     t_file = os.path.join(tdir, "model.safetensors")
     d_file = os.path.join(ddir, "model.safetensors")
     for d, n_layers in ((tdir, L), (ddir, Ld)):
@@ -93,7 +100,16 @@ def build_spec_checkpoints(model_dir: str) -> tuple[str, str]:
             )
         target.update(layer)
         if live:
-            draft.update(layer)
+            if draft_noise:
+                nrng = np.random.default_rng(1000 + i)
+                draft.update({
+                    k: (v + (0.02 * draft_noise)
+                        * nrng.standard_normal(v.shape).astype(np.float16)
+                        if k.endswith("proj.weight") else v)
+                    for k, v in layer.items()
+                })
+            else:
+                draft.update(layer)
     save_file(target, t_file)
     save_file(draft, d_file)
     return tdir, ddir
@@ -251,7 +267,12 @@ def main():
         if os.environ.get("SSD_BENCH_SELF_DRAFT") == "1":
             target_dir = draft_dir = model_dir
         else:
-            target_dir, draft_dir = build_spec_checkpoints(model_dir)
+            # SSD_BENCH_DRAFT_NOISE lowers the draft's acceptance rate (the
+            # realistic-draft operating curve; 0 = the constructed best case).
+            target_dir, draft_dir = build_spec_checkpoints(
+                model_dir,
+                draft_noise=float(os.environ.get("SSD_BENCH_DRAFT_NOISE", "0")),
+            )
         kw.update(speculate=True,
                   draft=draft_dir,
                   speculate_k=int(os.environ.get("SSD_BENCH_K", "4")),
@@ -314,6 +335,12 @@ def main():
         # MoE-only control flag; on expert-free arches it is a no-op and must
         # not fork a mislabeled history series.
         arch_sfx += "_dense"
+    if mode in ("sd", "ssd"):
+        # Non-default speculation operating points get their own series.
+        if os.environ.get("SSD_BENCH_K", "4") != "4":
+            arch_sfx += f"_k{os.environ['SSD_BENCH_K']}"
+        if float(os.environ.get("SSD_BENCH_DRAFT_NOISE", "0")):
+            arch_sfx += f"_n{os.environ['SSD_BENCH_DRAFT_NOISE']}"
     key = f"decode_tok_s_{backend}_{mode}_b{batch}_o{out_len}{arch_sfx}"
     hist, best = {}, None
     if os.path.exists(hist_path):

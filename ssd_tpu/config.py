@@ -100,6 +100,11 @@ class Config:
     # small batch. Auto-disabled under expert-parallel sharding (tp > 1);
     # False forces the dense all-expert einsum everywhere (the control).
     moe_gather: bool = True
+    # Ragged grouped-GEMM MoE for large (prefill/verify) dispatches: tokens
+    # sorted by expert, per-expert dense tiles via lax.ragged_dot — k/E of
+    # the dense path's FLOPs. Auto-disabled under expert-parallel sharding;
+    # False forces the dense all-expert einsum (the numerics control).
+    moe_ragged: bool = True
     # Flat-packed ragged prefill: the whole mixed-length prefill batch as ONE
     # dispatch with exact per-token attention windows (the TPU-native form
     # of the reference's flash_attn_varlen_func packing) instead of one

@@ -525,16 +525,23 @@ class ModelRunner:
         self.block_size = config.kvcache_block_size
         self.max_blocks = config.max_blocks
         self.mesh = mesh
-        if getattr(self.arch, "num_experts", 0) and (
-            not config.moe_gather
-            or (mesh is not None and mesh.shape.get("tp", 1) > 1)
-        ):
+        if getattr(self.arch, "num_experts", 0):
             # Expert weights are sharded over tp (expert parallelism): the
             # decode-time selected-expert gather would make GSPMD move whole
-            # weight shards across the mesh — keep the dense all-expert form.
+            # weight shards across the mesh, and ragged_dot's data-dependent
+            # group sizes cannot be placed on the sharded expert axis — keep
+            # the dense all-expert form there (and when a flag disables a
+            # path explicitly, e.g. as the numerics control in benches).
             import dataclasses
 
-            self.arch = dataclasses.replace(self.arch, moe_gather=False)
+            ep_sharded = mesh is not None and mesh.shape.get("tp", 1) > 1
+            repl = {}
+            if not config.moe_gather or ep_sharded:
+                repl["moe_gather"] = False
+            if not config.moe_ragged or ep_sharded:
+                repl["moe_ragged"] = False
+            if repl:
+                self.arch = dataclasses.replace(self.arch, **repl)
         self.dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
         # Pallas kernels: auto-on for the TPU backend, jnp reference elsewhere.
         self.use_pallas = (

@@ -62,6 +62,14 @@ class Arch:
     # (see _moe_mlp). The engine clears this under expert-parallel sharding,
     # where gathering across the sharded expert axis would move weight shards.
     moe_gather: bool = True
+    # Large MoE dispatches (prefill, big verify batches) run as a ragged
+    # grouped GEMM over expert-sorted tokens (lax.ragged_dot): T*k*3*D*I
+    # FLOPs — k/E of the dense all-expert einsum — while still streaming
+    # each expert's weights from HBM once. The engine clears this under
+    # expert-parallel sharding (group sizes are data-dependent, so GSPMD
+    # cannot place the ragged groups on the sharded expert axis); the dense
+    # einsum remains as the sharded path and the numerics oracle.
+    moe_ragged: bool = True
 
     @classmethod
     def from_model_config(cls, mc: ModelConfig) -> "Arch":
@@ -230,6 +238,31 @@ def _moe_mlp(x: jnp.ndarray, lp: dict, arch: Arch,
             gu = silu_mul(row_mm(xa, "moe_gate", n), row_mm(xa, "moe_up", n))
             eo.append(row_mm(gu, "moe_down", n))
         eo = jnp.stack(eo).reshape(T, k, -1)                 # [T, k, D]
+        return jnp.einsum("tkd,tk->td", eo, top_w)
+
+    if arch.moe_ragged:
+        # Ragged grouped GEMM (the prefill fix for the (E/k)x dense FLOPs):
+        # sort the T*k (token, expert) pairs by expert, run per-expert dense
+        # tiles via lax.ragged_dot, un-permute, combine. The stable sort
+        # keeps each token's k rows in expert-index order, so the combine
+        # sums in exactly the gather path's (and the dense control's) order.
+        N = T * k
+        flat_e = top_i.reshape(-1)                           # [N]
+        order = jnp.argsort(flat_e, stable=True)
+        xs = jnp.repeat(x, k, axis=0)[order]                 # [N, D]
+        gs = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+
+        def rdot(a, name):
+            y = jax.lax.ragged_dot(a, lp[name].astype(a.dtype), gs)
+            s = lp.get(name + "_scale")                      # [E, out] int8 q
+            if s is None:
+                return y
+            return y * s[flat_e[order]].astype(y.dtype)
+
+        g = rdot(xs, "moe_gate")
+        u = rdot(xs, "moe_up")
+        d = rdot(silu_mul(g, u), "moe_down")                 # [N, D]
+        eo = d[jnp.argsort(order)].reshape(T, k, -1)         # un-permute
         return jnp.einsum("tkd,tk->td", eo, top_w)
 
     combine = jnp.zeros((T, E), x.dtype).at[

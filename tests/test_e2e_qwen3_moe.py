@@ -91,6 +91,97 @@ def test_qwen3_moe_gather_matches_dense(moe_dir):
     assert [o["token_ids"] for o in outs_g] == [o["token_ids"] for o in outs_d]
 
 
+def test_qwen3_moe_ragged_matches_dense(moe_dir):
+    """The ragged grouped-GEMM prefill path (moe_ragged, the default:
+    expert-sorted tokens through lax.ragged_dot at k/E of the dense FLOPs)
+    and the dense all-expert einsum control produce identical greedy
+    outputs."""
+    eng_r = _engine(moe_dir)
+    eng_d = _engine(moe_dir, moe_ragged=False)
+    prompts = [random_prompt(rng(43), 8, 20) for _ in range(2)]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=20, ignore_eos=True)
+    outs_r, _ = eng_r.generate([list(p) for p in prompts], sp, use_tqdm=False)
+    outs_d, _ = eng_d.generate([list(p) for p in prompts], sp, use_tqdm=False)
+    assert [o["token_ids"] for o in outs_r] == [o["token_ids"] for o in outs_d]
+
+
+@pytest.fixture(scope="module")
+def moe_dir_k3(tmp_path_factory):
+    """E=8, top_k=3: a 3-term expert sum exposes accumulation-order
+    divergence that the k=2 model is blind to (a two-term sum is
+    order-insensitive)."""
+    d = tmp_path_factory.mktemp("qwen3_moe_k3")
+    make_tiny_qwen3_moe(d, num_experts=8, top_k=3, seed=9)
+    return str(d)
+
+
+def test_qwen3_moe_k3_all_paths_agree(moe_dir_k3):
+    """k=3: gather (decode), ragged (prefill), and dense control must agree
+    token-for-token with HF and each other — pins the expert-index-order
+    accumulation across every dispatch path."""
+    prompts = [random_prompt(rng(47), 8, 20) for _ in range(2)]
+    wants = [hf_greedy(moe_dir_k3, p, 20) for p in prompts]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=20, ignore_eos=True)
+    for kw in ({}, {"moe_ragged": False}, {"moe_gather": False}):
+        eng = _engine(moe_dir_k3, **kw)
+        outs, _ = eng.generate([list(p) for p in prompts], sp, use_tqdm=False)
+        assert [o["token_ids"] for o in outs] == wants, kw
+
+
+def test_qwen3_moe_k3_ar_vs_sync_sd(moe_dir_k3):
+    """Cross-mode MoE exactness at k=3: AR decode (gather path, T*k=3) and
+    sync-SD verify (T*k=9 per seq — a different dispatch path) must emit
+    identical greedy tokens (the ADVICE r2 medium finding's regression
+    test)."""
+    prompt = random_prompt(rng(53), 8, 16)
+    sp = SamplingParams(temperature=0.0, max_new_tokens=16, ignore_eos=True)
+    eng_ar = _engine(moe_dir_k3)
+    want, _ = eng_ar.generate([list(prompt)], sp, use_tqdm=False)
+    eng_sd = _engine(moe_dir_k3, draft=moe_dir_k3, speculate=True,
+                     speculate_k=2)
+    got, _ = eng_sd.generate([list(prompt)], sp, use_tqdm=False)
+    assert got[0]["token_ids"] == want[0]["token_ids"]
+
+
+def test_moe_unroll_cap_boundary():
+    """Direct _moe_mlp check across the MOE_GATHER_UNROLL_CAP boundary: the
+    gather path (T*k <= cap), the ragged grouped GEMM, and the dense einsum
+    agree numerically on the same inputs at k=3 (order-sensitive sum)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ssd_tpu.models.transformer import (
+        MOE_GATHER_UNROLL_CAP, Arch, _moe_mlp, init_params,
+    )
+
+    arch = Arch(
+        vocab_size=64, hidden_size=32, intermediate_size=48, num_layers=1,
+        num_heads=2, num_kv_heads=1, head_dim=16, rms_norm_eps=1e-5,
+        rope_theta=1e4, use_qk_norm=True, tie_embeddings=False,
+        num_experts=8, num_experts_per_tok=3, moe_intermediate_size=48,
+        norm_topk_prob=True,
+    )
+    params = init_params(arch, jax.random.PRNGKey(0), jnp.float32)
+    lp = {k: v[0] for k, v in params["layers"].items()}
+    side = {k: v.reshape((-1,) + v.shape[2:])
+            for k, v in params["layers"].items()
+            if k.startswith(("moe_", "router")) and k != "router"}
+    for T in (MOE_GATHER_UNROLL_CAP // 3, MOE_GATHER_UNROLL_CAP // 3 + 1, 16):
+        x = jax.random.normal(jax.random.PRNGKey(T), (T, 32), jnp.float32)
+        gather = _moe_mlp(x, lp, arch, side=side,
+                          layer=jnp.zeros((), jnp.int32))
+        ragged = _moe_mlp(x, lp, arch)
+        dense = _moe_mlp(x, lp, dataclasses.replace(arch, moe_ragged=False))
+        import numpy as np
+
+        np.testing.assert_allclose(np.asarray(gather), np.asarray(dense),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ragged), np.asarray(dense),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_qwen3_moe_sync_sd_self_draft_exact(moe_dir):
     """Speculative decoding over an MoE target (self-draft): exactness holds
     and every speculated token is accepted at temp 0."""
