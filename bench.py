@@ -288,6 +288,38 @@ def main():
             kw["spec_rounds"] = int(os.environ.get("SSD_BENCH_SPEC_ROUNDS", "32"))
         kw["init_random"] = target_dir == model_dir
         model_dir = target_dir
+    elif mode == "eagle":
+        # EAGLE-3 async draft at the target's geometry (1-layer midlayer,
+        # 3 residual taps), random-init on both sides: with random weights
+        # acceptance is chance-level, so this measures the ENGINE cost of
+        # the full EAGLE path (conditioned prefill -> packed glue -> tree
+        # build -> verify with activation taps), not a speculation win.
+        ddir = model_dir + "_eagle"
+        os.makedirs(ddir, exist_ok=True)
+        with open(os.path.join(ddir, "config.json"), "w") as f:
+            json.dump({
+                "model_type": "llama",
+                "vocab_size": cfg["vocab_size"],
+                "draft_vocab_size": cfg["vocab_size"],
+                "hidden_size": cfg["hidden_size"],
+                "intermediate_size": cfg["intermediate_size"],
+                "num_hidden_layers": 1,
+                "num_attention_heads": cfg["num_attention_heads"],
+                "num_key_value_heads": cfg["num_key_value_heads"],
+                "head_dim": cfg.get("head_dim")
+                or cfg["hidden_size"] // cfg["num_attention_heads"],
+                "max_position_embeddings": cfg["max_position_embeddings"],
+                "rms_norm_eps": cfg["rms_norm_eps"],
+                "rope_theta": cfg["rope_theta"],
+                "eos_token_id": cfg["eos_token_id"],
+            }, f)
+        L = cfg["num_hidden_layers"]
+        kw.update(speculate=True, draft=ddir,
+                  speculate_k=int(os.environ.get("SSD_BENCH_K", "3")),
+                  draft_async=True, use_eagle=True, jit_speculate=True,
+                  async_fan_out=2,
+                  # The config default [2, L//2, L-3] needs L >= 5.
+                  eagle_layers=sorted([min(2, L - 1), L // 2, max(0, L - 3)]))
     else:
         kw.update(multi_step=multi_step)
     engine = LLM(model_dir, **kw)
@@ -335,9 +367,10 @@ def main():
         # MoE-only control flag; on expert-free arches it is a no-op and must
         # not fork a mislabeled history series.
         arch_sfx += "_dense"
-    if mode in ("sd", "ssd"):
+    if mode in ("sd", "ssd", "eagle"):
         # Non-default speculation operating points get their own series.
-        if os.environ.get("SSD_BENCH_K", "4") != "4":
+        k_default = "3" if mode == "eagle" else "4"
+        if os.environ.get("SSD_BENCH_K", k_default) != k_default:
             arch_sfx += f"_k{os.environ['SSD_BENCH_K']}"
         if float(os.environ.get("SSD_BENCH_DRAFT_NOISE", "0")):
             arch_sfx += f"_n{os.environ['SSD_BENCH_DRAFT_NOISE']}"
