@@ -246,6 +246,11 @@ def main():
         # "int8" = weight-only quantization (utils/quant.py): halves the
         # weight bytes the decode streams per token.
         kw["quantization"] = os.environ["SSD_BENCH_QUANT"]
+    if os.environ.get("SSD_BENCH_KV_QUANT"):
+        # "int8" = int8 KV cache (ops/attention.py): halves the attention's
+        # HBM reads — matters at long context, where the paged kernel is
+        # the bound.
+        kw["kv_quant"] = os.environ["SSD_BENCH_KV_QUANT"]
     if os.environ.get("SSD_BENCH_MOE_GATHER") == "0":
         # Dense all-expert control for the MoE decode gather path.
         kw["moe_gather"] = False
@@ -363,6 +368,8 @@ def main():
     arch_sfx = "" if arch == "llama" else f"_{model_tag}"
     if os.environ.get("SSD_BENCH_QUANT"):
         arch_sfx += f"_{os.environ['SSD_BENCH_QUANT']}"
+    if os.environ.get("SSD_BENCH_KV_QUANT"):
+        arch_sfx += f"_kv{os.environ['SSD_BENCH_KV_QUANT']}"
     if os.environ.get("SSD_BENCH_MOE_GATHER") == "0" and arch == "qwen3moe":
         # MoE-only control flag; on expert-free arches it is a no-op and must
         # not fork a mislabeled history series.

@@ -167,6 +167,14 @@ class Config:
     # without it are rejected at add_request.
     enable_top_sampling: bool = False
 
+    # int8 KV cache: the paged cache stores int8 rows + per-(token, head,
+    # K/V) f32 scales (ops/attention.py), halving the attention's HBM reads
+    # — the lever that matters exactly where paged attention is the
+    # bottleneck (long context). Approximate vs the fp cache (quantization
+    # error can flip a greedy argmax vs HF), but DETERMINISTIC: AR and every
+    # speculative mode still agree token-for-token with each other because
+    # the same context always quantizes to the same cache bytes.
+    kv_quant: str | None = None
     # Weight-only quantization (beyond reference): "int8" stores matmul
     # weights as int8 with per-out-channel f32 scales (utils/quant.py) —
     # decode at small batch is weight-read-bound, so halving the weight

@@ -412,12 +412,7 @@ def flat_prefill_step(
                 interpret=jax.default_backend() != "tpu",
             )
         else:
-            S = kv_layer.shape[1]
-            dense = kv_layer.reshape(
-                arch.num_kv_heads, S // block_size, block_size, -1
-            )[:, jnp.clip(flat_pages, 0)].reshape(
-                arch.num_kv_heads, flat_pages.shape[0] * block_size, -1
-            )
+            dense = att.dense_pages(kv_layer, flat_pages, block_size)
             o = att.flat_prefill_attention(q, dense, row_lo, row_hi, scale)
         return o, kv_layer
 
@@ -628,9 +623,13 @@ class ModelRunner:
         if self.config.num_kvcache_blocks != -1:
             return self.config.num_kvcache_blocks
         a = self.arch
+        # int8 KV: 1 byte/element + 2 f32 scales per (token, head).
+        elem = (1 if self.config.kv_quant == "int8"
+                else jnp.dtype(self.dtype).itemsize)
         block_bytes = (
-            2 * a.num_layers * self.block_size * a.num_kv_heads * a.head_dim
-            * jnp.dtype(self.dtype).itemsize
+            2 * a.num_layers * self.block_size * a.num_kv_heads
+            * (a.head_dim * elem
+               + (4 if self.config.kv_quant == "int8" else 0))
         )
         try:
             # Size from THIS runner's device (the pinned draft chip differs
@@ -656,13 +655,26 @@ class ModelRunner:
         a = self.arch
         S = self.num_kvcache_blocks * self.block_size
         shape = (a.num_layers, a.num_kv_heads, S, 2 * a.head_dim)
+        dev = self.device
         if self.mesh is not None:
             from ssd_tpu.parallel.mesh import kv_sharding
 
-            return jnp.zeros(shape, self.dtype, device=kv_sharding(self.mesh, a.num_kv_heads))
-        if self.device is not None:
-            return jnp.zeros(shape, self.dtype, device=self.device)
-        return jnp.zeros(shape, self.dtype)
+            dev = kv_sharding(self.mesh, a.num_kv_heads)
+
+        def z(shp, dt):
+            return jnp.zeros(shp, dt) if dev is None else jnp.zeros(shp, dt, device=dev)
+
+        if self.config.kv_quant == "int8":
+            # (int8 data, per-(token, head, K/V) f32 scales); scales carry a
+            # floor value so never-written slots dequantize to exact zeros
+            # without special-casing. Sharding note: the scales' head axis is
+            # dim 1 like the data's, so the same NamedSharding applies.
+            scales = jnp.full((a.num_layers, a.num_kv_heads, 2, S), 1e-10,
+                              jnp.float32)
+            if dev is not None:
+                scales = jax.device_put(scales, dev)
+            return (z(shape, jnp.int8), scales)
+        return z(shape, self.dtype)
 
     # --- host-side input prep (runner_helpers.py equivalents) ---
 

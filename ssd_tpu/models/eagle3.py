@@ -125,8 +125,12 @@ def eagle_forward(
     q = apply_rope((x @ params["wq"]).reshape(T, Hq, hd), cos, sin)
     k = apply_rope((x @ params["wk"]).reshape(T, Hkv, hd), cos, sin)
     v = (x @ params["wv"]).reshape(T, Hkv, hd)
-    o, kv_layer = attn_call(q, k, v, kv_cache[0])
-    kv_cache = kv_cache.at[0].set(kv_layer)
+    # Layer slicing via tree ops: the cache is either the plain [1,...]
+    # array or the int8 (data, scales) pytree (ops/attention.py).
+    o, kv_layer = attn_call(
+        q, k, v, jax.tree.map(lambda c: c[0], kv_cache)
+    )
+    kv_cache = jax.tree.map(lambda c, l: c.at[0].set(l), kv_cache, kv_layer)
     attn_out = o.reshape(T, Hq * hd) @ params["wo"]
 
     # Conditioning features are the residual stream (eagle3:151-153).

@@ -357,8 +357,9 @@ def forward_hidden(
 
     def scan_segment(carry, lo, hi):
         seg_params = jax.tree.map(lambda x: x[lo:hi], layers_xs)
+        kv_seg_in = jax.tree.map(lambda x: x[lo:hi], kv_cache)
         carry, kv_seg = jax.lax.scan(
-            body, carry, (seg_params, kv_cache[lo:hi], layer_ids[lo:hi])
+            body, carry, (seg_params, kv_seg_in, layer_ids[lo:hi])
         )
         return carry, kv_seg
 
@@ -387,7 +388,8 @@ def forward_hidden(
     kv_segs.append(kv_seg)
     hidden, residual = carry
     hidden = (hidden.astype(jnp.float32) + residual.astype(jnp.float32)).astype(hidden.dtype)
-    return hidden, jnp.concatenate(kv_segs, axis=0), jnp.concatenate(acts, axis=-1)
+    kv_cache = jax.tree.map(lambda *segs: jnp.concatenate(segs, axis=0), *kv_segs)
+    return hidden, kv_cache, jnp.concatenate(acts, axis=-1)
 
 
 def compute_logits(

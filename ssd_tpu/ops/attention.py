@@ -33,19 +33,52 @@ import jax.numpy as jnp
 
 from ssd_tpu.ops.spec_math import tree_attention_mask
 
+# int8 KV cache (Config.kv_quant="int8"): the cache is the pytree
+# (data int8 [L, H_kv, S, 2*hd], scales f32 [L, H_kv, 2, S]) — symmetric
+# per-(token, head, K/V-half) quantization, scale = amax/127. Halves the
+# attention's HBM reads, which is what bounds decode at long context. Every
+# op below accepts either form of `kv_layer` (one layer's slice); the Pallas
+# kernels dequantize in-register with the scales pre-gathered per attended
+# position (a ~6% byte overhead next to the halved KV reads).
+
+
+def quantize_kv(k: jnp.ndarray, v: jnp.ndarray):
+    """[T, H, hd] x2 -> (qk, qv int8, sk, sv f32 [T, H])."""
+
+    def q1(x):
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1)                 # [T, H]
+        s = jnp.maximum(amax / 127.0, 1e-10)
+        qx = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+        return qx, s
+
+    qk, sk = q1(k)
+    qv, sv = q1(v)
+    return qk, qv, sk, sv
+
 
 def store_kv(
-    kv_layer: jnp.ndarray,     # [H_kv, S, 2*hd]
+    kv_layer,                  # [H_kv, S, 2*hd] | (int8 data, scales) tuple
     k: jnp.ndarray,            # [T, H_kv, hd]
     v: jnp.ndarray,            # [T, H_kv, hd]
     slot_mapping: jnp.ndarray,  # [T] int32; negative = ghost (skip)
-) -> jnp.ndarray:
+):
     """Scatter new [K|V] rows into flat cache slots; ghost slots are dropped.
 
     Negative slots are remapped out-of-bounds so XLA's scatter `drop` mode
     skips them (the reference kernel's slot==-1 semantics). One scatter moves
     both K and V thanks to the interleaved layout.
     """
+    if isinstance(kv_layer, tuple):
+        data, scales = kv_layer
+        S = data.shape[1]
+        slots = jnp.where(slot_mapping < 0, S, slot_mapping)
+        qk, qv, sk, sv = quantize_kv(k, v)
+        val = jnp.concatenate([qk, qv], axis=-1).transpose(1, 0, 2)
+        data = data.at[:, slots].set(val, mode="drop")
+        sval = jnp.stack([sk, sv], axis=-1).transpose(1, 2, 0)  # [H, 2, T]
+        scales = scales.at[:, :, slots].set(sval, mode="drop")
+        return (data, scales)
     S = kv_layer.shape[1]
     slots = jnp.where(slot_mapping < 0, S, slot_mapping)
     val = jnp.concatenate([k, v], axis=-1).transpose(1, 0, 2)  # [H, T, 2hd]
@@ -53,24 +86,76 @@ def store_kv(
 
 
 def gather_pages(
-    kv_layer: jnp.ndarray,      # [H_kv, S, 2*hd]
+    kv_layer,                   # [H_kv, S, 2*hd] | (int8 data, scales)
     block_tables: jnp.ndarray,  # [B, M] int32 (entries may be -1 padding)
     block_size: int,
     ctx_pad: int,               # static gather length (multiple of block_size)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Gather the first ctx_pad context slots per sequence.
 
-    Returns (k, v) each [B, ctx_pad, H_kv, hd]. Out-of-table positions gather
-    block -1 -> clamped; callers must mask by context_lens.
+    Returns (k, v) each [B, ctx_pad, H_kv, hd] (dequantized f32 for the int8
+    cache). Out-of-table positions gather block -1 -> clamped; callers must
+    mask by context_lens.
     """
-    hd = kv_layer.shape[-1] // 2
+    data = kv_layer[0] if isinstance(kv_layer, tuple) else kv_layer
+    hd = data.shape[-1] // 2
     pos = jnp.arange(ctx_pad, dtype=jnp.int32)
     blk_idx = pos // block_size
     blk_off = pos % block_size
     blk_ids = block_tables[:, blk_idx]                  # [B, ctx_pad]
     slots = jnp.clip(blk_ids, 0) * block_size + blk_off  # [B, ctx_pad]
-    kv = kv_layer[:, slots].transpose(1, 2, 0, 3)        # [B, ctx_pad, H, 2hd]
+    kv = data[:, slots].transpose(1, 2, 0, 3)            # [B, ctx_pad, H, 2hd]
+    if isinstance(kv_layer, tuple):
+        s = kv_layer[1][:, :, slots].transpose(2, 3, 0, 1)  # [B, C, H, 2]
+        kvf = kv.astype(jnp.float32)
+        return kvf[..., :hd] * s[..., 0:1], kvf[..., hd:] * s[..., 1:2]
     return kv[..., :hd], kv[..., hd:]
+
+
+def gather_scales(
+    kv_layer,                   # (int8 data, scales) tuple
+    block_tables: jnp.ndarray,  # [B, M]
+    block_size: int,
+    ctx_pad: int,
+) -> jnp.ndarray:
+    """Per-attended-position scales [B, H_kv, 2, ctx_pad] f32 for the Pallas
+    int8 kernels (the kernels DMA the int8 pages themselves; the scales ride
+    this one small XLA gather — lane-aligned blocks, ~6% of the int8 KV
+    bytes)."""
+    scales = kv_layer[1]
+    pos = jnp.arange(ctx_pad, dtype=jnp.int32)
+    blk_ids = block_tables[:, pos // block_size]
+    slots = jnp.clip(blk_ids, 0) * block_size + pos % block_size  # [B, C]
+    return scales[:, :, slots].transpose(2, 0, 1, 3)     # [B, Hkv, 2, C]
+
+
+def dense_pages(
+    kv_layer,                   # [H_kv, S, 2*hd] | (int8 data, scales)
+    pages: jnp.ndarray,         # [P] flat page ids (may be -1)
+    block_size: int,
+) -> jnp.ndarray:
+    """Dense packed per-page context stream [H_kv, P*block_size, 2*hd]
+    (dequantized for the int8 cache) — the one-gather front end of the
+    prefill attention paths."""
+    if isinstance(kv_layer, tuple):
+        data, scales = kv_layer
+        Hkv, S, hd2 = data.shape
+        hd = hd2 // 2
+        p = jnp.clip(pages, 0)
+        dq = data.reshape(Hkv, S // block_size, block_size, hd2)[
+            :, p
+        ].reshape(Hkv, pages.shape[0] * block_size, hd2).astype(jnp.float32)
+        s = scales.reshape(Hkv, 2, S // block_size, block_size)[
+            :, :, p
+        ].reshape(Hkv, 2, pages.shape[0] * block_size)
+        return jnp.concatenate(
+            [dq[..., :hd] * s[:, 0, :, None], dq[..., hd:] * s[:, 1, :, None]],
+            axis=-1,
+        )
+    Hkv, S, hd2 = kv_layer.shape
+    return kv_layer.reshape(Hkv, S // block_size, block_size, hd2)[
+        :, jnp.clip(pages, 0)
+    ].reshape(Hkv, pages.shape[0] * block_size, hd2)
 
 
 def _gqa_scores(q: jnp.ndarray, k: jnp.ndarray, scale: float) -> jnp.ndarray:

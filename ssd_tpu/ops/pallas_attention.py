@@ -77,7 +77,8 @@ def _flash_update(scores, mask, v, m_scr, l_scr, acc_scr):
     m_scr[:] = m_new
 
 
-def _flash_update_batched(q3, kv3, mask, scale, m_scr, l_scr, acc_scr):
+def _flash_update_batched(q3, kv3, mask, scale, m_scr, l_scr, acc_scr,
+                          sk=None, sv=None):
     """One online-softmax accumulation over a KV chunk, BATCHED over the
     leading dim — kv head (v2/tree2) or merged seq x kv-head (v3/tree3;
     Mosaic matmul allows a single batch dim). Shared by all double-buffered
@@ -86,11 +87,20 @@ def _flash_update_batched(q3, kv3, mask, scale, m_scr, l_scr, acc_scr):
     Dots run in the cache dtype with fp32 accumulation: the q.K products are
     exact either way, p is cast like every production flash kernel, and
     fp32-INPUT matmuls cost several MXU passes per tile. Under the fp32
-    engine dtype (the exactness tests) the casts are no-ops."""
+    engine dtype (the exactness tests) the casts are no-ops.
+
+    int8 KV (sk/sv [Nb, 1, bk] f32 per-position scales): kv3 arrives int8 and
+    is cast to q's dtype in-register; the dequant folds into two LANE-ALIGNED
+    multiplies — scores * sk after the q.K dot, p * sv before the p.V dot —
+    so no transpose ever touches the scale vectors."""
+    if sk is not None:
+        kv3 = kv3.astype(q3.dtype)
     scores = jax.lax.dot_general(
         q3, kv3, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * scale                                                # [Nb, R, bk]
+    if sk is not None:
+        scores = scores * sk
 
     s3 = jnp.where(mask, scores, jnp.float32(-1e30))
     m_cur = jnp.max(s3, axis=2, keepdims=True)
@@ -98,6 +108,8 @@ def _flash_update_batched(q3, kv3, mask, scale, m_scr, l_scr, acc_scr):
     p = jnp.where(mask, jnp.exp(s3 - m_new), 0.0)
     alpha = jnp.exp(m_scr[:] - m_new)
     l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=2, keepdims=True)
+    if sv is not None:
+        p = p * sv
     acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
         p.astype(kv3.dtype), kv3, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -555,13 +567,36 @@ def _v3_wait_group(kv_hbm_ref, kv_vmem, sem, NB, C, bs):
 
 
 def _paged_attn_v3_kernel(
+    bt_ref, ctx_ref, qeff_ref, q_ref, kv_hbm_ref, o_ref,
+    m_scr, l_scr, acc_scr, kv_vmem, sems, buf_ref, init_ref, **kw,
+):
+    _paged_attn_v3_body(
+        bt_ref, ctx_ref, qeff_ref, q_ref, None, kv_hbm_ref, o_ref,
+        m_scr, l_scr, acc_scr, kv_vmem, sems, buf_ref, init_ref, **kw,
+    )
+
+
+def _paged_attn_v3_kernel_i8(
+    bt_ref, ctx_ref, qeff_ref, q_ref, s_ref, kv_hbm_ref, o_ref,
+    m_scr, l_scr, acc_scr, kv_vmem, sems, buf_ref, init_ref, **kw,
+):
+    """int8-KV variant: one extra VMEM input — the pre-gathered per-position
+    scales block [NB, Hkv, 2, bk] (see ops/attention.py::gather_scales)."""
+    _paged_attn_v3_body(
+        bt_ref, ctx_ref, qeff_ref, q_ref, s_ref, kv_hbm_ref, o_ref,
+        m_scr, l_scr, acc_scr, kv_vmem, sems, buf_ref, init_ref, **kw,
+    )
+
+
+def _paged_attn_v3_body(
     # scalar prefetch
     bt_ref,      # [B, M] int32 page tables
     ctx_ref,     # [B] attended lengths
     qeff_ref,    # [B] true queries per sequence
     # in
     q_ref,       # [NB, Hkv, QG, 2*hd] ([q | 0] padded; VMEM block for group)
-    kv_hbm_ref,  # [Hkv, S, 2*hd] (ANY)
+    s_ref,       # [NB, Hkv, 2, bk] f32 dequant scales | None (fp cache)
+    kv_hbm_ref,  # [Hkv, S, 2*hd] (ANY; int8 when s_ref is set)
     # out
     o_ref,       # [NB, Hkv, QG, 2*hd]
     # scratch
@@ -666,7 +701,12 @@ def _paged_attn_v3_kernel(
 
         kv3 = kv_vmem[buf].reshape(NBH, bk, hd2)
         q3 = q_ref[:].reshape(NBH, QG, hd2)
-        _flash_update_batched(q3, kv3, mask, scale, m_scr, l_scr, acc_scr)
+        sk = sv = None
+        if s_ref is not None:
+            s3 = s_ref[:].reshape(NBH, 2, bk)
+            sk, sv = s3[:, 0:1, :], s3[:, 1:2, :]
+        _flash_update_batched(q3, kv3, mask, scale, m_scr, l_scr, acc_scr,
+                              sk=sk, sv=sv)
 
         @pl.when((i + 1) * bk >= length)
         def _():
@@ -702,22 +742,38 @@ def paged_attention_v3_padded(
     _, Hkv, QG, hd2 = qp.shape
     hd = hd2 // 2
     G = group_size
+    int8 = isinstance(kv_layer, tuple)
+    kv_data = kv_layer[0] if int8 else kv_layer
     max_pages = max(1, ctx_pad // block_size)
-    NB, C = _v3_geometry(kv_layer, block_size, B, pages_per_chunk,
+    NB, C = _v3_geometry(kv_data, block_size, B, pages_per_chunk,
                          seqs_per_step, ctx_pad)
     num_groups = pl.cdiv(B, NB)
     num_chunks = pl.cdiv(max_pages, C)
+    bk = C * block_size
+
+    q_spec = pl.BlockSpec(
+        (NB, Hkv, QG, 2 * hd), lambda g, i, bt, ctx, qe: (g, 0, 0, 0)
+    )
+    in_specs = [q_spec]
+    extra_in = []
+    if int8:
+        # Per-position dequant scales, pre-gathered in XLA ([B, Hkv, 2,
+        # ctx_pad], ~6% of the int8 KV bytes) and blocked per (group, chunk).
+        from ssd_tpu.ops.attention import gather_scales
+
+        s = gather_scales(kv_layer, block_tables, block_size, ctx_pad)
+        if num_groups * NB > B:
+            s = jnp.pad(s, ((0, num_groups * NB - B), (0, 0), (0, 0), (0, 0)))
+        in_specs.append(pl.BlockSpec(
+            (NB, Hkv, 2, bk), lambda g, i, bt, ctx, qe: (g, 0, 0, i)
+        ))
+        extra_in.append(s)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_groups, num_chunks),
-        in_specs=[
-            pl.BlockSpec(
-                (NB, Hkv, QG, 2 * hd),
-                lambda g, i, bt, ctx, qe: (g, 0, 0, 0),
-            ),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (NB, Hkv, QG, 2 * hd),
             lambda g, i, bt, ctx, qe: (g, 0, 0, 0),
@@ -726,7 +782,7 @@ def paged_attention_v3_padded(
             pltpu.VMEM((NB * Hkv, QG, 1), jnp.float32),
             pltpu.VMEM((NB * Hkv, QG, 1), jnp.float32),
             pltpu.VMEM((NB * Hkv, QG, 2 * hd), jnp.float32),
-            pltpu.VMEM((2, NB, Hkv, C, block_size, 2 * hd), kv_layer.dtype),
+            pltpu.VMEM((2, NB, Hkv, C, block_size, 2 * hd), kv_data.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
@@ -734,7 +790,8 @@ def paged_attention_v3_padded(
     )
 
     kernel = functools.partial(
-        _paged_attn_v3_kernel, scale=scale, G=G, NB=NB, C=C,
+        _paged_attn_v3_kernel_i8 if int8 else _paged_attn_v3_kernel,
+        scale=scale, G=G, NB=NB, C=C,
         block_size=block_size, num_kv_heads=Hkv,
     )
     return pl.pallas_call(
@@ -747,7 +804,8 @@ def paged_attention_v3_padded(
         context_lens.astype(jnp.int32),
         qeff.astype(jnp.int32),
         qp,
-        kv_layer,
+        *extra_in,
+        kv_data,
     )
 
 
@@ -772,9 +830,10 @@ def paged_attention_v3(
     """Batched-group double-buffered paged flash attention (decode/verify):
     the public [B, Q, Hq, hd] wrapper around paged_attention_v3_padded."""
     B, Q, Hq, hd = q.shape
-    Hkv = kv_layer.shape[0]
+    kv_data = kv_layer[0] if isinstance(kv_layer, tuple) else kv_layer
+    Hkv = kv_data.shape[0]
     G = Hq // Hkv
-    NB, _ = _v3_geometry(kv_layer, block_size, B, pages_per_chunk,
+    NB, _ = _v3_geometry(kv_data, block_size, B, pages_per_chunk,
                          seqs_per_step, ctx_pad)  # must match the core's NB
     num_groups = pl.cdiv(B, NB)
 
@@ -819,14 +878,16 @@ def paged_attention_prefill(
     flash_attn_varlen_func prefill (/root/reference/ssd/layers/attention.py:90-93).
     """
     B = q.shape[0]
-    Hkv, S, hd2 = kv_layer.shape
     # Page-granular gather (few indices, contiguous page copies) — an
     # element-granular row gather of the same bytes measured 4x slower.
+    # Prefill is compute-bound, so the int8 cache dequantizes HERE (inside
+    # the same fused gather) and the kernel below runs on fp values.
+    from ssd_tpu.ops.attention import dense_pages
+
     n_pages = ctx_pad // block_size
-    pages = jnp.clip(block_tables[:, :n_pages], 0)            # [B, n_pages]
-    dense = kv_layer.reshape(Hkv, S // block_size, block_size, hd2)[
-        :, pages.reshape(-1)
-    ].reshape(Hkv, B * ctx_pad, hd2)
+    pages = block_tables[:, :n_pages]                         # [B, n_pages]
+    dense = dense_pages(kv_layer, pages.reshape(-1), block_size)
+    dense = dense.astype(q.dtype)
     # Largest pow-2 tile <= 512 dividing ctx_pad (ctx buckets are pow-2
     # multiples of the page size, but the max_model_len cap need not be).
     TK = 1
@@ -859,7 +920,8 @@ def paged_attention_best(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, Q, Hq, hd = q.shape
-    Hkv = kv_layer.shape[0]
+    int8 = isinstance(kv_layer, tuple)
+    Hkv = (kv_layer[0] if int8 else kv_layer).shape[0]
     G = Hq // Hkv
     # The manual-DMA kernels need a 128-lane-aligned minor dim (2*hd), and
     # their single-tile scratch bounds the query rows, so route only small-Q
@@ -868,10 +930,12 @@ def paged_attention_best(
     # pipelined DMAs have no lane-alignment constraint). Multi-sequence
     # batches take v3 (NB sequences per grid step — the ~3 us/grid-step
     # fixed cost dominates these shapes, see PERF.md); B=1 has nothing to
-    # group and stays on v2.
+    # group and stays on v2. The int8 cache is implemented in v3 (which
+    # handles B=1 as NB=1) and in the dense-gather prefill; the v1 fallback
+    # shapes (hd < 64) take the jnp oracle with XLA-side dequant.
     if (Hkv * Q * G <= 512 and ctx_pad % block_size == 0
             and (2 * hd) % 128 == 0):
-        if B > 1:
+        if B > 1 or int8:
             return paged_attention_v3(
                 q, kv_layer, block_tables, context_lens, qeff,
                 block_size, ctx_pad, scale, interpret=interpret,
@@ -885,6 +949,13 @@ def paged_attention_best(
         return paged_attention_prefill(
             q, kv_layer, block_tables, context_lens, qeff,
             block_size, ctx_pad, scale, interpret=interpret,
+        )
+    if int8:
+        from ssd_tpu.ops import attention as att_oracle
+
+        return att_oracle.paged_attention(
+            q, kv_layer, block_tables, context_lens, block_size, ctx_pad,
+            scale, qeff=qeff,
         )
     return paged_attention(
         q, kv_layer, block_tables, context_lens, qeff,
@@ -1090,6 +1161,27 @@ def tree_attention_v2(
 
 
 def _tree_attn_v3_kernel(
+    bt_ref, ctx_ref, step_ref, fan_ref, q_ref, kv_hbm_ref, o_ref,
+    m_scr, l_scr, acc_scr, kv_vmem, sems, buf_ref, init_ref, **kw,
+):
+    _tree_attn_v3_body(
+        bt_ref, ctx_ref, step_ref, fan_ref, q_ref, None, kv_hbm_ref, o_ref,
+        m_scr, l_scr, acc_scr, kv_vmem, sems, buf_ref, init_ref, **kw,
+    )
+
+
+def _tree_attn_v3_kernel_i8(
+    bt_ref, ctx_ref, step_ref, fan_ref, q_ref, s_ref, kv_hbm_ref, o_ref,
+    m_scr, l_scr, acc_scr, kv_vmem, sems, buf_ref, init_ref, **kw,
+):
+    """int8-KV variant: + the pre-gathered scales block [NB, Hkv, 2, bk]."""
+    _tree_attn_v3_body(
+        bt_ref, ctx_ref, step_ref, fan_ref, q_ref, s_ref, kv_hbm_ref, o_ref,
+        m_scr, l_scr, acc_scr, kv_vmem, sems, buf_ref, init_ref, **kw,
+    )
+
+
+def _tree_attn_v3_body(
     # scalar prefetch
     bt_ref,      # [B, M] int32 page tables
     ctx_ref,     # [B] attended lengths
@@ -1097,7 +1189,8 @@ def _tree_attn_v3_kernel(
     # in
     fan_ref,     # [NB, 1, MQ] int32 glue depth per tree row
     q_ref,       # [NB, Hkv, MQ*G, 2*hd] ([q | 0] padded)
-    kv_hbm_ref,  # [Hkv, S, 2*hd] (ANY)
+    s_ref,       # [NB, Hkv, 2, bk] f32 dequant scales | None (fp cache)
+    kv_hbm_ref,  # [Hkv, S, 2*hd] (ANY; int8 when s_ref is set)
     # out
     o_ref,       # [NB, Hkv, MQ*G, 2*hd]
     # scratch
@@ -1212,7 +1305,12 @@ def _tree_attn_v3_kernel(
 
         kv3 = kv_vmem[buf].reshape(NBH, bk, hd2)
         q3 = q_ref[:].reshape(NBH, R, hd2)
-        _flash_update_batched(q3, kv3, mask, scale, m_scr, l_scr, acc_scr)
+        sk = sv = None
+        if s_ref is not None:
+            s3 = s_ref[:].reshape(NBH, 2, bk)
+            sk, sv = s3[:, 0:1, :], s3[:, 1:2, :]
+        _flash_update_batched(q3, kv3, mask, scale, m_scr, l_scr, acc_scr,
+                              sk=sk, sv=sv)
 
         @pl.when((i + 1) * bk >= length)
         def _():
@@ -1242,36 +1340,55 @@ def tree_attention_v3(
 ) -> jnp.ndarray:
     """Batched-group double-buffered paged tree attention."""
     B, MQ, Hq, hd = q.shape
-    Hkv = kv_layer.shape[0]
+    int8 = isinstance(kv_layer, tuple)
+    kv_data = kv_layer[0] if int8 else kv_layer
+    Hkv = kv_data.shape[0]
     G = Hq // Hkv
     max_pages = max(1, ctx_pad // block_size)
-    NB, C = _v3_geometry(kv_layer, block_size, B, pages_per_chunk,
+    NB, C = _v3_geometry(kv_data, block_size, B, pages_per_chunk,
                          seqs_per_step, ctx_pad)
     num_groups = pl.cdiv(B, NB)
     num_chunks = pl.cdiv(max_pages, C)
+    bk = C * block_size
 
     qg = _regroup_q(q, Hkv)
     qp = jnp.concatenate([qg, jnp.zeros_like(qg)], axis=-1)
     fan3 = fan_idx_rows.astype(jnp.int32)[:, None, :]
+    extra_in = []
+    if int8:
+        from ssd_tpu.ops.attention import gather_scales
+
+        extra_in.append(gather_scales(kv_layer, block_tables, block_size,
+                                      ctx_pad))
     if B % NB:
         pad = num_groups * NB - B
         qp = jnp.pad(qp, ((0, pad), (0, 0), (0, 0), (0, 0)))
         fan3 = jnp.pad(fan3, ((0, pad), (0, 0), (0, 0)))
+        if int8:
+            extra_in[0] = jnp.pad(
+                extra_in[0], ((0, pad), (0, 0), (0, 0), (0, 0))
+            )
+
+    in_specs = [
+        pl.BlockSpec(
+            (NB, 1, MQ),
+            lambda g, i, bt, ctx, st: (g, 0, 0),
+        ),
+        pl.BlockSpec(
+            (NB, Hkv, MQ * G, 2 * hd),
+            lambda g, i, bt, ctx, st: (g, 0, 0, 0),
+        ),
+    ]
+    if int8:
+        in_specs.append(pl.BlockSpec(
+            (NB, Hkv, 2, bk), lambda g, i, bt, ctx, st: (g, 0, 0, i)
+        ))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_groups, num_chunks),
-        in_specs=[
-            pl.BlockSpec(
-                (NB, 1, MQ),
-                lambda g, i, bt, ctx, st: (g, 0, 0),
-            ),
-            pl.BlockSpec(
-                (NB, Hkv, MQ * G, 2 * hd),
-                lambda g, i, bt, ctx, st: (g, 0, 0, 0),
-            ),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (NB, Hkv, MQ * G, 2 * hd),
             lambda g, i, bt, ctx, st: (g, 0, 0, 0),
@@ -1280,7 +1397,7 @@ def tree_attention_v3(
             pltpu.VMEM((NB * Hkv, MQ * G, 1), jnp.float32),
             pltpu.VMEM((NB * Hkv, MQ * G, 1), jnp.float32),
             pltpu.VMEM((NB * Hkv, MQ * G, 2 * hd), jnp.float32),
-            pltpu.VMEM((2, NB, Hkv, C, block_size, 2 * hd), kv_layer.dtype),
+            pltpu.VMEM((2, NB, Hkv, C, block_size, 2 * hd), kv_data.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
@@ -1288,7 +1405,8 @@ def tree_attention_v3(
     )
 
     kernel = functools.partial(
-        _tree_attn_v3_kernel, scale=scale, K=K, MQ=MQ, G=G, NB=NB, C=C,
+        _tree_attn_v3_kernel_i8 if int8 else _tree_attn_v3_kernel,
+        scale=scale, K=K, MQ=MQ, G=G, NB=NB, C=C,
         block_size=block_size, num_kv_heads=Hkv,
     )
     out = pl.pallas_call(
@@ -1302,7 +1420,8 @@ def tree_attention_v3(
         jnp.atleast_1d(step).astype(jnp.int32),
         fan3,
         qp,
-        kv_layer,
+        *extra_in,
+        kv_data,
     )
     return _ungroup_o(out[:B, ..., hd:], MQ)
 
@@ -1318,11 +1437,12 @@ def tree_attention_best(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, MQ, Hq, hd = q.shape
-    Hkv = kv_layer.shape[0]
+    int8 = isinstance(kv_layer, tuple)
+    Hkv = (kv_layer[0] if int8 else kv_layer).shape[0]
     G = Hq // Hkv
     if (Hkv * MQ * G <= 512 and ctx_pad % block_size == 0
             and (2 * hd) % 128 == 0):
-        if B > 1:
+        if B > 1 or int8:  # int8 is implemented in v3 (NB=1 covers B=1)
             return tree_attention_v3(
                 q, kv_layer, block_tables, context_lens, fan_idx_rows, step,
                 K, block_size, ctx_pad, scale, interpret=interpret,
@@ -1330,6 +1450,13 @@ def tree_attention_best(
         return tree_attention_v2(
             q, kv_layer, block_tables, context_lens, fan_idx_rows, step,
             K, block_size, ctx_pad, scale, interpret=interpret,
+        )
+    if int8:
+        from ssd_tpu.ops import attention as att_oracle
+
+        return att_oracle.tree_attention(
+            q, kv_layer, block_tables, context_lens, fan_idx_rows, step,
+            K, block_size, ctx_pad, scale,
         )
     return tree_attention(
         q, kv_layer, block_tables, context_lens, fan_idx_rows, step,
@@ -1571,14 +1698,15 @@ def flat_prefill_attention(
 ) -> jnp.ndarray:
     """One-dispatch ragged prefill over the packed page stream (see module
     comment). Returns [T_pad, Hq, hd]; padding rows are zero."""
+    from ssd_tpu.ops.attention import dense_pages
+
     T, Hq, hd = q.shape
-    Hkv, S, hd2 = kv_layer.shape
+    Hkv = (kv_layer[0] if isinstance(kv_layer, tuple) else kv_layer).shape[0]
     G = Hq // Hkv
     TG = T * G
-    # Pack the attended pages densely: one XLA page-granular gather.
-    dense = kv_layer.reshape(Hkv, S // block_size, block_size, hd2)[
-        :, jnp.clip(flat_pages, 0)
-    ].reshape(Hkv, flat_pages.shape[0] * block_size, hd2)
+    # Pack the attended pages densely: one XLA page-granular gather (the
+    # int8 cache dequantizes inside it — prefill is compute-bound).
+    dense = dense_pages(kv_layer, flat_pages, block_size).astype(q.dtype)
     Cflat = dense.shape[1]
 
     TQ = min(tq, TG)
