@@ -330,7 +330,11 @@ def main():
     engine = LLM(model_dir, **kw)
 
     rng = np.random.default_rng(0)
-    prompts = [rng.integers(10, 50000, size=128).tolist() for _ in range(batch)]
+    # SSD_BENCH_PROMPT_LEN stretches the decode context (e.g. 1900 puts the
+    # whole generation deep in the 2048 bucket — where attention reads, and
+    # therefore the int8 KV cache, matter).
+    plen = int(os.environ.get("SSD_BENCH_PROMPT_LEN", "128"))
+    prompts = [rng.integers(10, 50000, size=plen).tolist() for _ in range(batch)]
     sp = SamplingParams(temperature=0.0, max_new_tokens=out_len, ignore_eos=True)
 
     # Warmup: pre-compile all decode buckets + a short generate for the
@@ -370,6 +374,8 @@ def main():
         arch_sfx += f"_{os.environ['SSD_BENCH_QUANT']}"
     if os.environ.get("SSD_BENCH_KV_QUANT"):
         arch_sfx += f"_kv{os.environ['SSD_BENCH_KV_QUANT']}"
+    if plen != 128:
+        arch_sfx += f"_p{plen}"
     if os.environ.get("SSD_BENCH_MOE_GATHER") == "0" and arch == "qwen3moe":
         # MoE-only control flag; on expert-free arches it is a no-op and must
         # not fork a mislabeled history series.

@@ -32,6 +32,9 @@ def parse_arguments():
     p.add_argument("--hd", type=int, default=128)
     p.add_argument("--block", type=int, default=256)
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--kv-quant", choices=["int8"], default=None,
+                   help="int8 KV cache: kernels DMA int8 pages and dequant "
+                        "in-register (ops/attention.py layout)")
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--peak-gbs", type=float, default=819.0,
                    help="HBM peak GB/s (v5e=819, v5p=2765, v4=1228)")
@@ -78,7 +81,13 @@ def run_impl(impl, args):
     # ~269 MB, which the tunneled runtime's HTTP transfer rejects (413) if
     # materialized on the host and shipped.
     kv_key, q_key, qt_key = jax.random.split(jax.random.PRNGKey(0), 3)
-    kv = jax.random.normal(kv_key, (Hkv, S, 2 * hd), dt)
+    if args.kv_quant == "int8":
+        kv = (
+            jax.random.randint(kv_key, (Hkv, S, 2 * hd), -127, 128, jnp.int8),
+            jax.random.uniform(kv_key, (Hkv, 2, S), jnp.float32, 0.005, 0.02),
+        )
+    else:
+        kv = jax.random.normal(kv_key, (Hkv, S, 2 * hd), dt)
     q = jax.random.normal(q_key, (B, Q, Hq, hd), dt)
     bt = jnp.asarray(
         rng.permutation(B * M).reshape(B, M).astype(np.int32) + 1
@@ -99,7 +108,9 @@ def run_impl(impl, args):
         G = Hq // Hkv
         qg0 = patt._regroup_q(q, Hkv)
         qp0 = jnp.concatenate([qg0, jnp.zeros_like(qg0)], axis=-1)  # [q | 0]
-        nb_eff, _ = patt._v3_geometry(kv, bs, B, args.ppc, args.nb, ctx)
+        nb_eff, _ = patt._v3_geometry(
+            kv[0] if isinstance(kv, tuple) else kv, bs, B, args.ppc,
+            args.nb, ctx)
         if B % nb_eff:  # the core's BlockSpec needs B padded to NB groups
             pad = -B % nb_eff
             qp0 = jnp.pad(qp0, ((0, pad), (0, 0), (0, 0), (0, 0)))
@@ -182,9 +193,16 @@ def run_impl(impl, args):
 
     itemsize = 2 if args.dtype == "bf16" else 4
     rows = args.mq if impl in ("tree", "tree2", "tree3", "treejnp") else Q
+    kv_itemsize = 1 if args.kv_quant == "int8" else itemsize
+    scale_bytes = (
+        # per-position f32 k/v scales: read once by the XLA gather and once
+        # (gathered) by the kernel.
+        2 * (2 * B * ctx * Hkv * 4) if args.kv_quant == "int8" else 0
+    )
     bytes_moved = (
-        2 * B * ctx * Hkv * hd * itemsize          # K+V read
+        2 * B * ctx * Hkv * hd * kv_itemsize       # K+V read
         + 2 * B * rows * Hq * hd * itemsize        # q read + o write
+        + scale_bytes
     )
     gbs = bytes_moved / dt_s / 1e9
     print(

@@ -527,8 +527,13 @@ def _v3_geometry(kv_layer, block_size: int, B: int, pages_per_chunk: int,
     shrink: C first, then NB — at hd=128 geometries a 256-token page is
     1 MB, so NB=8 alone would already claim the whole VMEM."""
     max_pages = max(1, ctx_pad // block_size)
+    # int8 cache: the in-kernel cast to the compute dtype materializes a
+    # SECOND (2-byte) copy of the chunk on the Mosaic stack, so budget each
+    # int8 element at 3 bytes (1 data + 2 cast), not 1.
+    eff_itemsize = (3 if kv_layer.dtype == jnp.int8
+                    else kv_layer.dtype.itemsize)
     page_bytes = (kv_layer.shape[0] * block_size * kv_layer.shape[-1]
-                  * kv_layer.dtype.itemsize)
+                  * eff_itemsize)
     NB = max(1, min(seqs_per_step, B))
     while NB > 1 and 2 * NB * page_bytes > (8 << 20):
         NB //= 2
