@@ -254,9 +254,10 @@ class Config:
         ), "max_num_batched_tokens < max_model_len requires chunked_prefill"
         # Chunked target prefill cannot produce the per-token activations an
         # EAGLE draft prefill is conditioned on.
-        assert not (self.chunked_prefill and self.use_eagle), (
-            "chunked_prefill is not supported with use_eagle"
-        )
+        # chunked_prefill + use_eagle is supported: partial-chunk dispatches
+        # only write KV forward, and the final admission prefill recomputes
+        # the whole prompt with activation taps for the draft's conditioning
+        # (model_runner.run_prefill's prefill_chunk-gated cached reset).
         # The top-p/top-k warp is wired through the AR / sync / fused-SD /
         # async-SSD programs and verify(); the EAGLE glue does not thread it.
         assert not (self.enable_top_sampling and self.use_eagle), (

@@ -102,11 +102,12 @@ class LLMEngine:
             # every host: the draft's inputs are the (identical) host-side
             # scheduler state and fixed seeds, so every replica computes the
             # same speculations/logits and the global verify inputs agree.
-            # EAGLE conditioning and draft_dp sharding would break that
-            # replication symmetry and stay single-host for now.
-            assert not (config.draft_async and config.use_eagle), (
-                "EAGLE async draft is not supported with num_hosts > 1"
-            )
+            # EAGLE keeps that symmetry too — its conditioning payload
+            # (target activations) comes out of the global verify program
+            # fully replicated, so every host conditions its replica
+            # identically (tests/test_multihost.py::..._eagle_...).
+            # draft_dp sharding WOULD break the symmetry and stays
+            # single-host.
             assert not (config.draft_async and config.draft_dp > 1), (
                 "draft_dp > 1 is not supported with num_hosts > 1"
             )

@@ -729,7 +729,7 @@ class ModelRunner:
                 seq.num_draft_cached_tokens if self.is_draft
                 else seq.num_cached_tokens
             )
-            if self.eagle_layers and cached > 0:
+            if self.eagle_layers and cached > 0 and seq.prefill_chunk is None:
                 cached = 0
             cached = min(cached, seq.num_tokens - 1)
             n_new = seq.num_tokens - cached
@@ -845,9 +845,13 @@ class ModelRunner:
         cached_list, n_new_list = [], []
         for seq in seqs:
             cached = seq.num_draft_cached_tokens if draft else seq.num_cached_tokens
-            if self.eagle_layers and cached > 0:
+            if self.eagle_layers and cached > 0 and seq.prefill_chunk is None:
                 # The draft needs conditioning acts for EVERY prompt token;
                 # recompute prefix-cached spans (KV rewrite is idempotent).
+                # Partial-chunk dispatches (prefill_chunk set) are exempt:
+                # they only write KV forward, and the FINAL acts-producing
+                # prefill (chunk cleared, return_acts=True) recomputes the
+                # whole prompt for conditioning anyway.
                 cached = 0
             # Fully prefix-cached prompt: recompute the last token so real
             # last-token logits exist to sample the first output from.

@@ -158,6 +158,45 @@ def test_chunked_prefill_with_async_ssd(model_dir, draft_dir):
     assert metrics["cache_hits"], "async spec path unused"
 
 
+def test_chunked_prefill_with_eagle(model_dir, tmp_path_factory, monkeypatch):
+    """Chunked prefill + EAGLE (carve-out lifted): the partial chunks only
+    write KV forward; the final admission prefill recomputes the whole
+    prompt with activation taps, so the draft's conditioning sees every
+    prompt token. Output must match the unchunked EAGLE engine
+    token-for-token."""
+    from ssd_tpu.engine import llm_engine as le
+    from tests.utils_models import make_tiny_eagle
+
+    eagle_dir = str(tmp_path_factory.mktemp("chunked_eagle"))
+    make_tiny_eagle(eagle_dir, seed=7)
+    kw = dict(draft=eagle_dir, speculate=True, use_eagle=True,
+              draft_async=True, jit_speculate=True, speculate_k=2,
+              async_fan_out=2, eagle_layers=[0, 1, 1], seed=0)
+    prompt = random_prompt(rng(61), 100, 101)
+    sp = SamplingParams(temperature=0.0, max_new_tokens=12, ignore_eos=True)
+
+    eng_ref = LLM(model_dir, chunked_prefill=False,
+                  max_num_batched_tokens=256, max_model_len=256,
+                  dtype="float32", kvcache_block_size=16,
+                  num_kvcache_blocks=96, max_num_seqs=4, **kw)
+    want, _ = eng_ref.generate([list(prompt)], sp, use_tqdm=False)
+    eng_ref.exit()
+
+    chunks = []
+    orig = le.LLMEngine._run_prefill_chunk
+
+    def spy(self, seq):
+        chunks.append(seq.prefill_chunk)
+        return orig(self, seq)
+
+    monkeypatch.setattr(le.LLMEngine, "_run_prefill_chunk", spy)
+    eng = _engine(model_dir, **kw)
+    outs, _ = eng.generate([list(prompt)], sp, use_tqdm=False)
+    eng.exit()
+    assert chunks and all(c == 32 for c in chunks), chunks
+    assert outs[0]["token_ids"] == want[0]["token_ids"]
+
+
 def test_decode_interleaves_between_chunks(model_dir):
     """While a long prompt chunk-prefills, already-running sequences keep
     decoding: the scheduler alternates chunk and decode dispatches."""

@@ -112,7 +112,14 @@ WORKER_GEN = textwrap.dedent("""
     kw = dict(init_random=False, dtype="float32", max_model_len=128,
               max_num_seqs=2, kvcache_block_size=16, num_kvcache_blocks=32,
               num_hosts=2)
-    if draft_dir and os.environ.get("SSD_MH_MODE") == "ssd":
+    if draft_dir and os.environ.get("SSD_MH_MODE") == "eagle":
+        # EAGLE async SSD: the conditioning activations come out of the
+        # global verify fully replicated, so every host's draft replica
+        # conditions identically and the replication symmetry holds.
+        kw.update(draft=draft_dir, speculate=True, speculate_k=2,
+                  draft_async=True, async_fan_out=2, use_eagle=True,
+                  jit_speculate=True, eagle_layers=[0, 1, 1])
+    elif draft_dir and os.environ.get("SSD_MH_MODE") == "ssd":
         # Async SSD: per-host replicated draft server (identical inputs +
         # seeds => identical speculations on every host), global verify.
         kw.update(draft=draft_dir, speculate=True, speculate_k=2,
@@ -239,6 +246,51 @@ def test_two_process_generate_async_ssd_matches_single_process(tmp_path):
     make_tiny_llama(draft_dir, layers=1, hidden=32, intermediate=64, seed=5)
     port = str(29500 + (_os.getpid() + 311) % 500)
     env = {**_os.environ, "SSD_MH_MODE": "ssd"}
+
+    ref = subprocess.run(
+        [sys.executable, "-c", WORKER_GEN, "single", port, "4", "0",
+         model_dir, draft_dir],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo", env=env,
+    )
+    assert ref.returncode == 0, ref.stdout + ref.stderr
+    want = _gen_line(ref.stdout)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER_GEN, "dist", port, "2", str(i),
+             model_dir, draft_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd="/root/repo", env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out[-2000:]
+        outs.append(out)
+    for out in outs:
+        got = _gen_line(out)
+        assert got == want, f"{got} != {want}"
+
+
+@pytest.mark.skipif(os.environ.get("SSD_SKIP_MULTIHOST") == "1",
+                    reason="multihost disabled")
+def test_two_process_generate_eagle_matches_single_process(tmp_path):
+    """EAGLE async SSD through LLM(num_hosts=2): the carve-out lifted — the
+    conditioning activations are fully-replicated global-verify outputs, so
+    per-host draft replicas stay in lockstep. Two controllers must match one
+    controller token-for-token."""
+    import os as _os
+
+    from tests.utils_models import make_tiny_eagle, make_tiny_llama
+
+    model_dir = str(tmp_path / "t")
+    draft_dir = str(tmp_path / "e")
+    make_tiny_llama(model_dir, seed=11)
+    make_tiny_eagle(draft_dir, seed=5)
+    port = str(29500 + (_os.getpid() + 421) % 500)
+    env = {**_os.environ, "SSD_MH_MODE": "eagle"}
 
     ref = subprocess.run(
         [sys.executable, "-c", WORKER_GEN, "single", port, "4", "0",
