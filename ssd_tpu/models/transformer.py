@@ -252,8 +252,26 @@ def _moe_mlp(x: jnp.ndarray, lp: dict, arch: Arch,
         xs = jnp.repeat(x, k, axis=0)[order]                 # [N, D]
         gs = jnp.bincount(flat_e, length=E).astype(jnp.int32)
 
+        # On the TPU backend the Pallas megablox grouped GEMM measures ~25%
+        # faster than lax.ragged_dot at this shape class (and within 5% of a
+        # same-FLOPs dense matmul — see PERF.md); elsewhere (CPU tests, int8
+        # expert weights with per-channel scales) lax.ragged_dot is the
+        # reference path.
+        use_gmm = (jax.default_backend() == "tpu"
+                   and "moe_gate_scale" not in lp
+                   and N >= 256)  # small (verify-size) dispatches keep the
+        #                          reference path: a sub-tile m is all waste
+
         def rdot(a, name):
-            y = jax.lax.ragged_dot(a, lp[name].astype(a.dtype), gs)
+            w = lp[name]
+            if use_gmm:
+                from jax.experimental.pallas.ops.tpu.megablox import gmm
+
+                # fp32 accumulation inside the kernel; carry dtype preserved.
+                return gmm(a, w.astype(a.dtype), gs,
+                           tiling=(min(256, N), w.shape[1], w.shape[2]),
+                           ).astype(a.dtype)
+            y = jax.lax.ragged_dot(a, w.astype(a.dtype), gs)
             s = lp.get(name + "_scale")                      # [E, out] int8 q
             if s is None:
                 return y
