@@ -110,7 +110,7 @@ def run_impl(impl, args):
         qp0 = jnp.concatenate([qg0, jnp.zeros_like(qg0)], axis=-1)  # [q | 0]
         nb_eff, _ = patt._v3_geometry(
             kv[0] if isinstance(kv, tuple) else kv, bs, B, args.ppc,
-            args.nb, ctx)
+            args.nb, ctx, rows=Q * G)
         if B % nb_eff:  # the core's BlockSpec needs B padded to NB groups
             pad = -B % nb_eff
             qp0 = jnp.pad(qp0, ((0, pad), (0, 0), (0, 0), (0, 0)))

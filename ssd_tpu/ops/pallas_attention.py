@@ -520,12 +520,19 @@ def paged_attention_v2(
 
 
 def _v3_geometry(kv_layer, block_size: int, B: int, pages_per_chunk: int,
-                 seqs_per_step: int, ctx_pad: int) -> tuple[int, int]:
+                 seqs_per_step: int, ctx_pad: int,
+                 rows: int | None = None) -> tuple[int, int]:
     """(NB, C) for the batched-group kernels: the double-buffered KV scratch
     `2 * NB * C * page_bytes` must fit an ~8 MB budget (v5e VMEM is 16 MB,
     and the q/out blocks + fp32 softmax scratch need the rest). BOTH knobs
     shrink: C first, then NB — at hd=128 geometries a 256-token page is
-    1 MB, so NB=8 alone would already claim the whole VMEM."""
+    1 MB, so NB=8 alone would already claim the whole VMEM.
+
+    `rows` (query rows per sequence, QG or MQ*G) tightens the budget for
+    row-heavy callers: the in-kernel mask/softmax temporaries are ~4 f32
+    arrays of [NB*Hkv, rows, C*bs] on the Mosaic stack — at the async tree's
+    B=8, MQ*G=40 shape they alone exceed the whole VMEM unless C shrinks
+    (measured: 'Scoped allocation ... exceeded scoped vmem limit')."""
     max_pages = max(1, ctx_pad // block_size)
     # int8 cache: the in-kernel cast to the compute dtype materializes a
     # SECOND (2-byte) copy of the chunk on the Mosaic stack, so budget each
@@ -539,6 +546,17 @@ def _v3_geometry(kv_layer, block_size: int, B: int, pages_per_chunk: int,
         NB //= 2
     budget_pages = max(1, (8 << 20) // (2 * NB * page_bytes))
     C = max(1, min(pages_per_chunk, budget_pages, max_pages))
+    if rows is not None:
+        Hkv = kv_layer.shape[0]
+
+        def footprint(NB_, C_):
+            temps = 4 * NB_ * Hkv * rows * C_ * block_size * 4
+            return 2 * NB_ * C_ * page_bytes + temps
+
+        while C > 1 and footprint(NB, C) > (14 << 20):
+            C //= 2
+        while NB > 1 and footprint(NB, C) > (14 << 20):
+            NB //= 2
     return NB, C
 
 
@@ -751,7 +769,7 @@ def paged_attention_v3_padded(
     kv_data = kv_layer[0] if int8 else kv_layer
     max_pages = max(1, ctx_pad // block_size)
     NB, C = _v3_geometry(kv_data, block_size, B, pages_per_chunk,
-                         seqs_per_step, ctx_pad)
+                         seqs_per_step, ctx_pad, rows=QG)
     num_groups = pl.cdiv(B, NB)
     num_chunks = pl.cdiv(max_pages, C)
     bk = C * block_size
@@ -839,7 +857,8 @@ def paged_attention_v3(
     Hkv = kv_data.shape[0]
     G = Hq // Hkv
     NB, _ = _v3_geometry(kv_data, block_size, B, pages_per_chunk,
-                         seqs_per_step, ctx_pad)  # must match the core's NB
+                         seqs_per_step, ctx_pad,
+                         rows=Q * G)  # must match the core's NB
     num_groups = pl.cdiv(B, NB)
 
     qg = _regroup_q(q, Hkv)
@@ -1351,7 +1370,7 @@ def tree_attention_v3(
     G = Hq // Hkv
     max_pages = max(1, ctx_pad // block_size)
     NB, C = _v3_geometry(kv_data, block_size, B, pages_per_chunk,
-                         seqs_per_step, ctx_pad)
+                         seqs_per_step, ctx_pad, rows=MQ * G)
     num_groups = pl.cdiv(B, NB)
     num_chunks = pl.cdiv(max_pages, C)
     bk = C * block_size
