@@ -1,6 +1,7 @@
 """Kitchen-sink integration: every beyond-reference feature enabled at once
-(chunked prefill + int8 weights + top-sampling warp + fused multi-round SD)
-must still satisfy the mode-exactness contract."""
+(chunked prefill + int8 weights + int8 KV cache + top-sampling warp + fused
+multi-round SD with the dynamic round ladder) must still satisfy the
+mode-exactness contract."""
 
 import numpy as np
 import pytest
@@ -51,6 +52,28 @@ def test_all_features_fused_sd_matches_ar(dirs):
 
     sd = _engine(target, draft=draft, speculate=True, speculate_k=2,
                  spec_rounds=2)
+    got, metrics = sd.generate([list(prompt)], sp_warp, use_tqdm=False)
+    assert got[0]["token_ids"] == want[0]["token_ids"]
+    assert metrics["accepted_suffix_lens_with_recovery"]
+
+
+def test_all_features_plus_int8_kv(dirs):
+    """The full stack PLUS the int8 KV cache (quantized weights AND cache,
+    chunked prompt, warp compiled in, dynamic fused-SD rounds): AR and fused
+    SD stay mutually token-exact — quantization is deterministic, so the
+    cross-mode contract survives even though HF-exactness does not."""
+    target, draft = dirs
+    prompt = random_prompt(rng(93), 90, 91)
+    sp_greedy = SamplingParams(temperature=0.0, max_new_tokens=16,
+                               ignore_eos=True)
+    sp_warp = SamplingParams(temperature=1.0, top_k=1, max_new_tokens=16,
+                             ignore_eos=True)
+
+    ar = _engine(target, kv_quant="int8")
+    want, _ = ar.generate([list(prompt)], sp_greedy, use_tqdm=False)
+
+    sd = _engine(target, draft=draft, speculate=True, speculate_k=2,
+                 spec_rounds=8, kv_quant="int8")
     got, metrics = sd.generate([list(prompt)], sp_warp, use_tqdm=False)
     assert got[0]["token_ids"] == want[0]["token_ids"]
     assert metrics["accepted_suffix_lens_with_recovery"]
