@@ -260,9 +260,9 @@ class Config:
         # (model_runner.run_prefill's prefill_chunk-gated cached reset).
         # The top-p/top-k warp is wired through the AR / sync / fused-SD /
         # async-SSD programs and verify(); the EAGLE glue does not thread it.
-        assert not (self.enable_top_sampling and self.use_eagle), (
-            "enable_top_sampling is not supported with use_eagle"
-        )
+        # enable_top_sampling composes with use_eagle: the warp threads
+        # through the EAGLE chain and tree programs' samplers, and verify()
+        # warps p and q identically in every mode.
         # The fused superstep drives the draft through the plain-transformer
         # chain program; an EAGLE draft needs conditioning activations and
         # the -1 position shift, which that program does not provide.

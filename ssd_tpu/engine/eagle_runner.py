@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ssd_tpu.config import Config
-from ssd_tpu.engine.draft_runner import DraftRunner, SpecRequest
+from ssd_tpu.engine.draft_runner import DraftRunner, SpecRequest, _warp_np
 from ssd_tpu.engine.model_runner import next_pow2, slot_of
 from ssd_tpu.models.eagle3 import (
     EagleArch,
@@ -110,6 +110,8 @@ def eagle_chain_program(
     block_tables,    # [B, M]
     temperatures,    # [B]
     key,
+    top_ps=None,     # [B] nucleus filter (Config.enable_top_sampling)
+    top_ks=None,     # [B]
     *,
     arch: EagleArch,
     block_size: int,
@@ -148,6 +150,7 @@ def eagle_chain_program(
         next_tok = sample(
             logits, temperatures, jax.random.fold_in(key, i),
             sampler_x=sampler_x, fan_out=F, is_tree=True,
+            top_p=top_ps, top_k=top_ks,
         ).astype(jnp.int32)
         return (kv, next_tok, prenorm), (next_tok, logits, prenorm)
 
@@ -183,6 +186,8 @@ def eagle_tree_build_program(
     cache_hits,      # [B] int32
     temperatures,    # [B]
     key,
+    top_ps=None,     # [B] nucleus filter (Config.enable_top_sampling)
+    top_ks=None,     # [B]
     *,
     arch: EagleArch,
     block_size: int,
@@ -260,6 +265,8 @@ def eagle_tree_build_program(
     base_n = base_positions[b_flat]
     fan_n = fan_idx_rows.reshape(-1)
     temps_n = temperatures[b_flat]
+    tp_n = None if top_ps is None else top_ps[b_flat]
+    tk_n = None if top_ks is None else top_ks[b_flat]
     cond0 = glue_prenorm[b_flat, fan_n]                     # [N, D]
 
     def tree_step(carry, s):
@@ -291,6 +298,7 @@ def eagle_tree_build_program(
         next_tok = sample(
             logits, temps_n, jax.random.fold_in(key, s),
             sampler_x=sampler_x, fan_out=F, is_tree=True,
+            top_p=tp_n, top_k=tk_n,
         ).astype(jnp.int32)
         return (kv, next_tok, prenorm), (next_tok, logits, prenorm)
 
@@ -404,11 +412,13 @@ class EagleDraftRunner(DraftRunner):
         rec_acts[:B] = req.recovery_acts
         bt[:B] = req.block_tables
         ctx_pad = self._ctx_bucket(int(base.max()) + 1 + self.K)
+        warp = _warp_np(req, B_pad)
         self.key, sub = jax.random.split(self.key)
         tokens, logits, prenorms, self.kv_cache = eagle_chain_program(
             self.params, self.kv_cache,
             jnp.asarray(first), jnp.asarray(rec_acts), jnp.asarray(base),
             jnp.asarray(bt), jnp.asarray(temps), sub,
+            *(jnp.asarray(wp) for wp in warp),
             arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad,
             K=self.K, sampler_x=self.sampler_x, F=self.F,
             use_pallas=self.use_pallas,
@@ -463,6 +473,7 @@ class EagleDraftRunner(DraftRunner):
         temps[:B] = req.temperatures
 
         ctx_pad = self._ctx_bucket(int(base.max()) + 1 + (K + 1) + K * MQ)
+        warp = _warp_np(req, B_pad)
         self.key, sub = jax.random.split(self.key)
         host_out, spec_logits, spec_acts, self.kv_cache = (
             eagle_tree_build_program(
@@ -470,6 +481,7 @@ class EagleDraftRunner(DraftRunner):
                 jnp.asarray(glue_tokens), jnp.asarray(glue_fc_acts), prev,
                 jnp.asarray(glue_is_fc), jnp.asarray(n_ext), jnp.asarray(base),
                 jnp.asarray(bt), jnp.asarray(hits), jnp.asarray(temps), sub,
+                *(jnp.asarray(wp) for wp in warp),
                 arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad,
                 K=K, MQ_LEN=MQ,
                 fan_out_list=self.fan_out_list,

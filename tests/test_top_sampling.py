@@ -200,6 +200,31 @@ def test_top_k1_equals_greedy_async_ssd(model_dir, draft_dir):
     assert metrics["cache_hits"], "async spec path unused"
 
 
+def test_top_k1_equals_greedy_eagle(model_dir, tmp_path_factory):
+    """temp=1 + top_k=1 through the EAGLE async path (carve-out lifted: the
+    warp threads through the EAGLE chain and tree samplers) must reproduce
+    the same engine's greedy output."""
+    from tests.utils_models import make_tiny_eagle
+
+    eagle_dir = str(tmp_path_factory.mktemp("warp_eagle"))
+    make_tiny_eagle(eagle_dir, seed=7)
+    prompt = random_prompt(rng(87), 8, 20)
+    kw = dict(draft=eagle_dir, speculate=True, use_eagle=True,
+              draft_async=True, jit_speculate=True, speculate_k=2,
+              async_fan_out=2, eagle_layers=[0, 1, 1], seed=0)
+    sp_greedy = SamplingParams(temperature=0.0, max_new_tokens=16,
+                               ignore_eos=True)
+    sp_warp = SamplingParams(temperature=1.0, top_k=1, max_new_tokens=16,
+                             ignore_eos=True)
+    eng0 = _engine(model_dir, **kw)
+    want, _ = eng0.generate([list(prompt)], sp_greedy, use_tqdm=False)
+    eng0.exit()
+    eng = _engine(model_dir, **kw)
+    outs, _ = eng.generate([list(prompt)], sp_warp, use_tqdm=False)
+    eng.exit()
+    assert outs[0]["token_ids"] == want[0]["token_ids"]
+
+
 def test_spec_distribution_with_sampler_x_and_warp():
     """sampler_x rescaling and the warp must compose in the SAME order in the
     sampler and in verify() (rescale first, then warp): the emitted-token
