@@ -21,7 +21,8 @@ import sys
 import time
 
 
-def build_spec_checkpoints(model_dir: str, draft_noise: float = 0.0) -> tuple[str, str]:
+def build_spec_checkpoints(model_dir: str, draft_noise: float = 0.0,
+                           draft_vocab: int = 0) -> tuple[str, str]:
     """Write (once) a target/draft checkpoint pair for the spec bench: the
     target's layers >= L/4 have wo = down = 0 (exact residual passthrough),
     and the draft shares the live layers + embeddings, so greedy outputs
@@ -30,7 +31,20 @@ def build_spec_checkpoints(model_dir: str, draft_noise: float = 0.0) -> tuple[st
     draft_noise > 0 perturbs the DRAFT's live projections by that relative
     magnitude (weights are 0.02-scaled, the noise is 0.02*draft_noise-scaled)
     — the acceptance-rate knob for measuring the SD win as a function of
-    draft quality instead of only at the constructed best case."""
+    draft quality instead of only at the constructed best case.
+
+    draft_vocab > 0 gives the draft an FR-Spec-style reduced LM head: its head
+    is the first `draft_vocab` rows of the target's, with a d2t identity map
+    (models/transformer.py::compute_logits scatters back to the full vocab).
+    Real LMs concentrate next-token mass on a small frequent-token subset
+    (that is why FR-Spec works); random weights do not — they form arbitrary
+    attractor tokens (the residual stream correlates with the last token's own
+    embedding row, so a mild in-subset boost loses to out-of-subset
+    self-similarity) — so the TARGET's head rows OUTSIDE the subset are scaled
+    down 20x, concentrating its emissions in the subset the way frequency
+    concentrates a real LM's. Both sides untie their embeddings; the target's
+    bytes/step are unchanged (the head matmul reads the dense [V, D] either
+    way), and the bench reports the measured acceptance as always."""
     import numpy as np
     from safetensors.numpy import save_file
 
@@ -38,15 +52,18 @@ def build_spec_checkpoints(model_dir: str, draft_noise: float = 0.0) -> tuple[st
         cfg = json.load(f)
     L = cfg["num_hidden_layers"]
     Ld = max(1, L // 4)
-    tdir = model_dir + "_spec_target"
-    ddir = model_dir + "_spec_draft" + (
+    dv_sfx = f"_dv{draft_vocab}" if draft_vocab else ""
+    tdir = model_dir + "_spec_target" + dv_sfx
+    ddir = model_dir + "_spec_draft" + dv_sfx + (
         f"_n{draft_noise:g}" if draft_noise else "")
     t_file = os.path.join(tdir, "model.safetensors")
     d_file = os.path.join(ddir, "model.safetensors")
     for d, n_layers in ((tdir, L), (ddir, Ld)):
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, "config.json"), "w") as f:
-            json.dump({**cfg, "num_hidden_layers": n_layers}, f)
+            json.dump({**cfg, "num_hidden_layers": n_layers,
+                       **({"tie_word_embeddings": False}
+                          if draft_vocab else {})}, f)
     if os.path.exists(t_file) and os.path.exists(d_file):
         return tdir, ddir
 
@@ -110,6 +127,12 @@ def build_spec_checkpoints(model_dir: str, draft_noise: float = 0.0) -> tuple[st
                 })
             else:
                 draft.update(layer)
+    if draft_vocab:
+        head = target["model.embed_tokens.weight"].astype(np.float32).copy()
+        head[draft_vocab:] *= 0.05  # concentrate emissions inside the subset
+        target["lm_head.weight"] = head.astype(np.float16)
+        draft["lm_head.weight"] = head[:draft_vocab].astype(np.float16)
+        draft["d2t"] = np.zeros((draft_vocab,), np.int32)
     save_file(target, t_file)
     save_file(draft, d_file)
     return tdir, ddir
@@ -274,9 +297,13 @@ def main():
         else:
             # SSD_BENCH_DRAFT_NOISE lowers the draft's acceptance rate (the
             # realistic-draft operating curve; 0 = the constructed best case).
+            # SSD_BENCH_DRAFT_VOCAB=N gives the draft an FR-Spec-style reduced
+            # LM head of N rows (see build_spec_checkpoints): the draft chain
+            # streams N*D head bytes per step instead of V*D.
             target_dir, draft_dir = build_spec_checkpoints(
                 model_dir,
                 draft_noise=float(os.environ.get("SSD_BENCH_DRAFT_NOISE", "0")),
+                draft_vocab=int(os.environ.get("SSD_BENCH_DRAFT_VOCAB", "0")),
             )
         kw.update(speculate=True,
                   draft=draft_dir,
@@ -387,6 +414,8 @@ def main():
             arch_sfx += f"_k{os.environ['SSD_BENCH_K']}"
         if float(os.environ.get("SSD_BENCH_DRAFT_NOISE", "0")):
             arch_sfx += f"_n{os.environ['SSD_BENCH_DRAFT_NOISE']}"
+        if int(os.environ.get("SSD_BENCH_DRAFT_VOCAB", "0")):
+            arch_sfx += f"_dv{os.environ['SSD_BENCH_DRAFT_VOCAB']}"
     key = f"decode_tok_s_{backend}_{mode}_b{batch}_o{out_len}{arch_sfx}"
     hist, best = {}, None
     if os.path.exists(hist_path):

@@ -425,4 +425,17 @@ def compute_logits(
     logits = hidden.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32).T
     if "lm_head_scale" in params:  # int8 weight-only (utils/quant.py)
         logits = logits * params["lm_head_scale"].astype(jnp.float32)[None, :]
+    if "d2t" in params:
+        # Reduced draft vocab (FR-Spec style): the LM head is [Vd, D] over a
+        # subset of the target vocab; scatter its logits into the full target
+        # vocab with -inf elsewhere, exactly like the EAGLE-3 reduced head
+        # (models/eagle3.py::eagle_logits; reference
+        # eagle3_draft_llama3.py:314-352). Sampling/argmax over the scattered
+        # logits then IS sampling over the subset distribution q, so verify()
+        # stays exact with zero changes — while the head matmul streams only
+        # Vd*D weight bytes per chain step instead of V*D.
+        Vd = logits.shape[-1]
+        target_idx = jnp.arange(Vd, dtype=jnp.int32) + params["d2t"]
+        full = jnp.full((logits.shape[0], arch.vocab_size), -jnp.inf, jnp.float32)
+        logits = full.at[:, target_idx].set(logits)
     return logits

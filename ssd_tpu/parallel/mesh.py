@@ -83,6 +83,8 @@ _PARAM_SPECS = {
     "final_ln": P(None),
     "lm_head": P("tp", None),
     "lm_head_scale": P("tp"),
+    # Reduced-draft-vocab map (loader.py / compute_logits): tiny, replicated.
+    "d2t": P(None),
     "layers": {
         "input_ln": P(None, None),
         "wq": P(None, None, "tp"),

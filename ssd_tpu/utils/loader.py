@@ -88,7 +88,17 @@ def load_params(model_path: str, mc: ModelConfig, dtype=jnp.bfloat16) -> dict:
         "layers": layers,
         "final_ln": get("model.norm.weight"),
     }
-    if arch.tie_embeddings or "lm_head.weight" not in t:
+    if "d2t" in t:
+        # Reduced draft vocab: lm_head is [Vd, D] over a subset of the target
+        # vocab, d2t[i] the offset from draft slot i to its target token id
+        # (the EAGLE-3 vocab-map convention, reference loader.py:64-183).
+        # compute_logits scatters back to the full vocab with -inf elsewhere.
+        assert "lm_head.weight" in t, "d2t requires an untied explicit lm_head"
+        params["lm_head"] = get("lm_head.weight")
+        params["d2t"] = jnp.asarray(np.asarray(t["d2t"]), jnp.int32)
+        assert params["lm_head"].shape[0] == params["d2t"].shape[0], (
+            "lm_head rows must match d2t length")
+    elif arch.tie_embeddings or "lm_head.weight" not in t:
         params["lm_head"] = params["embed"]
     else:
         params["lm_head"] = get("lm_head.weight")
