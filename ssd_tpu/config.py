@@ -141,6 +141,16 @@ class Config:
     # speculative analogue of AR multi_step). Greedy outputs stay token-exact
     # vs spec_rounds=1. See ssd_tpu/engine/fused_sd.py.
     spec_rounds: int = 1
+    # Model-free speculation (beyond reference; vLLM's ngram speculator):
+    # propose speculate_k tokens per round by matching the last ngram_n
+    # committed tokens against the sequence's own history, verified by the
+    # same fused multi-round superstep machinery as sync SD — with ZERO draft
+    # model or draft KV (fused_sd.ngram_superstep: the token history rides
+    # the scan carry and the matcher runs in-program). Token-exact vs AR in
+    # every case: a proposal miss only costs acceptance. Use with speculate_k
+    # and spec_rounds; mutually exclusive with speculate.
+    ngram_speculate: bool = False
+    ngram_n: int = 3
 
     # async spec only
     # Draft data parallelism: replicate the draft over this many dedicated
@@ -270,6 +280,13 @@ class Config:
             "spec_rounds > 1 (fused sync SD) is not supported with "
             "use_eagle; use spec_rounds=1"
         )
+        # ngram speculation has no draft model at all.
+        assert not (self.ngram_speculate and self.speculate), (
+            "ngram_speculate is model-free; it is mutually exclusive with "
+            "speculate (pick one proposal source)"
+        )
+        if self.ngram_speculate:
+            assert self.ngram_n >= 1 and self.speculate_k >= 1
 
     def create_draft_config(self) -> "Config":
         """Config for the draft model runner (reference draft_runner.py:21-32)."""

@@ -175,6 +175,217 @@ def sd_superstep_packed(
     )
 
 
+def ngram_propose(hist, n, rec, *, N: int, K: int):
+    """Prompt-lookup proposal: for each row, find the MOST RECENT earlier
+    occurrence of the last N tokens (hist[n-N+1..n], rec already written at
+    slot n) inside the committed prefix and return the K tokens that
+    followed it; rows with no match fall back to repeating rec.
+
+    hist [B, H] int32, n [B] (#committed, rec at slot n), rec [B].
+    Pure and jittable — the ngram_superstep round body calls it with the
+    history in the scan carry."""
+    B, H = hist.shape
+    W = H - N  # candidate window starts
+    gram_idx = jnp.clip(n[:, None] - (N - 1) + jnp.arange(N)[None, :],
+                        0, H - 1)
+    gram = jnp.take_along_axis(hist, gram_idx, axis=1)          # [B, N]
+    match = jnp.ones((B, W), bool)
+    for j in range(N):
+        match = match & (
+            jax.lax.dynamic_slice_in_dim(hist, j, W, axis=1)
+            == gram[:, j:j + 1]
+        )
+    s_range = jnp.arange(W)[None, :]
+    # Continuation must start inside the committed prefix (s + N <= n);
+    # that also excludes the trivial self-match at s = n - N + 1.
+    valid = (s_range <= (n - N)[:, None]) & (n >= N)[:, None]
+    s_star = jnp.max(jnp.where(match & valid, s_range, -1), axis=1)
+    has = s_star >= 0
+    prop_idx = jnp.clip(
+        s_star[:, None] + N + jnp.arange(K)[None, :], 0, H - 1)
+    props = jnp.take_along_axis(hist, prop_idx, axis=1)         # [B, K]
+    return jnp.where(has[:, None], props, rec[:, None])  # fallback
+
+
+@partial(
+    jax.jit,
+    static_argnames=("t_arch", "block_size", "ctx_pad", "N", "K", "R",
+                     "use_pallas"),
+    donate_argnames=("target_kv",),
+)
+def ngram_superstep(
+    t_params, target_kv,
+    hist0,       # [B, H] int32 committed tokens (junk beyond n0; H = ctx_pad)
+    rec0,        # [B] int32 pending recovery/last-sampled token
+    n0,          # [B] int32 committed tokens (rec NOT yet appended)
+    bt_target,   # [B, M] int32
+    temps_t,     # [B] float32
+    key,
+    top_ps=None,
+    top_ks=None,
+    *,
+    t_arch: Arch,
+    block_size: int,
+    ctx_pad: int,
+    N: int,
+    K: int,
+    R: int,
+    use_pallas: bool = False,
+):
+    """Model-free speculation (prompt-lookup / n-gram), fused multi-round.
+
+    Each round proposes K tokens by matching the last N committed tokens
+    against the sequence's own history IN-PROGRAM (the token history rides
+    the scan carry), then runs the same K+1-query verify forward and
+    verify() math as sd_superstep with q = delta(proposal) — deterministic
+    proposals make rejection sampling exact with accept prob p(token), and
+    greedy rows use the greedy compare, so outputs are token-exact vs AR in
+    all cases. Zero draft model: the only weights read per round are the
+    target's, so at high match rates this approaches (accepted+1)x AR
+    throughput. No reference counterpart (the reference always runs a draft
+    model); the proposal scheme is vLLM's ngram speculator, fused the way
+    only a scan-carried history allows."""
+    B, H = hist0.shape
+    Kp1 = K + 1
+    V = t_arch.vocab_size
+
+    def round_body(carry, r):
+        tkv, hist, rec, n = carry
+        rkey = jax.random.fold_in(key, r)
+        b_idx = jnp.arange(B)
+        n_c = jnp.clip(n, 0, H - 1)
+        hist = hist.at[b_idx, n_c].set(rec)
+
+        props = ngram_propose(hist, n, rec, N=N, K=K)               # [B, K]
+        spec = jnp.concatenate([rec[:, None], props], axis=1)      # [B, K+1]
+
+        # --- target verify forward over [rec | g_1..g_K] ---
+        pos = (n[:, None] + jnp.arange(Kp1)[None, :]).reshape(-1)
+        b_of = jnp.repeat(b_idx, Kp1)
+        slots = slot_of(bt_target, pos, b_of, block_size)
+        _, logits_p, _, tkv = decode_step(
+            t_params, tkv, spec.reshape(-1).astype(jnp.int32),
+            pos.astype(jnp.int32), slots, bt_target,
+            (n + Kp1).astype(jnp.int32), temps_t,
+            jax.random.fold_in(rkey, 2),
+            arch=t_arch, block_size=block_size, ctx_pad=ctx_pad, q_len=Kp1,
+            use_pallas=use_pallas,
+        )
+
+        # --- verify with q = delta(proposal): temps_d = 0 makes probs_q the
+        # proposal one-hot, so ratio acceptance is exactly p(token) and the
+        # recovery comes from norm(max(0, p - onehot)) — the standard
+        # prompt-lookup-under-sampling residual ---
+        logits_q = jax.nn.one_hot(props, V, dtype=jnp.float32)
+        acc, recovery = verify(
+            logits_p.reshape(B, Kp1, V), logits_q, spec,
+            temps_t, jnp.zeros((B,), jnp.float32), jnp.ones((B,), jnp.int32),
+            jax.random.fold_in(rkey, 3),
+            top_p=top_ps, top_k=top_ks,
+        )
+        # Write the proposals into the history; entries beyond the accepted
+        # length are junk but sit past the next round's n, so the matcher
+        # never reads them.
+        wr_idx = jnp.clip(n[:, None] + 1 + jnp.arange(K)[None, :], 0, H - 1)
+        hist = hist.at[b_idx[:, None], wr_idx].set(props)
+        n_next = (n + acc + 1).astype(jnp.int32)
+        out = (spec, acc.astype(jnp.int32), recovery.astype(jnp.int32))
+        return (tkv, hist, recovery.astype(jnp.int32), n_next), out
+
+    (target_kv, _, _, _), (specs, accs, recs) = jax.lax.scan(
+        round_body,
+        (target_kv, hist0.astype(jnp.int32), rec0.astype(jnp.int32),
+         n0.astype(jnp.int32)),
+        jnp.arange(R),
+    )
+    return specs, accs, recs, target_kv
+
+
+@partial(
+    jax.jit,
+    static_argnames=("t_arch", "block_size", "ctx_pad", "N", "K", "R",
+                     "B_pad", "M_t", "use_pallas", "use_warp"),
+    donate_argnames=("target_kv",),
+)
+def ngram_superstep_packed(
+    t_params, target_kv, packed, *,
+    t_arch: Arch, block_size: int, ctx_pad: int, N: int, K: int, R: int,
+    B_pad: int, M_t: int, use_pallas: bool = False, use_warp: bool = False,
+):
+    """ngram_superstep with one flat int32 payload: [rec(B) | n0(B) |
+    bt(B*M_t) | temps_bits(B) | hist(B*H) | (top_p_bits(B) | top_k(B)) |
+    seed(1)]."""
+    B, H = B_pad, ctx_pad
+    o = 2 * B
+    bt = packed[o:o + B * M_t].reshape(B, M_t)
+    o += B * M_t
+    temps = _f32(packed[o:o + B])
+    o += B
+    hist = packed[o:o + B * H].reshape(B, H)
+    o += B * H
+    warp = ((_f32(packed[o:o + B]), packed[o + B:o + 2 * B])
+            if use_warp else (None, None))
+    seed_at = o + (2 * B if use_warp else 0)
+    return ngram_superstep(
+        t_params, target_kv, hist, packed[:B], packed[B:2 * B], bt, temps,
+        _key_from(packed[seed_at]), warp[0], warp[1],
+        t_arch=t_arch, block_size=block_size, ctx_pad=ctx_pad, N=N, K=K,
+        R=R, use_pallas=use_pallas,
+    )
+
+
+def run_ngram_superstep(target_runner, seqs, N: int, K: int, R: int):
+    """Host driver for the model-free superstep: one packed upload, one
+    dispatch, one readback for R rounds. Same return contract as
+    run_sd_superstep."""
+    B = len(seqs)
+    B_pad = next_pow2(B)
+    rec = np.zeros(B_pad, np.int32)
+    n0 = np.ones(B_pad, np.int32)
+    temps_t = np.ones(B_pad, np.float32)
+    bt_t = np.full((B_pad, target_runner.max_blocks), -1, np.int32)
+    bt_t[:B] = target_runner._block_table_array(seqs, draft=False)
+    horizon = max(s.num_tokens for s in seqs) + R * (K + 1) + 1
+    ctx_pad = target_runner._ctx_bucket(horizon)
+    hist = np.zeros((B_pad, ctx_pad), np.int32)
+    for i, seq in enumerate(seqs):
+        assert seq.recovery_token_id is not None
+        rec[i] = seq.recovery_token_id
+        n0[i] = seq.num_tokens
+        temps_t[i] = seq.temperature
+        ids = seq.token_ids[:ctx_pad]
+        hist[i, :len(ids)] = ids
+    warp_parts = target_runner._warp_parts(seqs, B_pad)
+    payload = target_runner._upload(pack_i32(
+        rec, n0, bt_t, temps_t, hist, *warp_parts,
+        np.asarray([target_runner._next_seed()], np.int32),
+    ))
+
+    specs, accs, recs, target_runner.kv_cache = ngram_superstep_packed(
+        target_runner.params, target_runner.kv_cache, payload,
+        t_arch=target_runner.arch, block_size=target_runner.block_size,
+        ctx_pad=ctx_pad, N=N, K=K, R=R, B_pad=B_pad,
+        M_t=target_runner.max_blocks, use_pallas=target_runner.use_pallas,
+        use_warp=target_runner.use_warp,
+    )
+    specs = np.asarray(specs)   # ONE host sync for the whole superstep
+    accs = np.asarray(accs)
+    recs = np.asarray(recs)
+
+    suffixes, final_rec, per_round_lens = [], [], []
+    for b in range(B):
+        out: list[int] = []
+        lens = []
+        for r in range(R):
+            a = int(accs[r, b])
+            out.extend(int(t) for t in specs[r, b, : a + 1])
+            lens.append(a + 1)
+        suffixes.append(out)
+        per_round_lens.append(lens)
+        final_rec.append(int(recs[R - 1, b]))
+    return suffixes, final_rec, per_round_lens
+
+
 def run_sd_superstep(target_runner, draft_runner, seqs, K: int, R: int):
     """Host driver: one dispatch, one readback, R rounds.
 

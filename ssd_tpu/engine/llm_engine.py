@@ -213,6 +213,46 @@ class LLMEngine:
                 self._warmup_superstep(batch_pads)
         if self.draft_server is not None:
             self.draft_server.warmup(batch_pads=batch_pads)
+        if cfg.ngram_speculate:
+            self._warmup_ngram_superstep(batch_pads)
+
+    def _warmup_ngram_superstep(self, batch_pads):
+        """Pre-compile the model-free ngram superstep ladder with ghost
+        inputs (block tables -1 => all KV writes dropped)."""
+        import numpy as np
+
+        import jax
+
+        from ssd_tpu.engine.fused_sd import ngram_superstep_packed
+        from ssd_tpu.engine.model_runner import pack_i32
+        from ssd_tpu.engine.step import round_choices
+
+        cfg = self.config
+        t = self.model_runner
+        for B_pad in batch_pads:
+            warp_parts = ((np.ones(B_pad, np.float32),
+                           np.zeros(B_pad, np.int32)) if t.use_warp else ())
+            for ctx_pad in t._ctx_buckets():
+                payload = t._upload(pack_i32(
+                    np.zeros(B_pad, np.int32),                     # rec
+                    np.ones(B_pad, np.int32),                      # n0
+                    np.full((B_pad, t.max_blocks), -1, np.int32),  # bt
+                    np.ones(B_pad, np.float32),                    # temps
+                    np.zeros((B_pad, ctx_pad), np.int32),          # hist
+                    *warp_parts,                                   # top_p|k
+                    np.zeros(1, np.int32),                         # seed
+                ))
+                for R in round_choices(cfg.spec_rounds):
+                    out = ngram_superstep_packed(
+                        t.params, t.kv_cache, payload,
+                        t_arch=t.arch, block_size=t.block_size,
+                        ctx_pad=ctx_pad, N=cfg.ngram_n,
+                        K=cfg.speculate_k, R=R, B_pad=B_pad,
+                        M_t=t.max_blocks, use_pallas=t.use_pallas,
+                        use_warp=t.use_warp,
+                    )
+                    t.kv_cache = out[3]
+            jax.block_until_ready(t.kv_cache)
 
     def _warmup_superstep(self, batch_pads):
         """Pre-compile the fused multi-round SD program (engine/fused_sd.py)
@@ -365,6 +405,17 @@ class LLMEngine:
         return self.scheduler.is_finished()
 
     def create_inference_step(self, config: Config) -> InferenceStep:
+        if config.ngram_speculate:
+            from ssd_tpu.engine.step import NgramSpecDecodeStep
+
+            return NgramSpecDecodeStep(
+                scheduler=self.scheduler,
+                target_runner=self.model_runner,
+                K=config.speculate_k,
+                rounds=config.spec_rounds,
+                N=config.ngram_n,
+                metrics=METRICS,
+            )
         if not config.speculate:
             return AutoRegressiveStep(
                 self.scheduler, self.model_runner, multi_step=config.multi_step
@@ -436,7 +487,8 @@ class LLMEngine:
                 f"{int(METRICS['decode_total_tokens'] / METRICS['decode_total_time'])}tok/s",
                 flush=True,
             )
-        if self.config.speculate and METRICS["accepted_suffix_lens_with_recovery"]:
+        if ((self.config.speculate or self.config.ngram_speculate)
+                and METRICS["accepted_suffix_lens_with_recovery"]):
             lens = METRICS["accepted_suffix_lens_with_recovery"]
             ttl, n_steps = sum(lens), len(lens)
             print(f"[metrics] Avg Tokens per step (incl recovery): {ttl / n_steps:.2f}", flush=True)

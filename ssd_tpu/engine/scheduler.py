@@ -45,6 +45,9 @@ class Scheduler:
         self.use_eagle = config.use_eagle
         self.multi_step = config.multi_step
         self.spec_rounds = config.spec_rounds
+        # Model-free n-gram speculation: spec-style lookahead/postprocess on
+        # the target side only (no draft allocator exists).
+        self.ngram = config.ngram_speculate
         self.block_manager = BlockManager(
             config.num_kvcache_blocks,
             config.kvcache_block_size,
@@ -209,6 +212,10 @@ class Scheduler:
     def _lookaheads(self) -> tuple[int, int | None]:
         """KV slots each mode may write beyond the committed trunk this step:
         (target, draft)."""
+        if self.ngram:
+            # The fused ngram superstep writes K+1 verify slots per round,
+            # target side only.
+            return self.spec_rounds * (self.K + 1), None
         if not self.speculate:
             return 1, None
         if self.draft_async:
@@ -242,7 +249,9 @@ class Scheduler:
         # sequence R*(K+1) tokens early. Async/EAGLE keep the boundary finish
         # (their host-side draft cache is keyed by committed outcomes and
         # cannot absorb garbage rounds).
-        sync_spec = self.speculate and not self.draft_async and not self.use_eagle
+        sync_spec = (
+            self.speculate and not self.draft_async and not self.use_eagle
+        ) or self.ngram
         batch: list[Sequence] = []
         while self.running and len(batch) < self.max_num_seqs:
             seq = self.running.popleft()
@@ -262,7 +271,8 @@ class Scheduler:
                 la = max(1, min(self.multi_step, room))
             elif sync_spec:
                 la = max(1, min(target_la, room))
-                dla = max(1, min(draft_la, room))
+                if draft_la is not None:
+                    dla = max(1, min(draft_la, room))
             if self._reserve(seq, la, dla):
                 batch.append(seq)
         self.running.extendleft(reversed(batch))
@@ -403,7 +413,9 @@ class Scheduler:
         """Roll back KV blocks over-allocated during speculation."""
         final = seq.num_tokens + len(new_suffix)
         self._rollback_table(self.block_manager, seq, "block_table", final)
-        self._rollback_table(self._draft_bm(seq), seq, "draft_block_table", final)
+        if self.speculate:
+            self._rollback_table(
+                self._draft_bm(seq), seq, "draft_block_table", final)
 
     def _finalize_block(self, bm: BlockManager, seq: Sequence, block_table: list[int], i: int):
         """Chain-hash completed block i into the prefix cache."""
@@ -428,15 +440,17 @@ class Scheduler:
         seq.num_tokens += n
         seq.last_token = new_suffix[-1]
         seq.num_cached_tokens += n
-        seq.num_draft_cached_tokens += n
         seq.last_spec_step_accepted_len = n
         seq.recovery_token_id = recovery_token
 
-        assert seq.last_block_num_tokens == seq.last_block_num_tokens_draft
-        assert seq.block_table and seq.draft_block_table
-
+        assert seq.block_table
         self._finalize_full_blocks(self.block_manager, seq, seq.block_table)
-        self._finalize_full_blocks(self._draft_bm(seq), seq, seq.draft_block_table)
+        if self.speculate:
+            seq.num_draft_cached_tokens += n
+            assert seq.last_block_num_tokens == seq.last_block_num_tokens_draft
+            assert seq.draft_block_table
+            self._finalize_full_blocks(
+                self._draft_bm(seq), seq, seq.draft_block_table)
 
     def postprocess_speculate(
         self,

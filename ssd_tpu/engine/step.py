@@ -153,6 +153,54 @@ class FusedSpecDecodeStep(InferenceStep):
         return sum(s.num_tokens - b for s, b in zip(seqs, before_each))
 
 
+class NgramSpecDecodeStep(FusedSpecDecodeStep):
+    """Model-free speculation (Config.ngram_speculate): prompt-lookup n-gram
+    proposals + the fused multi-round verify superstep
+    (fused_sd.ngram_superstep). No draft model, no draft KV — the token
+    history rides the scan carry and the matcher runs in-program. Beyond
+    reference (the reference always runs a draft model); proposal scheme =
+    vLLM's ngram speculator."""
+
+    def __init__(self, scheduler: Scheduler, target_runner: ModelRunner,
+                 K: int, rounds: int, N: int, metrics: dict | None = None):
+        super().__init__(scheduler, target_runner, draft_runner=None, K=K,
+                         rounds=rounds, metrics=metrics)
+        self.N = N
+
+    def prefill(self, seqs: list[Sequence]) -> int:
+        token_ids = self.target_runner.run(seqs, is_prefill=True)
+        for seq, token_id in zip(seqs, token_ids):
+            seq.recovery_token_id = token_id
+            seq.num_cached_tokens = seq.num_prompt_tokens
+        return sum(len(s) for s in seqs)
+
+    def decode(self, seqs: list[Sequence]) -> int:
+        if not seqs:
+            return 0
+        from ssd_tpu.engine.fused_sd import run_ngram_superstep
+
+        t0 = perf_counter()
+        suffixes, final_recs, per_round_lens = run_ngram_superstep(
+            self.target_runner, seqs, self.N, self.K, self._pick_rounds(seqs)
+        )
+        self.metrics.setdefault("sd_superstep_times", []).append(
+            perf_counter() - t0
+        )
+        before_each = [s.num_tokens for s in seqs]
+        self.scheduler.postprocess_speculate(seqs, suffixes, final_recs)
+        for seq, before, lens in zip(seqs, before_each, per_round_lens):
+            committed = seq.num_tokens - before
+            used = 0
+            for n in lens:
+                if used + n > committed:
+                    break
+                self.metrics.setdefault(
+                    "accepted_suffix_lens_with_recovery", []
+                ).append(n)
+                used += n
+        return sum(s.num_tokens - b for s, b in zip(seqs, before_each))
+
+
 class SpecDecodeStep(InferenceStep):
 
     def __init__(self, scheduler: Scheduler, speculator, verifier, eagle: bool,
