@@ -268,11 +268,10 @@ class Config:
         # only write KV forward, and the final admission prefill recomputes
         # the whole prompt with activation taps for the draft's conditioning
         # (model_runner.run_prefill's prefill_chunk-gated cached reset).
-        # The top-p/top-k warp is wired through the AR / sync / fused-SD /
-        # async-SSD programs and verify(); the EAGLE glue does not thread it.
-        # enable_top_sampling composes with use_eagle: the warp threads
-        # through the EAGLE chain and tree programs' samplers, and verify()
-        # warps p and q identically in every mode.
+        # enable_top_sampling composes with EVERY mode (AR / sync / fused-SD /
+        # async-SSD / EAGLE): the warp threads through all sampling sites
+        # incl. the EAGLE chain and tree programs' samplers, and verify()
+        # warps p and q identically so speculative sampling stays exact.
         # The fused superstep drives the draft through the plain-transformer
         # chain program; an EAGLE draft needs conditioning activations and
         # the -1 position shift, which that program does not provide.

@@ -431,9 +431,11 @@ class DraftRunner(ModelRunner):
             # rows carry stale-but-finite logits that verify() never consults.
             idx_pad = np.zeros(B_pad, dtype=np.int64)
             idx_pad[:B] = idx
-            logits_q = self.tree_cache_logits[jnp.asarray(idx_pad)]  # [B_pad, K, V]
+            idx_dev = jnp.asarray(idx_pad)  # the step's ONE index upload
+            logits_q = self.tree_cache_logits[idx_dev]  # [B_pad, K, V]
             if self.tree_cache_acts is not None:
-                acts = self.tree_cache_acts[jnp.asarray(idx)]  # all-hit in EAGLE
+                # all-hit in EAGLE; B_pad rows feed the tree build's prev_acts
+                acts = self.tree_cache_acts[idx_dev]
         else:
             logits_q = jnp.zeros((B_pad, K, V), jnp.float32)
             if self.device is not None:

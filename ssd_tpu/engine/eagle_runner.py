@@ -30,7 +30,13 @@ import jax.numpy as jnp
 
 from ssd_tpu.config import Config
 from ssd_tpu.engine.draft_runner import DraftRunner, SpecRequest, _warp_np
-from ssd_tpu.engine.model_runner import next_pow2, slot_of
+from ssd_tpu.engine.model_runner import (
+    _f32,
+    _key_from,
+    next_pow2,
+    pack_i32,
+    slot_of,
+)
 from ssd_tpu.models.eagle3 import (
     EagleArch,
     eagle_forward,
@@ -93,6 +99,34 @@ def eagle_prefill_program(
         params, kv_cache, input_ids, cond, positions, attn_call, arch
     )
     return kv_cache
+
+
+@partial(
+    jax.jit,
+    static_argnames=("arch", "block_size", "ctx_pad", "s_pad", "M",
+                     "use_pallas"),
+    donate_argnames=("kv_cache",),
+)
+def eagle_prefill_packed(
+    params, kv_cache, packed, *,
+    arch: EagleArch, block_size: int, ctx_pad: int, s_pad: int, M: int,
+    use_pallas: bool,
+):
+    """eagle_prefill_program fed by ONE flat int32 payload (the packed
+    one-upload discipline every other engine program obeys; target acts
+    travel as raw f32 bits): [input_ids(S) | positions(S) | slot_map(S) |
+    block_table(M) | n_real(1) | act_bits(S*3*D_target)]."""
+    S = s_pad
+    A = arch.num_eagle_layers * arch.d_model_target
+    o = 3 * S + M + 1
+    return eagle_prefill_program(
+        params, kv_cache,
+        packed[:S], _f32(packed[o:o + S * A]).reshape(S, A),
+        packed[S:2 * S], packed[2 * S:3 * S],
+        packed[3 * S:3 * S + M].reshape(1, M), packed[3 * S + M],
+        arch=arch, block_size=block_size, ctx_pad=ctx_pad, s_pad=s_pad,
+        use_pallas=use_pallas,
+    )
 
 
 @partial(
@@ -167,6 +201,45 @@ def eagle_chain_program(
 
 @partial(
     jax.jit,
+    static_argnames=("arch", "block_size", "ctx_pad", "K", "B_pad", "M",
+                     "sampler_x", "F", "use_pallas", "use_warp"),
+    donate_argnames=("kv_cache",),
+)
+def eagle_chain_packed(
+    params, kv_cache, packed, *,
+    arch: EagleArch, block_size: int, ctx_pad: int, K: int, B_pad: int,
+    M: int, sampler_x: float | None, F: int, use_pallas: bool,
+    use_warp: bool = False,
+):
+    """eagle_chain_program with ONE flat int32 payload — the conditioning
+    activations ride the same upload as raw f32 bits (the reference ships its
+    whole EAGLE handshake incl. acts as fused NCCL bursts,
+    speculator_async.py:158-179): [first(B) | base(B) | bt(B*M) |
+    temp_bits(B) | (top_p_bits(B) | top_k(B))? | rec_act_bits(B*3*D_target) |
+    seed(1)]."""
+    B = B_pad
+    A = arch.num_eagle_layers * arch.d_model_target
+    o = 2 * B + B * M
+    temps = _f32(packed[o:o + B])
+    o += B
+    warp = (None, None)
+    if use_warp:
+        warp = (_f32(packed[o:o + B]), packed[o + B:o + 2 * B])
+        o += 2 * B
+    rec_acts = _f32(packed[o:o + B * A]).reshape(B, A)
+    o += B * A
+    return eagle_chain_program(
+        params, kv_cache,
+        packed[:B], rec_acts, packed[B:2 * B],
+        packed[2 * B:2 * B + B * M].reshape(B, M), temps,
+        _key_from(packed[o]), warp[0], warp[1],
+        arch=arch, block_size=block_size, ctx_pad=ctx_pad, K=K,
+        sampler_x=sampler_x, F=F, use_pallas=use_pallas,
+    )
+
+
+@partial(
+    jax.jit,
     static_argnames=(
         "arch", "block_size", "ctx_pad", "K", "MQ_LEN",
         "fan_out_list", "fan_out_list_miss", "sampler_x", "F", "use_pallas",
@@ -178,7 +251,7 @@ def eagle_tree_build_program(
     kv_cache,
     glue_tokens,     # [B, 2K+1] packed [extend | rec | spec | pad]
     glue_fc_acts,    # [B, 2K+1, 3*D_target] target acts for fc rows (0 else)
-    glue_prev_acts,  # [B, 2K+1, D] prenorm self-conditioning (0 else)
+    prev_acts,       # [B, K, D] spec rows' prenorm self-conditioning (device)
     glue_is_fc,      # [B, 2K+1] bool: row conditioned via fc
     n_ext,           # [B] int32 extend counts
     base_positions,  # [B] = num_tokens - 2
@@ -219,10 +292,20 @@ def eagle_tree_build_program(
     slots = jnp.where(j < qeff[b_glue], slots, -1)          # ghost pad rows
     glue_ctx = base_positions + 1 + K                       # [B]
 
+    # Spec rows' self-conditioning prenorms scattered to their packed glue
+    # positions j = n_ext + 1 + t (reference :595-599) — in-program so the
+    # host never uploads index arrays.
+    D = prev_acts.shape[-1]
+    rows = jnp.repeat(jnp.arange(B), K)
+    cols = (n_ext[:, None] + 1 + jnp.arange(K)[None, :]).reshape(-1)
+    glue_prev_acts = jnp.zeros((B, W, D), params["fc"].dtype).at[
+        rows, cols
+    ].set(prev_acts.reshape(B * K, D).astype(params["fc"].dtype))
+
     cond = jnp.where(
         glue_is_fc.reshape(-1)[:, None],
         project_target_acts(params, glue_fc_acts.reshape(B * W, -1)),
-        glue_prev_acts.reshape(B * W, -1).astype(params["fc"].dtype),
+        glue_prev_acts.reshape(B * W, -1),
     )
 
     def glue_attn(q, k, v, kv_layer):
@@ -314,6 +397,57 @@ def eagle_tree_build_program(
     return host_out, spec_logits, spec_acts, kv_cache
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "arch", "block_size", "ctx_pad", "K", "MQ_LEN", "B_pad", "M",
+        "fan_out_list", "fan_out_list_miss", "sampler_x", "F", "use_pallas",
+        "use_warp",
+    ),
+    donate_argnames=("kv_cache",),
+)
+def eagle_tree_build_packed(
+    params, kv_cache, packed, prev_acts, *,
+    arch: EagleArch, block_size: int, ctx_pad: int, K: int, MQ_LEN: int,
+    B_pad: int, M: int,
+    fan_out_list: tuple[int, ...], fan_out_list_miss: tuple[int, ...],
+    sampler_x: float | None, F: int, use_pallas: bool,
+    use_warp: bool = False,
+):
+    """eagle_tree_build_program with ONE flat int32 upload; the spec rows'
+    self-conditioning prenorms (`prev_acts` [B, K, D]) are already on the
+    draft device (chain output / tree-cache gather), so they are passed as a
+    device array, not traffic. Payload: [glue_tokens(B*W) | glue_is_fc(B*W) |
+    n_ext(B) | base(B) | bt(B*M) | hits(B) | temp_bits(B) |
+    (top_p_bits(B) | top_k(B))? | fc_act_bits(B*W*3*D_target) | seed(1)]."""
+    B = B_pad
+    W = 2 * K + 1
+    A = arch.num_eagle_layers * arch.d_model_target
+    T = B * W
+    o = 2 * T + 2 * B + B * M
+    hits = packed[o:o + B]
+    temps = _f32(packed[o + B:o + 2 * B])
+    o += 2 * B
+    warp = (None, None)
+    if use_warp:
+        warp = (_f32(packed[o:o + B]), packed[o + B:o + 2 * B])
+        o += 2 * B
+    fc_acts = _f32(packed[o:o + T * A]).reshape(B, W, A)
+    o += T * A
+    return eagle_tree_build_program(
+        params, kv_cache,
+        packed[:T].reshape(B, W), fc_acts, prev_acts,
+        packed[T:2 * T].reshape(B, W).astype(bool),
+        packed[2 * T:2 * T + B], packed[2 * T + B:2 * T + 2 * B],
+        packed[2 * T + 2 * B:2 * T + 2 * B + B * M].reshape(B, M),
+        hits, temps, _key_from(packed[o]), warp[0], warp[1],
+        arch=arch, block_size=block_size, ctx_pad=ctx_pad, K=K,
+        MQ_LEN=MQ_LEN, fan_out_list=fan_out_list,
+        fan_out_list_miss=fan_out_list_miss, sampler_x=sampler_x, F=F,
+        use_pallas=use_pallas,
+    )
+
+
 class EagleDraftRunner(DraftRunner):
     """DraftRunner whose model is the EAGLE-3 single-layer conditioned draft."""
 
@@ -386,13 +520,14 @@ class EagleDraftRunner(DraftRunner):
             blk = positions[:n] // self.block_size
             slot_map[:n] = bt_row[blk] * self.block_size + positions[:n] % self.block_size
             ctx_pad = self._ctx_bucket(n)
-            self.kv_cache = eagle_prefill_program(
-                self.params, self.kv_cache,
-                jnp.asarray(input_ids), jnp.asarray(acts_pad),
-                jnp.asarray(positions), jnp.asarray(slot_map),
-                jnp.asarray(bt_row[None, :]), jnp.int32(n),
+            payload = pack_i32(
+                input_ids, positions, slot_map, bt_row,
+                np.int32([n]), acts_pad,
+            )
+            self.kv_cache = eagle_prefill_packed(
+                self.params, self.kv_cache, self._upload(payload),
                 arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad,
-                s_pad=s_pad, use_pallas=self.use_pallas,
+                s_pad=s_pad, M=bt_row.shape[0], use_pallas=self.use_pallas,
             )
 
     # --- jit chain (the only miss path in EAGLE) -----------------------------
@@ -412,20 +547,20 @@ class EagleDraftRunner(DraftRunner):
         rec_acts[:B] = req.recovery_acts
         bt[:B] = req.block_tables
         ctx_pad = self._ctx_bucket(int(base.max()) + 1 + self.K)
-        warp = _warp_np(req, B_pad)
-        self.key, sub = jax.random.split(self.key)
-        tokens, logits, prenorms, self.kv_cache = eagle_chain_program(
-            self.params, self.kv_cache,
-            jnp.asarray(first), jnp.asarray(rec_acts), jnp.asarray(base),
-            jnp.asarray(bt), jnp.asarray(temps), sub,
-            *(jnp.asarray(wp) for wp in warp),
+        payload = pack_i32(first, base, bt, temps,
+                           *_warp_np(req, B_pad), rec_acts,
+                           np.int32([self._next_seed()]))
+        tokens, logits, prenorms, self.kv_cache = eagle_chain_packed(
+            self.params, self.kv_cache, self._upload(payload),
             arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad,
-            K=self.K, sampler_x=self.sampler_x, F=self.F,
-            use_pallas=self.use_pallas,
+            K=self.K, B_pad=B_pad, M=bt.shape[1],
+            sampler_x=self.sampler_x, F=self.F,
+            use_pallas=self.use_pallas, use_warp=self.use_warp,
         )
-        # Logits stay at B_pad rows (the fused verify program's bucket);
-        # activations feed only the draft's own tree build, at true B.
-        return np.asarray(tokens)[:B], logits, prenorms[:B]
+        # Logits AND activations stay at B_pad rows (the verify program's
+        # batch bucket / the tree build's prev_acts operand); ghost rows are
+        # never consulted.
+        return np.asarray(tokens)[:B], logits, prenorms
 
     # --- tree rebuild --------------------------------------------------------
 
@@ -435,14 +570,13 @@ class EagleDraftRunner(DraftRunner):
         W = 2 * K + 1
         B_pad = next_pow2(B)
         act_dim = self.arch.num_eagle_layers * self.arch.d_model_target
-        D = self.arch.hidden_size
 
         n_ext = np.zeros(B_pad, dtype=np.int32)
         if req.extend_counts is not None:
             n_ext[:B] = req.extend_counts
         glue_tokens = np.zeros((B_pad, W), dtype=np.int32)
         glue_fc_acts = np.zeros((B_pad, W, act_dim), dtype=np.float32)
-        glue_is_fc = np.zeros((B_pad, W), dtype=bool)
+        glue_is_fc = np.zeros((B_pad, W), dtype=np.int32)
         for b in range(B):
             ne = int(n_ext[b])
             if ne > 0:
@@ -450,18 +584,15 @@ class EagleDraftRunner(DraftRunner):
                 glue_fc_acts[b, :ne] = req.extend_acts[b, :ne]
             glue_tokens[b, ne] = req.cache_keys[b, 2]
             glue_fc_acts[b, ne] = req.recovery_acts[b]
-            glue_is_fc[b, : ne + 1] = True
+            glue_is_fc[b, : ne + 1] = 1
             glue_tokens[b, ne + 1: ne + 1 + K] = resp.tokens[b]
 
-        # Self-conditioning prenorms for the spec rows, scattered to their
-        # packed positions (reference :595-599).
-        prev = jnp.zeros((B_pad, W, D), self.dtype)
-        if resp.activations is not None:
-            rows = np.repeat(np.arange(B), K)
-            cols = (n_ext[:B, None] + 1 + np.arange(K)[None, :]).reshape(-1)
-            prev = prev.at[rows, cols].set(
-                resp.activations.reshape(B * K, -1).astype(self.dtype)
-            )
+        # Self-conditioning prenorms for the spec rows are a DEVICE array at
+        # the batch bucket (chain output / tree-cache gather); the in-program
+        # scatter places them at packed positions (reference :595-599).
+        assert resp.activations is not None and (
+            resp.activations.shape[0] == B_pad
+        ), "EAGLE spec responses must carry B_pad rows of draft activations"
 
         base = np.zeros(B_pad, dtype=np.int32)
         base[:B] = req.num_tokens - 2
@@ -473,21 +604,19 @@ class EagleDraftRunner(DraftRunner):
         temps[:B] = req.temperatures
 
         ctx_pad = self._ctx_bucket(int(base.max()) + 1 + (K + 1) + K * MQ)
-        warp = _warp_np(req, B_pad)
-        self.key, sub = jax.random.split(self.key)
+        payload = pack_i32(glue_tokens, glue_is_fc, n_ext, base, bt, hits,
+                           temps, *_warp_np(req, B_pad), glue_fc_acts,
+                           np.int32([self._next_seed()]))
         host_out, spec_logits, spec_acts, self.kv_cache = (
-            eagle_tree_build_program(
-                self.params, self.kv_cache,
-                jnp.asarray(glue_tokens), jnp.asarray(glue_fc_acts), prev,
-                jnp.asarray(glue_is_fc), jnp.asarray(n_ext), jnp.asarray(base),
-                jnp.asarray(bt), jnp.asarray(hits), jnp.asarray(temps), sub,
-                *(jnp.asarray(wp) for wp in warp),
+            eagle_tree_build_packed(
+                self.params, self.kv_cache, self._upload(payload),
+                resp.activations,
                 arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad,
-                K=K, MQ_LEN=MQ,
+                K=K, MQ_LEN=MQ, B_pad=B_pad, M=bt.shape[1],
                 fan_out_list=self.fan_out_list,
                 fan_out_list_miss=self.fan_out_list_miss,
                 sampler_x=self.sampler_x, F=self.F,
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas, use_warp=self.use_warp,
             )
         )
 

@@ -24,6 +24,8 @@ def model_dir(tmp_path_factory):
 
 
 def ngram_engine(model_dir, k=4, rounds=4, n=2, **kw):
+    kw.setdefault("num_kvcache_blocks", 64)
+    kw.setdefault("max_num_seqs", 4)
     return LLM(
         model_dir,
         ngram_speculate=True,
@@ -34,8 +36,6 @@ def ngram_engine(model_dir, k=4, rounds=4, n=2, **kw):
         max_model_len=256,
         max_num_batched_tokens=1024,
         kvcache_block_size=16,
-        num_kvcache_blocks=64,
-        max_num_seqs=4,
         **kw,
     )
 

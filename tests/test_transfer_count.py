@@ -146,3 +146,57 @@ def test_async_ssd_step_is_four_uploads(tmp_path, monkeypatch):
 
     assert len(uploads) <= 4, (
         f"async SSD step made {len(uploads)} uploads: {uploads}")
+
+
+def test_eagle_step_is_four_uploads(tmp_path, monkeypatch):
+    """The EAGLE async path obeys the same packed discipline as the plain
+    async path (this was the engine's one unpacked mode through round 3):
+      target side: 1 packed verify upload + 1 draft-logits device_put
+      draft side:  1 cache-gather index upload (hit) or packed chain upload
+                   (miss — the conditioning acts ride the payload as f32
+                   bits), + 1 packed glue+tree upload (ditto)
+    = 4 total, hit or miss."""
+    from tests.utils_models import make_tiny_eagle
+    from ssd_tpu.llm import LLM
+    from ssd_tpu.sampling_params import SamplingParams
+
+    t = str(tmp_path / "t")
+    d = str(tmp_path / "d")
+    make_tiny_llama(t, layers=6, seed=0)
+    make_tiny_eagle(d, seed=3)
+    eng = LLM(t, draft=d, speculate=True, draft_async=True, use_eagle=True,
+              jit_speculate=True, speculate_k=2, async_fan_out=2,
+              eagle_layers=[0, 2, 4], dtype="float32", max_model_len=128,
+              max_num_batched_tokens=512, kvcache_block_size=16,
+              num_kvcache_blocks=64, max_num_seqs=2,
+              ctx_bucket_policy="single")
+    eng.add_request([1, 5, 9, 2], SamplingParams(
+        temperature=0.0, max_new_tokens=24, ignore_eos=True))
+    step = eng.create_inference_step(eng.config)
+    eng.step(step)  # prefill (not counted)
+    eng.step(step)  # compiles chain + tree + verify programs
+    eng.step(step)
+    eng.draft_server.drain()
+
+    uploads = []
+    real_asarray, real_put = jnp.asarray, jax.device_put
+
+    def counting_asarray(x, *a, **k):
+        if isinstance(x, (np.ndarray, list, int, float)):
+            uploads.append(("asarray", np.asarray(x).size
+                            if not isinstance(x, (int, float)) else 1))
+        return real_asarray(x, *a, **k)
+
+    def counting_put(x, *a, **k):
+        uploads.append(("device_put", None))
+        return real_put(x, *a, **k)
+
+    monkeypatch.setattr(jnp, "asarray", counting_asarray)
+    monkeypatch.setattr(jax, "device_put", counting_put)
+    eng.step(step)              # one EAGLE async decode step
+    eng.draft_server.drain()    # include the overlapped glue+tree rebuild
+    monkeypatch.undo()
+    eng.exit()
+
+    assert len(uploads) <= 4, (
+        f"EAGLE async step made {len(uploads)} uploads: {uploads}")
