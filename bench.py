@@ -138,6 +138,218 @@ def build_spec_checkpoints(model_dir: str, draft_noise: float = 0.0,
     return tdir, ddir
 
 
+def build_eagle_checkpoints(model_dir: str) -> tuple[str, str]:
+    """Write (once) a target/EAGLE-draft pair constructed for exact greedy
+    equality (VERDICT r3 item 1b: the residual-passthrough trick of
+    build_spec_checkpoints adapted to the 1-layer conditioned head), so
+    acceptance ~= 1 while every weight byte still streams:
+
+    TARGET: every layer is residual-passthrough (zero o_proj/down_proj), so
+    its final hidden state is exactly the token embedding; embedding rows are
+    unit-rms vectors supported on the first 512 coords, and the (untied) LM
+    head is the embedding table rolled by one row, so greedy decoding walks
+    t -> t-1 (mod V) deterministically — a nontrivial token sequence whose
+    next step depends only on the current token. The target still reads all
+    its weights every forward (zeros cost the same HBM bytes).
+
+    DRAFT (EAGLE-3 single layer): constructed so its logits EQUAL the
+    target's at every chain/glue/tree depth. The conditioning residual
+    stream is cancelled in-layer and replaced by the current token's normed
+    embedding:
+      - fc selects the first activation tap (identity block), so cond_0 is
+        the unit-rms tapped hidden state (= the token embedding);
+      - q/k are built from the token half of the concat input with a large
+        gain (beta=8), giving softmax self-attention that is exact in finite
+        precision (score margin > 40 nats; see eagle3.eagle_forward for the
+        concat layout);
+      - v = token_norm - cond_norm (per-kv-head slices of the 512-coord
+        subspace), o_proj reassembles one copy per GQA group, so
+        attn_out = n(tok) - n(cond); with unit-rms cond (inductively true)
+        the residual add gives prenorm = n(tok) exactly;
+      - mlp down = 0, all norms = 1, lm_head = the target's.
+    Hence draft logits = n(emb(tok)) @ head^T = the target's logits — the
+    spec token at every depth equals the target's next token, and the fork
+    set at the deepest glue depth contains the true recovery token
+    (ops/spec_math.get_forked_recovery_tokens excludes nothing at the last
+    depth), so the speculation-tree cache hits too. Reference bar: the EAGLE
+    path as a headline mode (eagle3_draft_llama3.py:314-352)."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        cfg = json.load(f)
+    tdir = model_dir + "_eagle_eq_target"
+    ddir = model_dir + "_eagle_eq_draft"
+    t_file = os.path.join(tdir, "model.safetensors")
+    d_file = os.path.join(ddir, "model.safetensors")
+
+    D, I, V, L = (cfg["hidden_size"], cfg["intermediate_size"],
+                  cfg["vocab_size"], cfg["num_hidden_layers"])
+    Hq, Hkv = cfg["num_attention_heads"], cfg["num_key_value_heads"]
+    hd = cfg.get("head_dim") or D // Hq
+    G = Hq // Hkv
+    S = Hkv * hd  # the v-bottleneck: embeddings live in this subspace
+
+    os.makedirs(tdir, exist_ok=True)
+    os.makedirs(ddir, exist_ok=True)
+    with open(os.path.join(tdir, "config.json"), "w") as f:
+        json.dump({**cfg, "tie_word_embeddings": False}, f)
+    with open(os.path.join(ddir, "config.json"), "w") as f:
+        json.dump({
+            "model_type": "llama",
+            "vocab_size": V,
+            "draft_vocab_size": V,
+            "hidden_size": D,
+            "intermediate_size": I,
+            "num_hidden_layers": 1,
+            "num_attention_heads": Hq,
+            "num_key_value_heads": Hkv,
+            "head_dim": hd,
+            "max_position_embeddings": cfg["max_position_embeddings"],
+            "rms_norm_eps": cfg["rms_norm_eps"],
+            "rope_theta": cfg["rope_theta"],
+            "eos_token_id": cfg["eos_token_id"],
+            "tie_word_embeddings": False,
+        }, f)
+    if os.path.exists(t_file) and os.path.exists(d_file):
+        return tdir, ddir
+
+    rng = np.random.default_rng(11)
+
+    def w(*shape):
+        return (rng.standard_normal(shape, dtype=np.float32) * 0.02
+                ).astype(np.float16)
+
+    # Unit-rms embeddings supported on the first S coords (so the draft's
+    # v-projection bottleneck carries them losslessly).
+    g = rng.standard_normal((V, S), dtype=np.float32)
+    g *= (np.sqrt(D) / np.linalg.norm(g, axis=1, keepdims=True))
+    emb = np.zeros((V, D), np.float32)
+    emb[:, :S] = g
+    head = np.roll(emb, -1, axis=0)  # head_v = emb_{v+1}: greedy walks t->t-1
+
+    target = {
+        "model.embed_tokens.weight": emb.astype(np.float16),
+        "lm_head.weight": head.astype(np.float16),
+        "model.norm.weight": np.ones((D,), np.float16),
+    }
+    for i in range(L):
+        pre = f"model.layers.{i}."
+        target.update({
+            pre + "input_layernorm.weight": np.ones((D,), np.float16),
+            pre + "post_attention_layernorm.weight": np.ones((D,), np.float16),
+            pre + "self_attn.q_proj.weight": w(Hq * hd, D),
+            pre + "self_attn.k_proj.weight": w(Hkv * hd, D),
+            pre + "self_attn.v_proj.weight": w(Hkv * hd, D),
+            pre + "self_attn.o_proj.weight": np.zeros((D, Hq * hd), np.float16),
+            pre + "mlp.gate_proj.weight": w(I, D),
+            pre + "mlp.up_proj.weight": w(I, D),
+            pre + "mlp.down_proj.weight": np.zeros((D, I), np.float16),
+        })
+
+    # Draft layer (HF [out, in] layout; eagle_forward's concat input is
+    # [norm(tok) | norm(cond)], token half first).
+    beta = 8.0
+    qw = np.zeros((Hq * hd, 2 * D), np.float32)
+    kw = np.zeros((Hkv * hd, 2 * D), np.float32)
+    vw = np.zeros((Hkv * hd, 2 * D), np.float32)
+    ow = np.zeros((D, Hq * hd), np.float32)
+    for h in range(Hq):
+        grp = h // G
+        for d_ in range(hd):
+            qw[h * hd + d_, grp * hd + d_] = beta
+    for o in range(Hkv * hd):
+        kw[o, o] = beta
+        vw[o, o] = 1.0          # + token coords
+        vw[o, D + o] = -1.0     # - cond coords (cancels the residual)
+    for grp in range(Hkv):
+        for d_ in range(hd):
+            # one representative q head per GQA group reassembles v
+            ow[grp * hd + d_, (grp * G) * hd + d_] = 1.0
+    fc = np.zeros((D, 3 * D), np.float32)
+    fc[np.arange(D), np.arange(D)] = 1.0  # select the first tap
+
+    draft = {
+        "fc.weight": fc.astype(np.float16),
+        "midlayer.self_attn.q_proj.weight": qw.astype(np.float16),
+        "midlayer.self_attn.k_proj.weight": kw.astype(np.float16),
+        "midlayer.self_attn.v_proj.weight": vw.astype(np.float16),
+        "midlayer.self_attn.o_proj.weight": ow.astype(np.float16),
+        "midlayer.mlp.gate_proj.weight": w(I, D),
+        "midlayer.mlp.up_proj.weight": w(I, D),
+        "midlayer.mlp.down_proj.weight": np.zeros((D, I), np.float16),
+        "midlayer.input_layernorm.weight": np.ones((D,), np.float16),
+        "midlayer.hidden_norm.weight": np.ones((D,), np.float16),
+        "midlayer.post_attention_layernorm.weight": np.ones((D,), np.float16),
+        "norm.weight": np.ones((D,), np.float16),
+        "lm_head.weight": head.astype(np.float16),
+        "embed_tokens.weight": emb.astype(np.float16),
+    }
+    save_file(target, t_file)
+    save_file(draft, d_file)
+    return tdir, ddir
+
+
+def build_dead_checkpoint(model_dir: str, walk: bool) -> str:
+    """Write (once) a fully-dead target (every layer residual-passthrough, so
+    logits = rms_norm(emb(token)) @ head^T) for the ngram-bench regimes: the
+    model reads ALL its weight bytes per forward (zeros stream like any
+    other bytes), while its greedy continuation is an exact function of the
+    current token.
+
+    walk=False: tied head -> embedding self-similarity repeats the token
+    forever — after ngram_n+1 tokens the prompt-lookup matcher locks on and
+    stays locked (acceptance ~1): the matcher CEILING at real verify cost.
+    walk=True: untied head = embedding table rolled one row -> greedy walks
+    t -> t-1 (mod V), which never revisits an n-gram — the matcher FLOOR
+    (acceptance ~0, every round commits only the recovery token)."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        cfg = json.load(f)
+    d = model_dir + ("_dead_walk" if walk else "_dead_repeat")
+    f_out = os.path.join(d, "model.safetensors")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump({**cfg, "tie_word_embeddings": not walk}, f)
+    if os.path.exists(f_out):
+        return d
+
+    rng = np.random.default_rng(13)
+    D, I, V, L = (cfg["hidden_size"], cfg["intermediate_size"],
+                  cfg["vocab_size"], cfg["num_hidden_layers"])
+    Hq, Hkv = cfg["num_attention_heads"], cfg["num_key_value_heads"]
+    hd = cfg.get("head_dim") or D // Hq
+
+    def w(*shape):
+        return (rng.standard_normal(shape, dtype=np.float32) * 0.02
+                ).astype(np.float16)
+
+    emb = rng.standard_normal((V, D), dtype=np.float32) * 0.02
+    t = {
+        "model.embed_tokens.weight": emb.astype(np.float16),
+        "model.norm.weight": np.ones((D,), np.float16),
+    }
+    if walk:
+        t["lm_head.weight"] = np.roll(emb, -1, axis=0).astype(np.float16)
+    for i in range(L):
+        pre = f"model.layers.{i}."
+        t.update({
+            pre + "input_layernorm.weight": np.ones((D,), np.float16),
+            pre + "post_attention_layernorm.weight": np.ones((D,), np.float16),
+            pre + "self_attn.q_proj.weight": w(Hq * hd, D),
+            pre + "self_attn.k_proj.weight": w(Hkv * hd, D),
+            pre + "self_attn.v_proj.weight": w(Hkv * hd, D),
+            pre + "self_attn.o_proj.weight": np.zeros((D, Hq * hd), np.float16),
+            pre + "mlp.gate_proj.weight": w(I, D),
+            pre + "mlp.up_proj.weight": w(I, D),
+            pre + "mlp.down_proj.weight": np.zeros((D, I), np.float16),
+        })
+    save_file(t, f_out)
+    return d
+
+
 def main():
     if os.environ.get("SSD_BENCH_CPU") == "1":
         # The env var JAX_PLATFORMS is clobbered by TPU plugin wrappers, so
@@ -320,32 +532,76 @@ def main():
             kw["spec_rounds"] = int(os.environ.get("SSD_BENCH_SPEC_ROUNDS", "32"))
         kw["init_random"] = target_dir == model_dir
         model_dir = target_dir
-    elif mode == "eagle":
-        # EAGLE-3 async draft at the target's geometry (1-layer midlayer,
-        # 3 residual taps), random-init on both sides: with random weights
-        # acceptance is chance-level, so this measures the ENGINE cost of
-        # the full EAGLE path (conditioned prefill -> packed glue -> tree
-        # build -> verify with activation taps), not a speculation win.
-        ddir = model_dir + "_eagle"
-        os.makedirs(ddir, exist_ok=True)
-        with open(os.path.join(ddir, "config.json"), "w") as f:
-            json.dump({
-                "model_type": "llama",
-                "vocab_size": cfg["vocab_size"],
-                "draft_vocab_size": cfg["vocab_size"],
-                "hidden_size": cfg["hidden_size"],
-                "intermediate_size": cfg["intermediate_size"],
-                "num_hidden_layers": 1,
-                "num_attention_heads": cfg["num_attention_heads"],
-                "num_key_value_heads": cfg["num_key_value_heads"],
-                "head_dim": cfg.get("head_dim")
-                or cfg["hidden_size"] // cfg["num_attention_heads"],
-                "max_position_embeddings": cfg["max_position_embeddings"],
-                "rms_norm_eps": cfg["rms_norm_eps"],
-                "rope_theta": cfg["rope_theta"],
-                "eos_token_id": cfg["eos_token_id"],
-            }, f)
+    elif mode == "ngram":
+        # Model-free prompt-lookup speculation through the fused superstep
+        # (Config.ngram_speculate): zero draft bytes, so the ceiling is the
+        # pure verify roofline. SSD_BENCH_NGRAM_REGIME picks the operating
+        # point, with identical model cost in all three:
+        #   repeat  (default) — dead self-repeating model: matcher locks on,
+        #             acceptance ~1 (the ceiling);
+        #   walk    — dead t->t-1 walk: n-grams never repeat, acceptance ~0
+        #             (the floor: every round commits 1 recovery token);
+        #   organic — the standard random-weight model, random prompt.
+        regime = os.environ.get("SSD_BENCH_NGRAM_REGIME", "repeat")
+        if regime in ("repeat", "walk"):
+            model_dir = build_dead_checkpoint(model_dir, walk=regime == "walk")
+            kw["init_random"] = False
+        kw.update(
+            ngram_speculate=True,
+            speculate_k=int(os.environ.get("SSD_BENCH_K", "4")),
+            spec_rounds=int(os.environ.get("SSD_BENCH_SPEC_ROUNDS", "32")),
+            ngram_n=int(os.environ.get("SSD_BENCH_NGRAM_N", "3")),
+        )
+    elif mode == "feagle":
+        # Fused EAGLE superstep (use_eagle + spec_rounds > 1): the 1-layer
+        # conditioned draft inside the one-dispatch multi-round program —
+        # the engine's peak configuration. Constructed-equality pair so
+        # acceptance ~= 1 (see build_eagle_checkpoints).
         L = cfg["num_hidden_layers"]
+        target_dir, ddir = build_eagle_checkpoints(model_dir)
+        model_dir = target_dir
+        kw.update(
+            speculate=True, draft=ddir, init_random=False,
+            speculate_k=int(os.environ.get("SSD_BENCH_K", "3")),
+            use_eagle=True,
+            spec_rounds=int(os.environ.get("SSD_BENCH_SPEC_ROUNDS", "32")),
+            eagle_layers=sorted([min(2, L - 1), L // 2, max(0, L - 3)]),
+        )
+    elif mode == "eagle":
+        L = cfg["num_hidden_layers"]
+        if os.environ.get("SSD_BENCH_EAGLE_RANDOM") == "1":
+            # EAGLE-3 async draft at the target's geometry, random-init on
+            # both sides: with random weights acceptance is chance-level, so
+            # this measures the ENGINE cost of the full EAGLE path
+            # (conditioned prefill -> packed glue -> tree build -> verify
+            # with activation taps), not a speculation win.
+            ddir = model_dir + "_eagle"
+            os.makedirs(ddir, exist_ok=True)
+            with open(os.path.join(ddir, "config.json"), "w") as f:
+                json.dump({
+                    "model_type": "llama",
+                    "vocab_size": cfg["vocab_size"],
+                    "draft_vocab_size": cfg["vocab_size"],
+                    "hidden_size": cfg["hidden_size"],
+                    "intermediate_size": cfg["intermediate_size"],
+                    "num_hidden_layers": 1,
+                    "num_attention_heads": cfg["num_attention_heads"],
+                    "num_key_value_heads": cfg["num_key_value_heads"],
+                    "head_dim": cfg.get("head_dim")
+                    or cfg["hidden_size"] // cfg["num_attention_heads"],
+                    "max_position_embeddings": cfg["max_position_embeddings"],
+                    "rms_norm_eps": cfg["rms_norm_eps"],
+                    "rope_theta": cfg["rope_theta"],
+                    "eos_token_id": cfg["eos_token_id"],
+                }, f)
+            target_dir = model_dir
+        else:
+            # Default: the constructed-equality pair (acceptance ~= 1 with
+            # real byte costs on both sides; see build_eagle_checkpoints) —
+            # the genuine EAGLE speculation-win datapoint.
+            target_dir, ddir = build_eagle_checkpoints(model_dir)
+            kw["init_random"] = False
+        model_dir = target_dir
         kw.update(speculate=True, draft=ddir,
                   speculate_k=int(os.environ.get("SSD_BENCH_K", "3")),
                   draft_async=True, use_eagle=True, jit_speculate=True,
@@ -361,7 +617,8 @@ def main():
     # whole generation deep in the 2048 bucket — where attention reads, and
     # therefore the int8 KV cache, matter).
     plen = int(os.environ.get("SSD_BENCH_PROMPT_LEN", "128"))
-    prompts = [rng.integers(10, 50000, size=plen).tolist() for _ in range(batch)]
+    hi = min(50000, cfg["vocab_size"] - 1)  # tiny smokes have a 512 vocab
+    prompts = [rng.integers(10, hi, size=plen).tolist() for _ in range(batch)]
     sp = SamplingParams(temperature=0.0, max_new_tokens=out_len, ignore_eos=True)
 
     # Warmup: pre-compile all decode buckets + a short generate for the
@@ -407,9 +664,11 @@ def main():
         # MoE-only control flag; on expert-free arches it is a no-op and must
         # not fork a mislabeled history series.
         arch_sfx += "_dense"
-    if mode in ("sd", "ssd", "eagle"):
+    if mode == "ngram":
+        arch_sfx += f"_{os.environ.get('SSD_BENCH_NGRAM_REGIME', 'repeat')}"
+    if mode in ("sd", "ssd", "eagle", "feagle", "ngram"):
         # Non-default speculation operating points get their own series.
-        k_default = "3" if mode == "eagle" else "4"
+        k_default = "3" if mode in ("eagle", "feagle") else "4"
         if os.environ.get("SSD_BENCH_K", k_default) != k_default:
             arch_sfx += f"_k{os.environ['SSD_BENCH_K']}"
         if float(os.environ.get("SSD_BENCH_DRAFT_NOISE", "0")):

@@ -272,12 +272,14 @@ class Config:
         # async-SSD / EAGLE): the warp threads through all sampling sites
         # incl. the EAGLE chain and tree programs' samplers, and verify()
         # warps p and q identically so speculative sampling stays exact.
-        # The fused superstep drives the draft through the plain-transformer
-        # chain program; an EAGLE draft needs conditioning activations and
-        # the -1 position shift, which that program does not provide.
-        assert not (self.use_eagle and self.spec_rounds > 1), (
-            "spec_rounds > 1 (fused sync SD) is not supported with "
-            "use_eagle; use spec_rounds=1"
+        # EAGLE composes with the fused superstep SYNCHRONOUSLY: spec_rounds
+        # > 1 runs the EAGLE-conditioned chain inside the superstep scan
+        # (fused_sd.eagle_sd_superstep — conditioning taps ride the carry).
+        # The async handshake is inherently one round per exchange.
+        assert not (self.use_eagle and self.draft_async
+                    and self.spec_rounds > 1), (
+            "spec_rounds > 1 with use_eagle runs the fused SYNC superstep; "
+            "it is mutually exclusive with draft_async"
         )
         # ngram speculation has no draft model at all.
         assert not (self.ngram_speculate and self.speculate), (

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ssd_tpu.config import Config
 from ssd_tpu.engine.draft_runner import DraftRunner, SpecRequest, _warp_np
 from ssd_tpu.engine.model_runner import (
+    ModelRunner,
     _f32,
     _key_from,
     next_pow2,
@@ -448,18 +449,10 @@ def eagle_tree_build_packed(
     )
 
 
-class EagleDraftRunner(DraftRunner):
-    """DraftRunner whose model is the EAGLE-3 single-layer conditioned draft."""
-
-    def __init__(self, config: Config, hf_config=None, init_random=False, device=None):
-        assert config.jit_speculate, (
-            "EAGLE requires jit_speculate=True (cache misses need draft "
-            "activations; reference draft_runner.py:41-42)"
-        )
-        self._eagle_cfg = config
-        super().__init__(
-            config, hf_config=hf_config, init_random=init_random, device=device
-        )
+class EagleRunnerMixin:
+    """EAGLE model construction + conditioned prefill, shared by the async
+    draft server runner and the fused-superstep sync runner. Host classes set
+    `self._eagle_cfg` before ModelRunner.__init__ (which calls _make_arch)."""
 
     def _make_arch(self):
         return EagleArch.from_model_config(
@@ -529,6 +522,35 @@ class EagleDraftRunner(DraftRunner):
                 arch=self.arch, block_size=self.block_size, ctx_pad=ctx_pad,
                 s_pad=s_pad, M=bt_row.shape[0], use_pallas=self.use_pallas,
             )
+
+
+class EagleModelRunner(EagleRunnerMixin, ModelRunner):
+    """EAGLE draft execution for the FUSED sync path (Config.use_eagle with
+    spec_rounds > 1): params + paged KV + the conditioned prefill, with no
+    tree cache or async machinery — the superstep program
+    (fused_sd.eagle_sd_superstep) drives the chain/verify/accept loop."""
+
+    def __init__(self, config: Config, hf_config=None, init_random=False,
+                 mesh=None):
+        self._eagle_cfg = config
+        ModelRunner.__init__(
+            self, config, hf_config=hf_config, is_draft=True,
+            init_random=init_random, mesh=mesh,
+        )
+
+
+class EagleDraftRunner(EagleRunnerMixin, DraftRunner):
+    """DraftRunner whose model is the EAGLE-3 single-layer conditioned draft."""
+
+    def __init__(self, config: Config, hf_config=None, init_random=False, device=None):
+        assert config.jit_speculate, (
+            "EAGLE requires jit_speculate=True (cache misses need draft "
+            "activations; reference draft_runner.py:41-42)"
+        )
+        self._eagle_cfg = config
+        super().__init__(
+            config, hf_config=hf_config, init_random=init_random, device=device
+        )
 
     # --- jit chain (the only miss path in EAGLE) -----------------------------
 

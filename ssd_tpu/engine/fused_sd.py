@@ -175,6 +175,265 @@ def sd_superstep_packed(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("t_arch", "d_arch", "block_size", "ctx_pad_t",
+                     "ctx_pad_d", "K", "R", "eagle_layers", "use_pallas"),
+    donate_argnames=("target_kv", "draft_kv"),
+)
+def eagle_sd_superstep(
+    t_params, target_kv,
+    d_params, draft_kv,
+    rec0,        # [B] int32 current recovery token per sequence
+    acts0,       # [B, 3*D_target] f32 target taps at the last committed pos
+    n0,          # [B] int32 committed tokens (recovery NOT yet appended)
+    bt_target,   # [B, M] int32
+    bt_draft,    # [B, M] int32
+    temps_t,     # [B] float32
+    temps_d,     # [B] float32
+    key,
+    top_ps=None,
+    top_ks=None,
+    *,
+    t_arch: Arch,
+    d_arch,      # EagleArch
+    block_size: int,
+    ctx_pad_t: int,
+    ctx_pad_d: int,
+    K: int,
+    R: int,
+    eagle_layers: tuple[int, ...],
+    use_pallas: bool = False,
+):
+    """R rounds of [EAGLE chain -> verify-with-taps -> verify() -> advance]:
+    the cheapest draft (1 conditioned layer) inside the engine's fastest mode
+    (VERDICT r3 item 4; reference machinery: the conditioning carry of
+    draft_runner.py:124-184, which runs one round per two dispatches — here
+    R rounds are ONE program).
+
+    The EAGLE conditioning closes entirely inside the scan carry: the verify
+    forward returns the target's activation taps, the taps at the last
+    accepted position condition the next round's chain (fc on the first
+    token, prenorm self-conditioning after — the reference jit_speculate
+    semantics), and the draft KV honours the -1 EAGLE shift (canonical token
+    p at draft slot p-1). Returns (speculations [R,B,K+1], accept_until
+    [R,B], recoveries [R,B], final taps [B,3D], target_kv, draft_kv)."""
+    from ssd_tpu.models.eagle3 import (
+        eagle_forward,
+        eagle_logits,
+        project_target_acts,
+    )
+    from ssd_tpu.ops import attention as att
+    from ssd_tpu.ops.sampler import sample
+
+    B = rec0.shape[0]
+    Kp1 = K + 1
+    V = t_arch.vocab_size
+    d_scale = d_arch.head_dim ** -0.5
+    b_idx = jnp.arange(B)
+
+    def round_body(carry, r):
+        tkv, dkv, rec, acts, n = carry
+        rkey = jax.random.fold_in(key, r)
+        base = n - 1  # EAGLE shift
+        cond0 = project_target_acts(d_params, acts)
+
+        # --- EAGLE chain: K+1 conditioned decodes (the extra step writes the
+        # K-th token's KV, the chain_decode_step extra_write analogue) ---
+        def chain_step(c, i):
+            kv, tok, cond = c
+            positions = base + i
+            ctx = base + 1 + i
+            slots = slot_of(bt_draft, positions, b_idx, block_size)
+
+            def attn_call(q, k, v, kv_layer):
+                kv_layer = att.store_kv(kv_layer, k, v, slots)
+                qr = q.reshape(B, 1, d_arch.num_heads, d_arch.head_dim)
+                if use_pallas:
+                    from ssd_tpu.ops import pallas_attention as patt
+
+                    o = patt.paged_attention_best(
+                        qr, kv_layer, bt_draft, ctx,
+                        jnp.ones((B,), jnp.int32), block_size, ctx_pad_d,
+                        d_scale,
+                    )
+                else:
+                    o = att.paged_attention(
+                        qr, kv_layer, bt_draft, ctx, block_size, ctx_pad_d,
+                        d_scale, qeff=jnp.ones((B,), jnp.int32),
+                    )
+                return o.reshape(B, d_arch.num_heads, d_arch.head_dim), kv_layer
+
+            prenorm, kv = eagle_forward(
+                d_params, kv, tok, cond, positions, attn_call, d_arch
+            )
+            logits = eagle_logits(d_params, prenorm, d_arch)  # [B, V]
+            nxt = sample(
+                logits, temps_d, jax.random.fold_in(jax.random.fold_in(rkey, 1), i),
+                top_p=top_ps, top_k=top_ks,
+            ).astype(jnp.int32)
+            return (kv, nxt, prenorm), (nxt, logits)
+
+        (dkv, _, _), (toks, logits_all) = jax.lax.scan(
+            chain_step, (dkv, rec, cond0), jnp.arange(Kp1)
+        )
+        d_tokens = toks[:K].T                          # [B, K]
+        logits_q = logits_all[:K].transpose(1, 0, 2)   # [B, K, V]
+        spec = jnp.concatenate([rec[:, None], d_tokens], axis=1)
+
+        # --- target verify forward with activation taps ---
+        pos = (n[:, None] + jnp.arange(Kp1)[None, :]).reshape(-1)
+        slots = slot_of(bt_target, pos, jnp.repeat(b_idx, Kp1), block_size)
+        _, logits_p, t_acts, tkv = decode_step(
+            t_params, tkv, spec.reshape(-1).astype(jnp.int32),
+            pos.astype(jnp.int32), slots, bt_target,
+            (n + Kp1).astype(jnp.int32), temps_t,
+            jax.random.fold_in(rkey, 2),
+            arch=t_arch, block_size=block_size, ctx_pad=ctx_pad_t, q_len=Kp1,
+            use_pallas=use_pallas, eagle_layers=eagle_layers,
+        )
+
+        acc, recovery = verify(
+            logits_p.reshape(B, Kp1, V), logits_q, spec,
+            temps_t, temps_d, jnp.ones((B,), jnp.int32),
+            jax.random.fold_in(rkey, 3),
+            top_p=top_ps, top_k=top_ks,
+        )
+        # Taps at the last committed position (row `acc` holds the last
+        # accepted token) condition the next round's chain.
+        acts_next = t_acts.reshape(B, Kp1, -1)[b_idx, acc].astype(jnp.float32)
+        n_next = (n + acc + 1).astype(jnp.int32)
+        out = (spec, acc.astype(jnp.int32), recovery.astype(jnp.int32))
+        return (tkv, dkv, recovery.astype(jnp.int32), acts_next, n_next), out
+
+    (target_kv, draft_kv, _, acts_final, _), (specs, accs, recs) = jax.lax.scan(
+        round_body,
+        (target_kv, draft_kv, rec0.astype(jnp.int32),
+         acts0.astype(jnp.float32), n0.astype(jnp.int32)),
+        jnp.arange(R),
+    )
+    return specs, accs, recs, acts_final, target_kv, draft_kv
+
+
+@partial(
+    jax.jit,
+    static_argnames=("t_arch", "d_arch", "block_size", "ctx_pad_t",
+                     "ctx_pad_d", "K", "R", "B_pad", "M_t", "M_d",
+                     "eagle_layers", "use_pallas", "use_warp"),
+    donate_argnames=("target_kv", "draft_kv"),
+)
+def eagle_sd_superstep_packed(
+    t_params, target_kv, d_params, draft_kv, packed, *,
+    t_arch: Arch, d_arch, block_size: int, ctx_pad_t: int,
+    ctx_pad_d: int, K: int, R: int, B_pad: int, M_t: int, M_d: int,
+    eagle_layers: tuple[int, ...], use_pallas: bool = False,
+    use_warp: bool = False,
+):
+    """eagle_sd_superstep with one flat int32 payload (the taps ride as f32
+    bits): [rec(B) | n0(B) | bt_t(B*M_t) | bt_d(B*M_d) | temps_t_bits(B) |
+    temps_d_bits(B) | (top_p_bits(B) | top_k(B))? | acts0_bits(B*3D) |
+    seed(1)]."""
+    B = B_pad
+    A = d_arch.num_eagle_layers * d_arch.d_model_target
+    o = 2 * B
+    bt_t = packed[o:o + B * M_t].reshape(B, M_t)
+    o += B * M_t
+    bt_d = packed[o:o + B * M_d].reshape(B, M_d)
+    o += B * M_d
+    temps_t = _f32(packed[o:o + B])
+    temps_d = _f32(packed[o + B:o + 2 * B])
+    o += 2 * B
+    warp = (None, None)
+    if use_warp:
+        warp = (_f32(packed[o:o + B]), packed[o + B:o + 2 * B])
+        o += 2 * B
+    acts0 = _f32(packed[o:o + B * A]).reshape(B, A)
+    o += B * A
+    return eagle_sd_superstep(
+        t_params, target_kv, d_params, draft_kv,
+        packed[:B], acts0, packed[B:2 * B], bt_t, bt_d, temps_t, temps_d,
+        _key_from(packed[o]), warp[0], warp[1],
+        t_arch=t_arch, d_arch=d_arch, block_size=block_size,
+        ctx_pad_t=ctx_pad_t, ctx_pad_d=ctx_pad_d, K=K, R=R,
+        eagle_layers=eagle_layers, use_pallas=use_pallas,
+    )
+
+
+def run_eagle_sd_superstep(target_runner, draft_runner, seqs,
+                           K: int, R: int, eagle_layers: tuple[int, ...]):
+    """Host driver for the fused EAGLE superstep: one packed upload, one
+    dispatch, one readback for R rounds; updates each sequence's conditioning
+    carry (last_target_hidden_state) from the program's final taps. Same
+    return contract as run_sd_superstep."""
+    B = len(seqs)
+    B_pad = next_pow2(B)
+    A = (draft_runner.arch.num_eagle_layers
+         * draft_runner.arch.d_model_target)
+    rec = np.zeros(B_pad, np.int32)
+    n0 = np.ones(B_pad, np.int32)
+    acts0 = np.zeros((B_pad, A), np.float32)
+    temps_t = np.ones(B_pad, np.float32)
+    temps_d = np.ones(B_pad, np.float32)
+    bt_t = np.full((B_pad, target_runner.max_blocks), -1, np.int32)
+    bt_d = np.full((B_pad, draft_runner.max_blocks), -1, np.int32)
+    bt_t[:B] = target_runner._block_table_array(seqs, draft=False)
+    bt_d[:B] = draft_runner._block_table_array(seqs, draft=True)
+    for i, seq in enumerate(seqs):
+        assert seq.recovery_token_id is not None
+        assert seq.last_target_hidden_state is not None
+        rec[i] = seq.recovery_token_id
+        n0[i] = seq.num_tokens
+        acts0[i] = seq.last_target_hidden_state
+        temps_t[i] = seq.temperature
+        temps_d[i] = (
+            seq.draft_temperature
+            if seq.draft_temperature is not None else seq.temperature
+        )
+
+    horizon = int(n0[:B].max()) + R * (K + 1) + 1
+    ctx_pad_t = target_runner._ctx_bucket(horizon)
+    ctx_pad_d = draft_runner._ctx_bucket(horizon)
+    warp_parts = target_runner._warp_parts(seqs, B_pad)
+    payload = target_runner._upload(pack_i32(
+        rec, n0, bt_t, bt_d, temps_t, temps_d, *warp_parts, acts0,
+        np.asarray([target_runner._next_seed()], np.int32),
+    ))
+
+    (specs, accs, recs, acts_final, target_runner.kv_cache,
+     draft_runner.kv_cache) = eagle_sd_superstep_packed(
+        target_runner.params, target_runner.kv_cache,
+        draft_runner.params, draft_runner.kv_cache, payload,
+        t_arch=target_runner.arch, d_arch=draft_runner.arch,
+        block_size=target_runner.block_size,
+        ctx_pad_t=ctx_pad_t, ctx_pad_d=ctx_pad_d, K=K, R=R,
+        B_pad=B_pad, M_t=target_runner.max_blocks,
+        M_d=draft_runner.max_blocks, eagle_layers=eagle_layers,
+        use_pallas=target_runner.use_pallas,
+        use_warp=target_runner.use_warp,
+    )
+    # ONE host sync for the whole superstep.
+    specs = np.asarray(specs)
+    accs = np.asarray(accs)
+    recs = np.asarray(recs)
+    acts_np = np.asarray(acts_final)
+
+    suffixes, final_rec, per_round_lens = [], [], []
+    for b in range(B):
+        out: list[int] = []
+        lens = []
+        for r in range(R):
+            a = int(accs[r, b])
+            out.extend(int(t) for t in specs[r, b, : a + 1])
+            lens.append(a + 1)
+        suffixes.append(out)
+        per_round_lens.append(lens)
+        final_rec.append(int(recs[R - 1, b]))
+        # Conditioning carry for the next superstep (a truncated sequence is
+        # finished, so stale taps are never consumed).
+        seqs[b].last_target_hidden_state = acts_np[b]
+    return suffixes, final_rec, per_round_lens
+
+
 def ngram_propose(hist, n, rec, *, N: int, K: int):
     """Prompt-lookup proposal: for each row, find the MOST RECENT earlier
     occurrence of the last N tokens (hist[n-N+1..n], rec already written at
@@ -201,8 +460,14 @@ def ngram_propose(hist, n, rec, *, N: int, K: int):
     valid = (s_range <= (n - N)[:, None]) & (n >= N)[:, None]
     s_star = jnp.max(jnp.where(match & valid, s_range, -1), axis=1)
     has = s_star >= 0
+    # Clip continuation reads at the last committed slot (rec sits at n):
+    # slots past n hold junk from previous rounds' rejected proposals, and
+    # reading them silently capped a locked-on matcher at 1 accepted token
+    # per round; reading slot n instead proposes rec for the overshoot,
+    # which is exactly the no-match fallback.
     prop_idx = jnp.clip(
-        s_star[:, None] + N + jnp.arange(K)[None, :], 0, H - 1)
+        s_star[:, None] + N + jnp.arange(K)[None, :], 0,
+        jnp.clip(n, 0, H - 1)[:, None])
     props = jnp.take_along_axis(hist, prop_idx, axis=1)         # [B, K]
     return jnp.where(has[:, None], props, rec[:, None])  # fallback
 

@@ -86,11 +86,15 @@ class LLMEngine:
                 "target and draft model families must match"
             )
         if config.use_eagle:
-            assert config.draft_async, "EAGLE requires draft_async=True"
-            assert config.jit_speculate, (
-                "EAGLE requires jit_speculate=True (cache misses need draft "
-                "activations)"
+            assert config.draft_async or config.spec_rounds > 1, (
+                "EAGLE runs either async (draft_async=True) or inside the "
+                "fused sync superstep (spec_rounds > 1)"
             )
+            if config.draft_async:
+                assert config.jit_speculate, (
+                    "EAGLE requires jit_speculate=True (cache misses need "
+                    "draft activations)"
+                )
 
         self._init_random = kwargs.get("init_random", False)
 
@@ -141,13 +145,23 @@ class LLMEngine:
                 # fused superstep (engine/fused_sd.py) traces both models'
                 # params into one program, so they must share a placement —
                 # and under num_hosts > 1 every jit input must be global.
-                self.draft_runner = ModelRunner(
-                    self.draft_cfg,
-                    hf_config=config.draft_hf_config,
-                    is_draft=True,
-                    init_random=self._init_random,
-                    mesh=mesh,
-                )
+                if config.use_eagle:
+                    from ssd_tpu.engine.eagle_runner import EagleModelRunner
+
+                    self.draft_runner = EagleModelRunner(
+                        self.draft_cfg,
+                        hf_config=config.draft_hf_config,
+                        init_random=self._init_random,
+                        mesh=mesh,
+                    )
+                else:
+                    self.draft_runner = ModelRunner(
+                        self.draft_cfg,
+                        hf_config=config.draft_hf_config,
+                        is_draft=True,
+                        init_random=self._init_random,
+                        mesh=mesh,
+                    )
                 self.draft_cfg.num_kvcache_blocks = self.draft_runner.num_kvcache_blocks
 
         self.tokenizer = load_tokenizer(config.tokenizer_path or config.model)
@@ -203,14 +217,21 @@ class LLMEngine:
             # the old default warmed decode only, so the first real prompt
             # paid a cold flat-prefill compile).
             self.model_runner.warmup_flat_prefill(batch_pads)
-            if self.draft_runner is not None:
+            if self.draft_runner is not None and not cfg.use_eagle:
                 self.draft_runner.warmup_flat_prefill(batch_pads)
         if self.draft_runner is not None:
-            self.draft_runner.warmup_buckets(
-                q_lens=[1], chain_Ks=[cfg.speculate_k], batch_pads=batch_pads
-            )
-            if cfg.spec_rounds > 1:
-                self._warmup_superstep(batch_pads)
+            if cfg.use_eagle:
+                # The EAGLE sync runner's only standalone program is the
+                # conditioned prefill (per-seq shapes compile on demand);
+                # everything else lives inside the superstep.
+                self._warmup_eagle_superstep(batch_pads)
+            else:
+                self.draft_runner.warmup_buckets(
+                    q_lens=[1], chain_Ks=[cfg.speculate_k],
+                    batch_pads=batch_pads
+                )
+                if cfg.spec_rounds > 1:
+                    self._warmup_superstep(batch_pads)
         if self.draft_server is not None:
             self.draft_server.warmup(batch_pads=batch_pads)
         if cfg.ngram_speculate:
@@ -252,6 +273,49 @@ class LLMEngine:
                         use_warp=t.use_warp,
                     )
                     t.kv_cache = out[3]
+            jax.block_until_ready(t.kv_cache)
+
+    def _warmup_eagle_superstep(self, batch_pads):
+        """Pre-compile the fused EAGLE superstep ladder with ghost inputs
+        (block tables -1 => all KV writes dropped)."""
+        import numpy as np
+
+        import jax
+
+        from ssd_tpu.engine.fused_sd import eagle_sd_superstep_packed
+        from ssd_tpu.engine.model_runner import pack_i32
+        from ssd_tpu.engine.step import round_choices
+
+        cfg = self.config
+        t, d = self.model_runner, self.draft_runner
+        A = d.arch.num_eagle_layers * d.arch.d_model_target
+        for B_pad in batch_pads:
+            warp_parts = ((np.ones(B_pad, np.float32),
+                           np.zeros(B_pad, np.int32)) if t.use_warp else ())
+            payload = t._upload(pack_i32(
+                np.zeros(B_pad, np.int32),                     # rec
+                np.ones(B_pad, np.int32),                      # n0
+                np.full((B_pad, t.max_blocks), -1, np.int32),  # bt_t
+                np.full((B_pad, d.max_blocks), -1, np.int32),  # bt_d
+                np.ones(B_pad, np.float32),                    # temps_t
+                np.ones(B_pad, np.float32),                    # temps_d
+                *warp_parts,                                   # top_p | top_k
+                np.zeros((B_pad, A), np.float32),              # acts0
+                np.zeros(1, np.int32),                         # seed
+            ))
+            for ctx_pad in t._ctx_buckets():
+                for R in round_choices(cfg.spec_rounds):
+                    out = eagle_sd_superstep_packed(
+                        t.params, t.kv_cache, d.params, d.kv_cache, payload,
+                        t_arch=t.arch, d_arch=d.arch,
+                        block_size=t.block_size,
+                        ctx_pad_t=ctx_pad, ctx_pad_d=d._ctx_bucket(ctx_pad),
+                        K=cfg.speculate_k, R=R, B_pad=B_pad,
+                        M_t=t.max_blocks, M_d=d.max_blocks,
+                        eagle_layers=tuple(cfg.eagle_layers),
+                        use_pallas=t.use_pallas, use_warp=t.use_warp,
+                    )
+                    t.kv_cache, d.kv_cache = out[4], out[5]
             jax.block_until_ready(t.kv_cache)
 
     def _warmup_superstep(self, batch_pads):
@@ -424,6 +488,18 @@ class LLMEngine:
         from ssd_tpu.engine.verifier import Verifier
 
         if not config.draft_async and config.spec_rounds > 1:
+            if config.use_eagle:
+                from ssd_tpu.engine.step import EagleFusedSpecDecodeStep
+
+                return EagleFusedSpecDecodeStep(
+                    scheduler=self.scheduler,
+                    target_runner=self.model_runner,
+                    draft_runner=self.draft_runner,
+                    K=config.speculate_k,
+                    rounds=config.spec_rounds,
+                    eagle_layers=tuple(config.eagle_layers),
+                    metrics=METRICS,
+                )
             from ssd_tpu.engine.step import FusedSpecDecodeStep
 
             return FusedSpecDecodeStep(

@@ -153,6 +153,70 @@ class FusedSpecDecodeStep(InferenceStep):
         return sum(s.num_tokens - b for s, b in zip(seqs, before_each))
 
 
+class EagleFusedSpecDecodeStep(FusedSpecDecodeStep):
+    """The EAGLE-3 draft inside the fused multi-round superstep
+    (fused_sd.eagle_sd_superstep): the cheapest draft (one conditioned
+    layer) in the engine's fastest mode. Conditioning closes inside the
+    program's scan carry; the host only seeds it at prefill
+    (seq.last_target_hidden_state) and re-seeds after preemption."""
+
+    def __init__(self, scheduler: Scheduler, target_runner: ModelRunner,
+                 draft_runner, K: int, rounds: int,
+                 eagle_layers: tuple[int, ...], metrics: dict | None = None):
+        super().__init__(scheduler, target_runner, draft_runner, K=K,
+                         rounds=rounds, metrics=metrics)
+        self.eagle_layers = tuple(eagle_layers)
+
+    def prefill(self, seqs: list[Sequence]) -> int:
+        # Target prefill with activation taps first (the draft's conditioning
+        # source), then the conditioned draft prefill — the EAGLE ordering of
+        # reference step.py:81-82.
+        token_ids, acts_rows = self.target_runner.run_prefill(
+            seqs, return_acts=True
+        )
+        for seq, token_id, acts in zip(seqs, token_ids, acts_rows):
+            seq.recovery_token_id = token_id
+            seq.last_target_hidden_state = acts[-1].copy()
+            seq.num_cached_tokens = seq.num_prompt_tokens
+            seq.num_draft_cached_tokens = seq.num_prompt_tokens
+        import numpy as np
+
+        bt = np.full((len(seqs), self.draft_runner.max_blocks), -1, np.int32)
+        for i, seq in enumerate(seqs):
+            bt[i, :len(seq.draft_block_table)] = seq.draft_block_table
+        self.draft_runner.prefill_from_payload(
+            [list(seq.token_ids) for seq in seqs], bt, acts_list=acts_rows
+        )
+        return sum(len(s) for s in seqs)
+
+    def decode(self, seqs: list[Sequence]) -> int:
+        if not seqs:
+            return 0
+        from ssd_tpu.engine.fused_sd import run_eagle_sd_superstep
+
+        t0 = perf_counter()
+        suffixes, final_recs, per_round_lens = run_eagle_sd_superstep(
+            self.target_runner, self.draft_runner, seqs, self.K,
+            self._pick_rounds(seqs), self.eagle_layers,
+        )
+        self.metrics.setdefault("sd_superstep_times", []).append(
+            perf_counter() - t0
+        )
+        before_each = [s.num_tokens for s in seqs]
+        self.scheduler.postprocess_speculate(seqs, suffixes, final_recs)
+        for seq, before, lens in zip(seqs, before_each, per_round_lens):
+            committed = seq.num_tokens - before
+            used = 0
+            for n in lens:
+                if used + n > committed:
+                    break
+                self.metrics.setdefault(
+                    "accepted_suffix_lens_with_recovery", []
+                ).append(n)
+                used += n
+        return sum(s.num_tokens - b for s, b in zip(seqs, before_each))
+
+
 class NgramSpecDecodeStep(FusedSpecDecodeStep):
     """Model-free speculation (Config.ngram_speculate): prompt-lookup n-gram
     proposals + the fused multi-round verify superstep

@@ -60,8 +60,9 @@ def verify_step_packed(
               (top_p_bits(B) | top_k(B) when use_warp) | seed(1)]
 
     ids IS the speculation matrix [recovery | draft tokens] flattened, so no
-    separate speculations payload exists. Returns (packed_out int32 [2*B] =
-    [accept_until | recovery], eagle acts [B*(K+1), 3D] | None, kv_cache).
+    separate speculations payload exists. Returns (packed_out int32 =
+    [accept_until(B) | recovery(B) | eagle-tap f32 bits (B*(K+1)*3D, when
+    eagle_layers)], kv_cache) — ONE device->host payload.
     """
     B = B_pad
     Kp1 = K + 1
@@ -103,10 +104,16 @@ def verify_step_packed(
         async_fan_out=async_fan_out,
         top_p=top_p, top_k=top_k,
     )
-    packed_out = jnp.concatenate(
-        [accept_until.astype(jnp.int32), recovery.astype(jnp.int32)]
-    )
-    return packed_out, acts, kv_cache
+    parts = [accept_until.astype(jnp.int32), recovery.astype(jnp.int32)]
+    if acts is not None:
+        # EAGLE taps ride the SAME packed readback as raw f32 bits: a
+        # separate np.asarray(acts) on the host would cost a second full
+        # host<->device round trip per step (measured ~40 ms each over the
+        # tunnel — it doubled the EAGLE verify cost in round 3).
+        parts.append(jax.lax.bitcast_convert_type(
+            acts.astype(jnp.float32), jnp.int32).reshape(-1))
+    packed_out = jnp.concatenate(parts)
+    return packed_out, kv_cache
 
 
 class Verifier(VerifierBase):
@@ -194,7 +201,7 @@ class Verifier(VerifierBase):
             temps_t, temps_q, hits_np, *runner._warp_parts(seqs, B_pad),
             np.int32([runner._next_seed()]),
         )
-        packed_out, acts, runner.kv_cache = verify_step_packed(
+        packed_out, runner.kv_cache = verify_step_packed(
             runner.params, runner.kv_cache, logits_q,
             runner._upload(payload),
             arch=runner.arch, block_size=runner.block_size,
@@ -209,14 +216,17 @@ class Verifier(VerifierBase):
             use_warp=runner.use_warp,
             has_hits=has_hits,
         )
-        # ONE host readback for the whole verification.
+        # ONE host readback for the whole verification (incl. EAGLE taps).
         out_np = np.asarray(packed_out)
         accept_until = out_np[:B_pad][:B]
         recovery_tokens = out_np[B_pad:B_pad + B_pad][:B].tolist()
 
         eagle_acts = None
-        if eagle and acts is not None:
-            eagle_acts = np.asarray(acts).reshape(B_pad, Kp1, -1)[:B]
+        if eagle and runner.eagle_layers:
+            eagle_acts = (
+                out_np[2 * B_pad:].view(np.float32)
+                .reshape(B_pad, Kp1, -1)[:B]
+            )
 
         new_suffixes, _ = build_suffixes(
             np.asarray(speculate_result.speculations), accept_until

@@ -120,8 +120,33 @@ _PARAM_SPECS = {
 }
 
 
+# EAGLE-3 draft param dict (models/eagle3.py): flat, single layer. The TP
+# conventions mirror the transformer's (column-parallel qkv/gate/up out dims,
+# row-parallel wo/down in dims, vocab-parallel embed/head); fc's target-dim
+# contraction is replicated (it runs once per token, tiny next to the layer).
+_EAGLE_PARAM_SPECS = {
+    "embed": P("tp", None),
+    "fc": P(None, None),
+    "input_ln": P(None),
+    "cond_ln": P(None),
+    "post_ln": P(None),
+    "wq": P(None, "tp"),
+    "wk": P(None, "tp"),
+    "wv": P(None, "tp"),
+    "wo": P("tp", None),
+    "gate": P(None, "tp"),
+    "up": P(None, "tp"),
+    "down": P("tp", None),
+    "final_ln": P(None),
+    "lm_head": P("tp", None),
+    "d2t": P(None),
+}
+
+
 def param_specs(params: dict) -> dict:
     """PartitionSpec pytree matching a param pytree's structure."""
+    if "layers" not in params:  # EAGLE-3 draft (flat single-layer dict)
+        return {k: _EAGLE_PARAM_SPECS[k] for k in params}
     specs = {k: _PARAM_SPECS[k] for k in params if k != "layers"}
     specs["layers"] = {k: _PARAM_SPECS["layers"][k] for k in params["layers"]}
     return specs
