@@ -32,9 +32,10 @@ def parse_arguments():
     p.add_argument("--hd", type=int, default=128)
     p.add_argument("--block", type=int, default=256)
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
-    p.add_argument("--kv-quant", choices=["int8"], default=None,
+    p.add_argument("--kv-quant", choices=["int8", "int8_mxu"], default=None,
                    help="int8 KV cache: kernels DMA int8 pages and dequant "
-                        "in-register (ops/attention.py layout)")
+                        "in-register (ops/attention.py layout); int8_mxu "
+                        "runs native s8 x s8 MXU dots instead of the cast")
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--peak-gbs", type=float, default=819.0,
                    help="HBM peak GB/s (v5e=819, v5p=2765, v4=1228)")
@@ -81,7 +82,7 @@ def run_impl(impl, args):
     # ~269 MB, which the tunneled runtime's HTTP transfer rejects (413) if
     # materialized on the host and shipped.
     kv_key, q_key, qt_key = jax.random.split(jax.random.PRNGKey(0), 3)
-    if args.kv_quant == "int8":
+    if args.kv_quant in ("int8", "int8_mxu"):
         kv = (
             jax.random.randint(kv_key, (Hkv, S, 2 * hd), -127, 128, jnp.int8),
             jax.random.uniform(kv_key, (Hkv, 2, S), jnp.float32, 0.005, 0.02),
@@ -117,12 +118,12 @@ def run_impl(impl, args):
         body_p = lambda qp: patt.paged_attention_v3_padded(
             qp, kv, bt, ctx_lens, qeff, G, bs, ctx, scale,
             pages_per_chunk=args.ppc, seqs_per_step=args.nb,
-            interpret=interp)
+            interpret=interp, s8=args.kv_quant == "int8_mxu")
     elif impl == "pallas3":
         body = lambda qq: patt.paged_attention_v3(
             qq, kv, bt, ctx_lens, qeff, bs, ctx, scale,
             pages_per_chunk=args.ppc, seqs_per_step=args.nb,
-            interpret=interp)
+            interpret=interp, s8=args.kv_quant == "int8_mxu")
     elif impl == "prefill":
         body = lambda qq: patt.paged_attention_prefill(
             qq, kv, bt, ctx_lens, qeff, bs, ctx, scale, interpret=interp)
@@ -147,7 +148,8 @@ def run_impl(impl, args):
         elif impl == "tree3":
             body = lambda qq: patt.tree_attention_v3(
                 qq, kv, bt, ctx_lens, fan, step, K, bs, ctx, scale,
-                seqs_per_step=args.nb, interpret=interp)
+                seqs_per_step=args.nb, interpret=interp,
+                s8=args.kv_quant == "int8_mxu")
         else:
             body = lambda qq: att.tree_attention(
                 qq, kv, bt, ctx_lens, fan, step, K, bs, ctx, scale)
@@ -193,11 +195,11 @@ def run_impl(impl, args):
 
     itemsize = 2 if args.dtype == "bf16" else 4
     rows = args.mq if impl in ("tree", "tree2", "tree3", "treejnp") else Q
-    kv_itemsize = 1 if args.kv_quant == "int8" else itemsize
+    kv_itemsize = 1 if args.kv_quant in ("int8", "int8_mxu") else itemsize
     scale_bytes = (
         # per-position f32 k/v scales: read once by the XLA gather and once
         # (gathered) by the kernel.
-        2 * (2 * B * ctx * Hkv * 4) if args.kv_quant == "int8" else 0
+        2 * (2 * B * ctx * Hkv * 4) if args.kv_quant else 0
     )
     bytes_moved = (
         2 * B * ctx * Hkv * hd * kv_itemsize       # K+V read

@@ -184,6 +184,14 @@ class Config:
     # error can flip a greedy argmax vs HF), but DETERMINISTIC: AR and every
     # speculative mode still agree token-for-token with each other because
     # the same context always quantizes to the same cache bytes.
+    # "int8": in-kernel f32-semantics dequant — bit-identical to the jnp
+    #   oracle, but the cast costs more VPU than the halved DMA saves
+    #   (PERF.md round 3: the memory win, not a speed win).
+    # "int8_mxu": native s8 x s8 -> s32 MXU dots (2x int8 throughput on
+    #   v5e, no in-register cast); q and the softmax weights quantize
+    #   in-register, adding ~1/254 absolute error on p — approximate vs the
+    #   "int8" mode by a documented tolerance (tests/test_kv_quant.py), and
+    #   still deterministic across modes on a fixed backend.
     kv_quant: str | None = None
     # Weight-only quantization (beyond reference): "int8" stores matmul
     # weights as int8 with per-out-channel f32 scales (utils/quant.py) —
@@ -288,6 +296,9 @@ class Config:
         )
         if self.ngram_speculate:
             assert self.ngram_n >= 1 and self.speculate_k >= 1
+        assert self.kv_quant in (None, "int8", "int8_mxu"), (
+            f"unknown kv_quant {self.kv_quant!r}"
+        )
 
     def create_draft_config(self) -> "Config":
         """Config for the draft model runner (reference draft_runner.py:21-32)."""

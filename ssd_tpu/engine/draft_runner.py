@@ -126,7 +126,7 @@ def tree_build_program(
 
             o = patt.paged_attention_best(
                 qr, kv_layer, block_tables, glue_ctx,
-                jnp.full((B,), Kp1, jnp.int32), block_size, ctx_pad, scale,
+                jnp.full((B,), Kp1, jnp.int32), block_size, ctx_pad, scale, s8=use_pallas == "s8",
             )
         else:
             o = att.paged_attention(
@@ -177,7 +177,7 @@ def tree_build_program(
 
                 o = patt.tree_attention_best(
                     qr, kv_layer, block_tables, ctx, fan_idx_rows, s,
-                    K, block_size, ctx_pad, scale,
+                    K, block_size, ctx_pad, scale, s8=use_pallas == "s8",
                 )
             else:
                 o = att.tree_attention(

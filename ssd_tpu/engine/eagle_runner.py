@@ -56,7 +56,7 @@ def _paged_attn(q4, kv_layer, block_tables, ctx, qeff, block_size, ctx_pad,
         from ssd_tpu.ops import pallas_attention as patt
 
         return patt.paged_attention_best(
-            q4, kv_layer, block_tables, ctx, qeff, block_size, ctx_pad, scale
+            q4, kv_layer, block_tables, ctx, qeff, block_size, ctx_pad, scale, s8=use_pallas == "s8"
         )
     return att.paged_attention(
         q4, kv_layer, block_tables, ctx, block_size, ctx_pad, scale, qeff=qeff
@@ -368,7 +368,7 @@ def eagle_tree_build_program(
 
                 o = patt.tree_attention_best(
                     qr, kv_layer, block_tables, ctx, fan_idx_rows, s,
-                    K, block_size, ctx_pad, scale,
+                    K, block_size, ctx_pad, scale, s8=use_pallas == "s8",
                 )
             else:
                 o = att.tree_attention(

@@ -255,7 +255,7 @@ def eagle_sd_superstep(
                     o = patt.paged_attention_best(
                         qr, kv_layer, bt_draft, ctx,
                         jnp.ones((B,), jnp.int32), block_size, ctx_pad_d,
-                        d_scale,
+                        d_scale, s8=use_pallas == "s8",
                     )
                 else:
                     o = att.paged_attention(

@@ -118,7 +118,7 @@ def decode_step(
 
             o = patt.paged_attention_best(
                 qr, kv_layer, block_tables, context_lens,
-                jnp.full((B,), q_len, jnp.int32), block_size, ctx_pad, scale,
+                jnp.full((B,), q_len, jnp.int32), block_size, ctx_pad, scale, s8=use_pallas == "s8",
             )
         else:
             o = att.paged_attention(
@@ -182,7 +182,7 @@ def batched_prefill_step(
 
             o = patt.paged_attention_best(
                 qr, kv_layer, block_tables, context_lens, qeff,
-                block_size, ctx_pad, scale,
+                block_size, ctx_pad, scale, s8=use_pallas == "s8",
             )
         else:
             o = att.paged_attention(
@@ -257,7 +257,7 @@ def chain_decode_step(
 
                 o = patt.paged_attention_best(
                     qr, kv_layer, block_tables, context_lens,
-                    jnp.ones((B,), jnp.int32), block_size, ctx_pad, scale,
+                    jnp.ones((B,), jnp.int32), block_size, ctx_pad, scale, s8=use_pallas == "s8",
                 )
             else:
                 o = att.paged_attention(
@@ -544,6 +544,12 @@ class ModelRunner:
             if config.use_pallas is not None
             else jax.default_backend() == "tpu"
         )
+        if self.use_pallas and config.kv_quant == "int8_mxu":
+            # Native s8 x s8 MXU dots in the int8-KV kernels: use_pallas
+            # widens to the static tag "s8" (still truthy), which every step
+            # program forwards into the kernel dispatch — so the mode is part
+            # of each program's jit key, never a module global.
+            self.use_pallas = "s8"
 
         # Target-side EAGLE activation taps (draft conditioning source).
         self.eagle_layers = (
@@ -624,12 +630,12 @@ class ModelRunner:
             return self.config.num_kvcache_blocks
         a = self.arch
         # int8 KV: 1 byte/element + 2 f32 scales per (token, head).
-        elem = (1 if self.config.kv_quant == "int8"
+        elem = (1 if self.config.kv_quant in ("int8", "int8_mxu")
                 else jnp.dtype(self.dtype).itemsize)
         block_bytes = (
             2 * a.num_layers * self.block_size * a.num_kv_heads
             * (a.head_dim * elem
-               + (4 if self.config.kv_quant == "int8" else 0))
+               + (4 if self.config.kv_quant in ("int8", "int8_mxu") else 0))
         )
         try:
             # Size from THIS runner's device (the pinned draft chip differs
@@ -664,7 +670,7 @@ class ModelRunner:
         def z(shp, dt):
             return jnp.zeros(shp, dt) if dev is None else jnp.zeros(shp, dt, device=dev)
 
-        if self.config.kv_quant == "int8":
+        if self.config.kv_quant in ("int8", "int8_mxu"):
             # (int8 data, per-(token, head, K/V) f32 scales); scales carry a
             # floor value so never-written slots dequantize to exact zeros
             # without special-casing. Sharding note: the scales' head axis is

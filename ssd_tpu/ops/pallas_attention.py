@@ -78,7 +78,7 @@ def _flash_update(scores, mask, v, m_scr, l_scr, acc_scr):
 
 
 def _flash_update_batched(q3, kv3, mask, scale, m_scr, l_scr, acc_scr,
-                          sk=None, sv=None):
+                          sk=None, sv=None, s8=False):
     """One online-softmax accumulation over a KV chunk, BATCHED over the
     leading dim — kv head (v2/tree2) or merged seq x kv-head (v3/tree3;
     Mosaic matmul allows a single batch dim). Shared by all double-buffered
@@ -89,18 +89,38 @@ def _flash_update_batched(q3, kv3, mask, scale, m_scr, l_scr, acc_scr,
     fp32-INPUT matmuls cost several MXU passes per tile. Under the fp32
     engine dtype (the exactness tests) the casts are no-ops.
 
-    int8 KV (sk/sv [Nb, 1, bk] f32 per-position scales): kv3 arrives int8 and
-    is cast to q's dtype in-register; the dequant folds into two LANE-ALIGNED
-    multiplies — scores * sk after the q.K dot, p * sv before the p.V dot —
-    so no transpose ever touches the scale vectors."""
-    if sk is not None:
-        kv3 = kv3.astype(q3.dtype)
-    scores = jax.lax.dot_general(
-        q3, kv3, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale                                                # [Nb, R, bk]
-    if sk is not None:
-        scores = scores * sk
+    int8 KV (sk/sv [Nb, 1, bk] f32 per-position scales): kv3 arrives int8.
+    s8=False (kv_quant="int8", bit-exact vs the jnp oracle): the chunk is
+    cast to q's dtype in-register and the dequant folds into two
+    LANE-ALIGNED multiplies — scores * sk after the q.K dot, p * sv before
+    the p.V dot — so no transpose ever touches the scale vectors. The cast
+    materializes every int8 element at compute width, which is why this
+    path measured SLOWER than bf16 (PERF.md round 3).
+    s8=True (kv_quant="int8_mxu"): the dots run NATIVELY s8 x s8 -> s32 on
+    the MXU (2x int8 throughput on v5e, no cast): q is quantized in-register
+    per row (max-abs / 127 — error of the same order as a bf16 cast), and p
+    absorbs sv BEFORE its own per-row quantization so the per-position scale
+    stays inside the contraction. Approximate (p carries ~1/254 absolute
+    quantization) — the jnp oracle is the numerics control with a documented
+    tolerance (tests/test_kv_quant.py)."""
+    if sk is not None and s8:
+        qf = q3.astype(jnp.float32)
+        qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=2, keepdims=True),
+                         1e-30) * (1.0 / 127.0)
+        q_s8 = jnp.round(qf / qs).astype(jnp.int8)
+        scores = jax.lax.dot_general(
+            q_s8, kv3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (qs * scale) * sk
+    else:
+        if sk is not None:
+            kv3 = kv3.astype(q3.dtype)
+        scores = jax.lax.dot_general(
+            q3, kv3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                            # [Nb, R, bk]
+        if sk is not None:
+            scores = scores * sk
 
     s3 = jnp.where(mask, scores, jnp.float32(-1e30))
     m_cur = jnp.max(s3, axis=2, keepdims=True)
@@ -108,12 +128,22 @@ def _flash_update_batched(q3, kv3, mask, scale, m_scr, l_scr, acc_scr,
     p = jnp.where(mask, jnp.exp(s3 - m_new), 0.0)
     alpha = jnp.exp(m_scr[:] - m_new)
     l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=2, keepdims=True)
-    if sv is not None:
-        p = p * sv
-    acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
-        p.astype(kv3.dtype), kv3, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
+    if sk is not None and s8:
+        pq = p * sv                                          # [Nb, R, bk]
+        ps = jnp.maximum(jnp.max(pq, axis=2, keepdims=True),
+                         1e-30) * (1.0 / 127.0)
+        p_s8 = jnp.round(pq / ps).astype(jnp.int8)
+        acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
+            p_s8, kv3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * ps
+    else:
+        if sv is not None:
+            p = p * sv
+        acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
+            p.astype(kv3.dtype), kv3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
     m_scr[:] = m_new
 
 
@@ -637,6 +667,7 @@ def _paged_attn_v3_body(
     C: int,
     block_size: int,
     num_kv_heads: int,
+    s8: bool = False,
 ):
     g, i = pl.program_id(0), pl.program_id(1)
     NG = pl.num_programs(0)
@@ -729,7 +760,7 @@ def _paged_attn_v3_body(
             s3 = s_ref[:].reshape(NBH, 2, bk)
             sk, sv = s3[:, 0:1, :], s3[:, 1:2, :]
         _flash_update_batched(q3, kv3, mask, scale, m_scr, l_scr, acc_scr,
-                              sk=sk, sv=sv)
+                              sk=sk, sv=sv, s8=s8)
 
         @pl.when((i + 1) * bk >= length)
         def _():
@@ -740,7 +771,7 @@ def _paged_attn_v3_body(
 @functools.partial(
     jax.jit,
     static_argnames=("group_size", "block_size", "ctx_pad", "scale",
-                     "pages_per_chunk", "seqs_per_step", "interpret"),
+                     "pages_per_chunk", "seqs_per_step", "interpret", "s8"),
 )
 def paged_attention_v3_padded(
     qp: jnp.ndarray,            # [B_pad, Hkv, QG, 2*hd] ([q | 0] grouped)
@@ -755,6 +786,7 @@ def paged_attention_v3_padded(
     pages_per_chunk: int = 8,
     seqs_per_step: int = 8,
     interpret: bool = False,
+    s8: bool = False,
 ) -> jnp.ndarray:
     """The v3 kernel proper, on the pre-grouped [q | 0]-padded layout
     (returns the same layout; the V half holds the result). Split from the
@@ -815,7 +847,7 @@ def paged_attention_v3_padded(
     kernel = functools.partial(
         _paged_attn_v3_kernel_i8 if int8 else _paged_attn_v3_kernel,
         scale=scale, G=G, NB=NB, C=C,
-        block_size=block_size, num_kv_heads=Hkv,
+        block_size=block_size, num_kv_heads=Hkv, s8=s8 and int8,
     )
     return pl.pallas_call(
         kernel,
@@ -835,7 +867,7 @@ def paged_attention_v3_padded(
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "ctx_pad", "scale", "pages_per_chunk",
-                     "seqs_per_step", "interpret"),
+                     "seqs_per_step", "interpret", "s8"),
 )
 def paged_attention_v3(
     q: jnp.ndarray,             # [B, Q, Hq, hd]
@@ -849,6 +881,7 @@ def paged_attention_v3(
     pages_per_chunk: int = 8,
     seqs_per_step: int = 8,
     interpret: bool = False,
+    s8: bool = False,
 ) -> jnp.ndarray:
     """Batched-group double-buffered paged flash attention (decode/verify):
     the public [B, Q, Hq, hd] wrapper around paged_attention_v3_padded."""
@@ -868,7 +901,7 @@ def paged_attention_v3(
     out = paged_attention_v3_padded(
         qp, kv_layer, block_tables, context_lens, qeff, G, block_size,
         ctx_pad, scale, pages_per_chunk=pages_per_chunk,
-        seqs_per_step=seqs_per_step, interpret=interpret,
+        seqs_per_step=seqs_per_step, interpret=interpret, s8=s8,
     )
     return _ungroup_o(out[:B, ..., hd:], Q)
 
@@ -935,6 +968,7 @@ def paged_attention_best(
     ctx_pad: int,
     scale: float,
     interpret: bool | None = None,
+    s8: bool = False,
 ) -> jnp.ndarray:
     """Route to the fastest applicable kernel: the double-buffered v2 for
     decode/verify/moderate prefill tiles, v1 (one page per grid step) for
@@ -962,7 +996,7 @@ def paged_attention_best(
         if B > 1 or int8:
             return paged_attention_v3(
                 q, kv_layer, block_tables, context_lens, qeff,
-                block_size, ctx_pad, scale, interpret=interpret,
+                block_size, ctx_pad, scale, interpret=interpret, s8=s8,
             )
         return paged_attention_v2(
             q, kv_layer, block_tables, context_lens, qeff,
@@ -1230,6 +1264,7 @@ def _tree_attn_v3_body(
     C: int,
     block_size: int,
     num_kv_heads: int,
+    s8: bool = False,
 ):
     """tree_attention with the NB-sequences-per-grid-step pipeline of
     _paged_attn_v3_kernel (the per-seq grid steps' fixed cost dominates the
@@ -1334,7 +1369,7 @@ def _tree_attn_v3_body(
             s3 = s_ref[:].reshape(NBH, 2, bk)
             sk, sv = s3[:, 0:1, :], s3[:, 1:2, :]
         _flash_update_batched(q3, kv3, mask, scale, m_scr, l_scr, acc_scr,
-                              sk=sk, sv=sv)
+                              sk=sk, sv=sv, s8=s8)
 
         @pl.when((i + 1) * bk >= length)
         def _():
@@ -1345,7 +1380,7 @@ def _tree_attn_v3_body(
 @functools.partial(
     jax.jit,
     static_argnames=("K", "block_size", "ctx_pad", "scale", "pages_per_chunk",
-                     "seqs_per_step", "interpret"),
+                     "seqs_per_step", "interpret", "s8"),
 )
 def tree_attention_v3(
     q: jnp.ndarray,             # [B, MQ, Hq, hd]
@@ -1361,6 +1396,7 @@ def tree_attention_v3(
     pages_per_chunk: int = 8,
     seqs_per_step: int = 8,
     interpret: bool = False,
+    s8: bool = False,
 ) -> jnp.ndarray:
     """Batched-group double-buffered paged tree attention."""
     B, MQ, Hq, hd = q.shape
@@ -1431,7 +1467,7 @@ def tree_attention_v3(
     kernel = functools.partial(
         _tree_attn_v3_kernel_i8 if int8 else _tree_attn_v3_kernel,
         scale=scale, K=K, MQ=MQ, G=G, NB=NB, C=C,
-        block_size=block_size, num_kv_heads=Hkv,
+        block_size=block_size, num_kv_heads=Hkv, s8=s8 and int8,
     )
     out = pl.pallas_call(
         kernel,
@@ -1452,7 +1488,7 @@ def tree_attention_v3(
 
 def tree_attention_best(
     q, kv_layer, block_tables, context_lens, fan_idx_rows, step,
-    K, block_size, ctx_pad, scale, interpret=None,
+    K, block_size, ctx_pad, scale, interpret=None, s8=False,
 ):
     """Route to the pipelined manual-DMA tree kernels when their single-tile
     VMEM scratch fits (B>1: v3, NB sequences per grid step; B=1: v2); v1
@@ -1469,7 +1505,7 @@ def tree_attention_best(
         if B > 1 or int8:  # int8 is implemented in v3 (NB=1 covers B=1)
             return tree_attention_v3(
                 q, kv_layer, block_tables, context_lens, fan_idx_rows, step,
-                K, block_size, ctx_pad, scale, interpret=interpret,
+                K, block_size, ctx_pad, scale, interpret=interpret, s8=s8,
             )
         return tree_attention_v2(
             q, kv_layer, block_tables, context_lens, fan_idx_rows, step,

@@ -131,6 +131,49 @@ def test_int8kv_async_ssd_exact(ckpt):
     assert got[0]["token_ids"] == want[0]["token_ids"]
 
 
+def test_int8kv_mxu_kernel_close_to_dequant():
+    """kv_quant="int8_mxu" (native s8 x s8 MXU dots, q and p quantized
+    in-register) must track the f32-dequant int8 kernel within the documented
+    tolerance: q-quantization error ~ a bf16 cast (0.4% relative), p carries
+    <= 1/254 absolute — the softmax-weighted output stays within a few
+    percent of the dequant path."""
+    from ssd_tpu.ops import pallas_attention as patt
+
+    rng = np.random.default_rng(5)
+    Hkv, S, hd, bs = 2, 256, 64, 64  # 2*hd = 128: the v3 lane constraint
+    layer, k, v, slots = _quant_layer(rng, Hkv, S, hd)
+    q = jnp.asarray(rng.standard_normal((2, 1, 8, hd)), jnp.float32)
+    bt = jnp.asarray([[0, 1], [1, 0]], jnp.int32)
+    ctx = jnp.asarray([70, 110], jnp.int32)
+    qeff = jnp.asarray([1, 1], jnp.int32)
+    o_deq = patt.paged_attention_v3(
+        q, layer, bt, ctx, qeff, bs, 128, hd ** -0.5, interpret=True)
+    o_s8 = patt.paged_attention_v3(
+        q, layer, bt, ctx, qeff, bs, 128, hd ** -0.5, interpret=True,
+        s8=True)
+    np.testing.assert_allclose(np.asarray(o_s8), np.asarray(o_deq),
+                               rtol=0.05, atol=0.03)
+    assert np.abs(np.asarray(o_s8)).max() > 0  # not a trivially-zero pass
+
+
+def test_int8kv_mxu_engine_deterministic(ckpt):
+    """The int8_mxu engine mode is approximate but DETERMINISTIC: two
+    engines produce identical greedy outputs, and those outputs stay close
+    to the bit-exact "int8" mode's (same prompts, same quantized cache
+    bytes; only the attention arithmetic differs)."""
+    sp = SamplingParams(temperature=0.0, max_new_tokens=12, ignore_eos=True)
+    outs = []
+    for _ in range(2):
+        eng = LLM(ckpt, dtype="float32", max_model_len=128,
+                  max_num_batched_tokens=512, kvcache_block_size=16,
+                  num_kvcache_blocks=48, max_num_seqs=4, seed=0,
+                  kv_quant="int8_mxu", use_pallas=True)
+        o, _ = eng.generate([list(p) for p in PROMPTS], sp, use_tqdm=False)
+        outs.append([x["token_ids"] for x in o])
+    assert outs[0] == outs[1]
+    assert all(len(t) == 12 for t in outs[0])
+
+
 def test_int8kv_eagle_runs(ckpt, tmp_path):
     """EAGLE over an int8 target+draft cache completes and is deterministic
     (eagle3.eagle_forward slices the cache pytree via tree ops)."""
