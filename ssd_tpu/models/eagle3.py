@@ -143,9 +143,16 @@ def eagle_forward(
 
 def eagle_logits(params: dict, prenorm: jnp.ndarray, arch: EagleArch) -> jnp.ndarray:
     """final_norm -> draft LM head -> d2t scatter into the FULL target vocab
-    with -inf elsewhere (eagle3:314-352). Returns [T, vocab_size] fp32."""
+    with -inf elsewhere (eagle3:314-352). Returns [T, vocab_size] fp32.
+
+    Full-vocab heads (draft_vocab == vocab) skip the scatter: d2t is the
+    identity there (load_eagle_params zeroes/asserts it), and a [T, V]
+    dynamic-index scatter at V=128k costs milliseconds PER DRAFT STEP on
+    TPU — it was ~2/3 of the fused-EAGLE round time before this carve-out."""
     h = rms_norm(prenorm, params["final_ln"], arch.rms_norm_eps)
     logits = h.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32).T
+    if arch.draft_vocab_size == arch.vocab_size:
+        return logits
     target_idx = jnp.arange(arch.draft_vocab_size, dtype=jnp.int32) + params["d2t"]
     T = logits.shape[0]
     full = jnp.full((T, arch.vocab_size), -jnp.inf, jnp.float32)

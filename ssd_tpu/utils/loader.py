@@ -155,7 +155,15 @@ def load_eagle_params(
         "lm_head": get(key("lm_head.weight", "model.lm_head.weight")),
     }
     if "d2t" in t:
-        params["d2t"] = jnp.asarray(np.asarray(t["d2t"]), jnp.int32)
+        d2t = np.asarray(t["d2t"])
+        if arch.draft_vocab_size == arch.vocab_size:
+            # Full-vocab heads must map identically: eagle_logits skips the
+            # per-step [T, V] scatter on that static condition.
+            assert (d2t == 0).all(), (
+                "EAGLE checkpoint with draft_vocab == vocab must carry an "
+                "all-zero d2t (identity map)"
+            )
+        params["d2t"] = jnp.asarray(d2t, jnp.int32)
     else:
         assert arch.draft_vocab_size == arch.vocab_size, (
             "EAGLE checkpoint without d2t requires draft_vocab == target_vocab"

@@ -97,3 +97,64 @@ def test_spec_ckpt_fused_sd_matches_target_ar(tmp_path, arch):
     # truncate the final round).
     lens = metrics["accepted_suffix_lens_with_recovery"]
     assert max(lens) == 4 and float(np.mean(lens)) > 3.0
+
+
+def test_eagle_ckpt_acceptance_one(tmp_path):
+    """build_eagle_checkpoints' constructed equality: the dead target walks
+    t -> t-1 and the 1-layer EAGLE draft's attention cancels the conditioning
+    residual, so fused-EAGLE acceptance must be exactly 1.0 (every round
+    commits K+1 tokens) and outputs must equal the target's own AR output."""
+    d = tmp_path / "eagle_eq"
+    d.mkdir()
+    with open(d / "config.json", "w") as f:
+        json.dump({**CFGS["llama"], "num_hidden_layers": 2}, f)
+    mod = _driver_bench()
+    tdir, ddir = mod.build_eagle_checkpoints(str(d))
+
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(5, 250, size=9).tolist()
+    sp = SamplingParams(temperature=0.0, max_new_tokens=24, ignore_eos=True)
+
+    ar = LLM(tdir, **ENGINE_KW)
+    want, _ = ar.generate([prompt[:]], sp, use_tqdm=False)
+    ar.exit()
+    # The walk: descending token ids (mod V).
+    toks = want[0]["token_ids"]
+    assert all((a - b) % CFGS["llama"]["vocab_size"] == 1
+               for a, b in zip(toks, toks[1:]))
+
+    eng = LLM(tdir, draft=ddir, speculate=True, use_eagle=True,
+              speculate_k=3, spec_rounds=4, eagle_layers=[0, 1, 1],
+              **ENGINE_KW)
+    outs, metrics = eng.generate([prompt[:]], sp, use_tqdm=False)
+    eng.exit()
+    assert outs[0]["token_ids"] == toks
+    lens = metrics["accepted_suffix_lens_with_recovery"]
+    assert lens and min(lens[:-1] or lens) == 4, lens  # full accept each round
+
+
+def test_dead_ckpt_regimes(tmp_path):
+    """build_dead_checkpoint: walk never repeats an n-gram (matcher floor);
+    repeat locks the matcher on (ceiling)."""
+    d = tmp_path / "dead"
+    d.mkdir()
+    with open(d / "config.json", "w") as f:
+        json.dump({**CFGS["llama"], "num_hidden_layers": 2}, f)
+    mod = _driver_bench()
+    sp = SamplingParams(temperature=0.0, max_new_tokens=20, ignore_eos=True)
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(5, 250, size=8).tolist()
+
+    wdir = mod.build_dead_checkpoint(str(d), walk=True)
+    ng = LLM(wdir, ngram_speculate=True, speculate_k=3, spec_rounds=2,
+             ngram_n=3, **ENGINE_KW)
+    _, m = ng.generate([prompt[:]], sp, use_tqdm=False)
+    lens = m["accepted_suffix_lens_with_recovery"]
+    assert lens and float(np.mean(lens)) < 1.5, lens  # floor: ~1 token/round
+
+    rdir = mod.build_dead_checkpoint(str(d), walk=False)
+    ng2 = LLM(rdir, ngram_speculate=True, speculate_k=3, spec_rounds=2,
+              ngram_n=3, **ENGINE_KW)
+    _, m2 = ng2.generate([prompt[:]], sp, use_tqdm=False)
+    lens2 = m2["accepted_suffix_lens_with_recovery"]
+    assert lens2 and float(np.mean(lens2)) > 3.0, lens2  # ceiling: locked on
