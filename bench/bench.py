@@ -44,6 +44,10 @@ def parse_arguments():
     # Speculative decoding
     p.add_argument("--spec", action="store_true")
     p.add_argument("--eagle", action="store_true")
+    p.add_argument("--ngram", action="store_true",
+                   help="model-free prompt-lookup speculation (no draft "
+                        "model; use with --k/--rounds, --ngram_n)")
+    p.add_argument("--ngram_n", type=int, default=3)
     p.add_argument("--k", type=int, default=6)
     p.add_argument("--rounds", type=int, default=1,
                    help="sync SD only: fuse this many speculation rounds "
@@ -108,7 +112,8 @@ def parse_arguments():
 
 
 def create_run_name(args):
-    mode = ("spec_async" if args.draft_async else "spec") if args.spec else "ar"
+    mode = ("spec_async" if args.draft_async else "spec") if args.spec else (
+        "ngram" if args.ngram else "ar")
     fam = "llama" if args.llama else "qwen"
     return args.name or (
         f"{fam}{args.size}_{mode}_b{args.b}_k{args.k}_f{args.f}"
@@ -136,6 +141,8 @@ def create_llm_kwargs(args, draft_path):
         jit_speculate=(args.backup == "jit"),
         max_steps=args.max_steps,
         use_eagle=args.eagle,
+        ngram_speculate=args.ngram,
+        ngram_n=args.ngram_n,
     )
     fl = args.flh if args.flh is not None else args.fl
     if fl is not None:
@@ -241,7 +248,7 @@ def main():
         tput = total_tokens / total_time
 
         print(f"\n[{run_name}] model={model_name} mode="
-              f"{'ssd' if args.draft_async else 'sd' if args.spec else 'ar'}",
+              f"{'ssd' if args.draft_async else 'sd' if args.spec else 'ngram' if args.ngram else 'ar'}",
               flush=True)
         print(f"Total: {total_tokens} tokens in {total_time:.2f}s "
               f"= {tput:.1f} tok/s end-to-end", flush=True)

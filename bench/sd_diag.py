@@ -49,6 +49,10 @@ def main():
                    default=["full", "draft", "verify"])
     p.add_argument("--tiny", action="store_true", help="CPU smoke geometry")
     p.add_argument("--peak-gbs", type=float, default=819.0)
+    p.add_argument("--eagle", action="store_true",
+                   help="decompose the fused EAGLE superstep instead: the "
+                        "1-layer conditioned draft chain (K+1 steps incl. "
+                        "extra write) + the verify-with-taps forward")
     args = p.parse_args()
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
@@ -77,8 +81,23 @@ def main():
 
     dt = jnp.bfloat16
     t_params = init_params(t_arch, jax.random.PRNGKey(0), dt)
-    d_params = init_params(d_arch, jax.random.PRNGKey(1), dt)
-    t_bytes, d_bytes = _param_bytes(t_params), _param_bytes(d_params)
+    if args.eagle:
+        from ssd_tpu.models.eagle3 import EagleArch, init_eagle_params
+
+        d_arch = EagleArch.from_model_config(
+            ModelConfig(num_hidden_layers=Lt, **base),
+            d_model_target=base["hidden_size"], num_eagle_layers=3,
+        )
+        d_params = init_eagle_params(d_arch, jax.random.PRNGKey(1), dt)
+        # Per chain step the draft STREAMS its layer + head; the embedding is
+        # a row gather and fc runs once per round on the cond vector.
+        d_stream = _param_bytes(
+            {k: v for k, v in d_params.items() if k not in ("embed", "fc")}
+        )
+    else:
+        d_params = init_params(d_arch, jax.random.PRNGKey(1), dt)
+        d_stream = _param_bytes(d_params)
+    t_bytes, d_bytes = _param_bytes(t_params), d_stream
 
     B, K, R = 1, args.k, args.rounds
     bs = 64
@@ -111,9 +130,32 @@ def main():
         (dkv, _, _), last = jax.lax.scan(body, (dkv, rec0, n0), jnp.arange(R))
         return last, dkv
 
+    # R rounds of the EAGLE-conditioned chain alone (K+1 steps per round =
+    # the superstep's count incl. the extra KV write).
+    @partial(jax.jit, static_argnames=("arch",), donate_argnames=("dkv",))
+    def eagle_draft_only(d_params, dkv, rec0, n0, bt, temps, key, *, arch):
+        from ssd_tpu.engine.eagle_runner import eagle_chain_program
+
+        A = arch.num_eagle_layers * arch.d_model_target
+        acts = jnp.zeros((B, A), jnp.float32)
+
+        def body(carry, r):
+            dkv, rec, n = carry
+            toks, _, _, dkv = eagle_chain_program(
+                d_params, dkv, rec, acts, n - 1, bt, temps,
+                jax.random.fold_in(key, r),
+                arch=arch, block_size=bs, ctx_pad=args.ctx_pad, K=K + 1,
+                sampler_x=None, F=2, use_pallas=False,
+            )
+            return (dkv, toks[:, -1], n + K + 1), toks[:, -1]
+        (dkv, _, _), last = jax.lax.scan(body, (dkv, rec0, n0), jnp.arange(R))
+        return last, dkv
+
     # R rounds of the target verify forward alone (fixed spec tokens).
-    @partial(jax.jit, static_argnames=("arch",), donate_argnames=("tkv",))
-    def verify_only(t_params, tkv, rec0, n0, bt, temps, key, *, arch):
+    @partial(jax.jit, static_argnames=("arch", "eagle_layers"),
+             donate_argnames=("tkv",))
+    def verify_only(t_params, tkv, rec0, n0, bt, temps, key, *, arch,
+                    eagle_layers=None):
         Kp1 = K + 1
         def body(carry, r):
             tkv, n = carry
@@ -126,13 +168,30 @@ def main():
                 slots, bt, (n + Kp1).astype(jnp.int32), temps,
                 jax.random.fold_in(key, r),
                 arch=arch, block_size=bs, ctx_pad=args.ctx_pad, q_len=Kp1,
+                eagle_layers=eagle_layers,
             )
             return (tkv, n + Kp1), toks
         (tkv, _), toks = jax.lax.scan(body, (tkv, n0), jnp.arange(R))
         return toks, tkv
 
+    eagle_layers = (
+        (min(2, Lt - 1), Lt // 2, max(0, Lt - 3)) if args.eagle else None
+    )
+
     def run_full():
         tkv, dkv = fresh_kv(t_arch), fresh_kv(d_arch)
+        if args.eagle:
+            from ssd_tpu.engine.fused_sd import eagle_sd_superstep
+
+            A = d_arch.num_eagle_layers * d_arch.d_model_target
+            out = eagle_sd_superstep(
+                t_params, tkv, d_params, dkv, rec0,
+                jnp.zeros((B, A), jnp.float32), n0, bt, bt, temps, temps,
+                key, t_arch=t_arch, d_arch=d_arch, block_size=bs,
+                ctx_pad_t=args.ctx_pad, ctx_pad_d=args.ctx_pad, K=K, R=R,
+                eagle_layers=eagle_layers,
+            )
+            return out[1]
         specs, accs, recs, tkv, dkv = sd_superstep(
             t_params, tkv, d_params, dkv, rec0, n0, bt, bt, temps, temps, key,
             t_arch=t_arch, d_arch=d_arch, block_size=bs,
@@ -142,14 +201,14 @@ def main():
 
     def run_draft():
         dkv = fresh_kv(d_arch)
-        last, dkv = draft_only(d_params, dkv, rec0, n0, bt, temps, key,
-                               arch=d_arch)
+        fn = eagle_draft_only if args.eagle else draft_only
+        last, dkv = fn(d_params, dkv, rec0, n0, bt, temps, key, arch=d_arch)
         return last
 
     def run_verify():
         tkv = fresh_kv(t_arch)
         toks, tkv = verify_only(t_params, tkv, rec0, n0, bt, temps, key,
-                                arch=t_arch)
+                                arch=t_arch, eagle_layers=eagle_layers)
         return toks
 
     budget = {
@@ -159,8 +218,10 @@ def main():
     }
     runners = {"full": run_full, "draft": run_draft, "verify": run_verify}
 
+    d_desc = ("EAGLE 1L streamed (layer + head)" if args.eagle
+              else f"{Ld}L incl. LM head")
     print(f"target {t_bytes/1e9:.2f} GB ({Lt}L), draft {d_bytes/1e9:.2f} GB "
-          f"({Ld}L incl. LM head), K={K} R={R} ctx_pad={args.ctx_pad}",
+          f"({d_desc}), K={K} R={R} ctx_pad={args.ctx_pad}",
           flush=True)
     results = {}
     for name in args.variants:

@@ -299,9 +299,12 @@ def eagle_tree_build_program(
     D = prev_acts.shape[-1]
     rows = jnp.repeat(jnp.arange(B), K)
     cols = (n_ext[:, None] + 1 + jnp.arange(K)[None, :]).reshape(-1)
-    glue_prev_acts = jnp.zeros((B, W, D), params["fc"].dtype).at[
+    from ssd_tpu.models.eagle3 import _compute_dtype
+
+    cdt = _compute_dtype(params)
+    glue_prev_acts = jnp.zeros((B, W, D), cdt).at[
         rows, cols
-    ].set(prev_acts.reshape(B * K, D).astype(params["fc"].dtype))
+    ].set(prev_acts.reshape(B * K, D).astype(cdt))
 
     cond = jnp.where(
         glue_is_fc.reshape(-1)[:, None],

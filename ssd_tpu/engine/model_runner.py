@@ -572,13 +572,18 @@ class ModelRunner:
         self.params = self._make_params(init_random)
         if config.quantization not in (None, "int8"):
             raise ValueError(f"unknown quantization {config.quantization!r}")
-        if config.quantization == "int8" and "layers" in self.params:
-            # Weight-only int8 (utils/quant.py). EAGLE drafts keep native
-            # weights (their param tree has its own structure and they are
-            # small next to the target).
-            from ssd_tpu.utils.quant import quantize_params
+        if config.quantization == "int8":
+            # Weight-only int8 (utils/quant.py); EAGLE drafts have their own
+            # flat param layout (the full-vocab draft head is most of their
+            # per-step bytes, so they quantize too).
+            if "layers" in self.params:
+                from ssd_tpu.utils.quant import quantize_params
 
-            self.params = quantize_params(self.params)
+                self.params = quantize_params(self.params)
+            elif "fc" in self.params:
+                from ssd_tpu.utils.quant import quantize_eagle_params
+
+                self.params = quantize_eagle_params(self.params)
         if mesh is not None:
             self.params = shard_params(self.params, mesh)
         elif device is not None:

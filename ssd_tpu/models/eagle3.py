@@ -90,9 +90,23 @@ def init_eagle_params(arch: EagleArch, key: jax.Array, dtype=jnp.float32) -> dic
     }
 
 
+def _emm(x: jnp.ndarray, params: dict, name: str) -> jnp.ndarray:
+    """x @ params[name], transparently dequantizing int8 weight-only params
+    (utils/quant.py layout; the eagle analogue of transformer._mm)."""
+    w = params[name]
+    y = x @ w.astype(x.dtype)
+    s = params.get(name + "_scale")
+    return y if s is None else y * s.astype(y.dtype)
+
+
+def _compute_dtype(params: dict) -> jnp.dtype:
+    w = params["fc"]
+    return jnp.bfloat16 if w.dtype == jnp.int8 else w.dtype
+
+
 def project_target_acts(params: dict, acts: jnp.ndarray) -> jnp.ndarray:
     """fc: [T, num_eagle_layers*D_target] -> [T, D_draft]."""
-    return acts.astype(params["fc"].dtype) @ params["fc"]
+    return _emm(acts.astype(_compute_dtype(params)), params, "fc")
 
 
 def eagle_forward(
@@ -113,7 +127,12 @@ def eagle_forward(
     Hq, Hkv, hd = arch.num_heads, arch.num_kv_heads, arch.head_dim
     eps = arch.rms_norm_eps
 
-    tok = jnp.take(params["embed"], input_ids, axis=0)
+    tok = jnp.take(params["embed"], input_ids, axis=0).astype(
+        _compute_dtype(params))
+    if "embed_scale" in params:  # int8 weight-only (utils/quant.py)
+        tok = tok * jnp.take(
+            params["embed_scale"], input_ids, axis=0
+        )[:, None].astype(tok.dtype)
     cond = conditioning.astype(tok.dtype)
     x = jnp.concatenate(
         [rms_norm(tok, params["input_ln"], eps),
@@ -122,21 +141,24 @@ def eagle_forward(
     )  # [T, 2D]
 
     cos, sin = rope_cos_sin(positions, hd, arch.rope_theta)
-    q = apply_rope((x @ params["wq"]).reshape(T, Hq, hd), cos, sin)
-    k = apply_rope((x @ params["wk"]).reshape(T, Hkv, hd), cos, sin)
-    v = (x @ params["wv"]).reshape(T, Hkv, hd)
+    q = apply_rope(_emm(x, params, "wq").reshape(T, Hq, hd), cos, sin)
+    k = apply_rope(_emm(x, params, "wk").reshape(T, Hkv, hd), cos, sin)
+    v = _emm(x, params, "wv").reshape(T, Hkv, hd)
     # Layer slicing via tree ops: the cache is either the plain [1,...]
     # array or the int8 (data, scales) pytree (ops/attention.py).
     o, kv_layer = attn_call(
         q, k, v, jax.tree.map(lambda c: c[0], kv_cache)
     )
     kv_cache = jax.tree.map(lambda c, l: c.at[0].set(l), kv_cache, kv_layer)
-    attn_out = o.reshape(T, Hq * hd) @ params["wo"]
+    attn_out = _emm(o.reshape(T, Hq * hd), params, "wo")
 
     # Conditioning features are the residual stream (eagle3:151-153).
     resid = (attn_out.astype(jnp.float32) + cond.astype(jnp.float32)).astype(tok.dtype)
     h = rms_norm(resid, params["post_ln"], eps)
-    mlp = silu_mul(h @ params["gate"], h @ params["up"]) @ params["down"]
+    mlp = _emm(
+        silu_mul(_emm(h, params, "gate"), _emm(h, params, "up")),
+        params, "down",
+    )
     prenorm = (mlp.astype(jnp.float32) + resid.astype(jnp.float32)).astype(tok.dtype)
     return prenorm, kv_cache
 
@@ -151,6 +173,8 @@ def eagle_logits(params: dict, prenorm: jnp.ndarray, arch: EagleArch) -> jnp.nda
     TPU — it was ~2/3 of the fused-EAGLE round time before this carve-out."""
     h = rms_norm(prenorm, params["final_ln"], arch.rms_norm_eps)
     logits = h.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32).T
+    if "lm_head_scale" in params:  # int8 weight-only (utils/quant.py)
+        logits = logits * params["lm_head_scale"].astype(jnp.float32)[None, :]
     if arch.draft_vocab_size == arch.vocab_size:
         return logits
     target_idx = jnp.arange(arch.draft_vocab_size, dtype=jnp.int32) + params["d2t"]

@@ -140,6 +140,18 @@ _EAGLE_PARAM_SPECS = {
     "final_ln": P(None),
     "lm_head": P("tp", None),
     "d2t": P(None),
+    # int8 weight-only scales (utils/quant.py::quantize_eagle_params):
+    # sharded like the weight's out channels.
+    "embed_scale": P("tp"),
+    "fc_scale": P(None),
+    "wq_scale": P("tp"),
+    "wk_scale": P("tp"),
+    "wv_scale": P("tp"),
+    "wo_scale": P(None),
+    "gate_scale": P("tp"),
+    "up_scale": P("tp"),
+    "down_scale": P(None),
+    "lm_head_scale": P("tp"),
 }
 
 

@@ -38,6 +38,27 @@ def _quantize_leaf(w: jnp.ndarray, axis: int) -> tuple[jnp.ndarray, jnp.ndarray]
     return q, jnp.squeeze(s, axis=axis)
 
 
+def quantize_eagle_params(params: dict) -> dict:
+    """Quantize an EAGLE-3 draft param dict (models/eagle3.py layout: flat,
+    single layer; consumed by eagle3._emm / eagle_logits). The draft's
+    full-vocab LM head is most of its per-step bytes, so this matters even
+    though the draft is small next to the target."""
+    out = dict(params)
+    for name in ("wq", "wk", "wv", "wo", "gate", "up", "down", "fc"):
+        q, s = _quantize_leaf(params[name], axis=params[name].ndim - 2)
+        out[name] = q
+        out[name + "_scale"] = s
+    tied = params.get("lm_head") is params.get("embed")
+    q, s = _quantize_leaf(params["embed"], axis=1)
+    out["embed"], out["embed_scale"] = q, s
+    if tied:
+        out["lm_head"], out["lm_head_scale"] = q, s
+    else:
+        q, s = _quantize_leaf(params["lm_head"], axis=1)
+        out["lm_head"], out["lm_head_scale"] = q, s
+    return out
+
+
 def quantize_params(params: dict) -> dict:
     """Quantize the matmul weights of a loaded param pytree in place-ish
     (returns a new dict; embedding and lm_head share storage when tied)."""

@@ -144,18 +144,21 @@ def test_sync_sd_context_limit_pallas_route(tmp_path_factory):
     assert outs[1]["token_ids"][:10] == hf_greedy(str(t), p2, 10)
 
 
-def test_eagle_spec_rounds_rejected(tmp_path_factory):
-    """use_eagle + spec_rounds>1 must be rejected up front: the fused
-    superstep drives the draft through the plain-transformer chain program,
-    which cannot run an EAGLE draft (review finding)."""
+def test_eagle_async_spec_rounds_rejected(tmp_path_factory):
+    """use_eagle + draft_async + spec_rounds>1 must be rejected up front:
+    the async handshake is inherently one exchange per round — fusing rounds
+    requires the SYNC superstep (which round 4 added; use_eagle +
+    spec_rounds>1 without draft_async is the supported fused-EAGLE mode,
+    tests/test_fused_eagle.py)."""
     from tests.utils_models import make_tiny_eagle
 
     t = tmp_path_factory.mktemp("er_t")
     e = tmp_path_factory.mktemp("er_e")
     make_tiny_llama(t, layers=6, seed=0)
     make_tiny_eagle(e, seed=3)
-    with pytest.raises(AssertionError, match="spec_rounds"):
+    with pytest.raises(AssertionError, match="draft_async"):
         LLM(str(t), draft=str(e), speculate=True, use_eagle=True,
+            draft_async=True, jit_speculate=True,
             spec_rounds=4, speculate_k=3, dtype="float32",
             max_model_len=128, max_num_batched_tokens=512,
             kvcache_block_size=16, num_kvcache_blocks=64, max_num_seqs=2)

@@ -154,3 +154,29 @@ def test_quantized_target_with_eagle_mode_exact(tmp_path):
     got, _ = eagle.generate([list(prompt)], sp, use_tqdm=False)
     eagle.exit()
     assert got[0]["token_ids"] == want[0]["token_ids"]
+
+
+def test_quantized_fused_eagle_exact(tmp_path):
+    """int8 weight-only now covers the EAGLE draft too (its full-vocab head
+    is most of its per-step bytes); the fused EAGLE superstep over a fully
+    quantized pair must still equal the quantized target's own AR output."""
+    from tests.utils_models import make_tiny_eagle
+
+    t = str(tmp_path / "t")
+    e = str(tmp_path / "e")
+    make_tiny_llama(t, layers=6, seed=0)
+    make_tiny_eagle(e, seed=3)
+
+    common = dict(dtype="float32", quantization="int8", max_model_len=256,
+                  max_num_batched_tokens=1024, kvcache_block_size=16,
+                  num_kvcache_blocks=96, max_num_seqs=4)
+    prompt = random_prompt(rng(68), 8, 20)
+    sp = SamplingParams(temperature=0.0, max_new_tokens=24, ignore_eos=True)
+
+    ar = LLM(t, **common)
+    want, _ = ar.generate([list(prompt)], sp, use_tqdm=False)
+
+    fe = LLM(t, draft=e, speculate=True, use_eagle=True, speculate_k=2,
+             spec_rounds=3, eagle_layers=[0, 2, 4], **common)
+    got, _ = fe.generate([list(prompt)], sp, use_tqdm=False)
+    assert got[0]["token_ids"] == want[0]["token_ids"]
