@@ -626,11 +626,15 @@ def main():
     # default full flat-prefill ladder (~18 one-time tunnel compiles this
     # fixed-shape bench never hits): the warm generate covers its buckets.
     engine.warmup(prefill_s_pads=())
-    engine.generate(
-        [p[:] for p in prompts],
-        SamplingParams(temperature=0.0, max_new_tokens=4, ignore_eos=True),
-        use_tqdm=False,
-    )
+    warm_sp = SamplingParams(temperature=0.0, max_new_tokens=4,
+                             ignore_eos=True)
+    engine.generate([p[:] for p in prompts], warm_sp, use_tqdm=False)
+    # Second warm pass: the SECOND generate of the same prompts is the first
+    # to hit the prefix cache, whose cached-offset prefill is its own
+    # program — without this, the first MEASURED sample eats that compile
+    # mid-decode (the round-3 "b=8 async spread of 52 vs 503 tok/s" was
+    # exactly this artifact: first-sample 60 vs steady 437/460 re-measured).
+    engine.generate([p[:] for p in prompts], warm_sp, use_tqdm=False)
 
     reps = int(os.environ.get("SSD_BENCH_REPS", "3"))
     samples = []

@@ -57,6 +57,55 @@ def test_all_features_fused_sd_matches_ar(dirs):
     assert metrics["accepted_suffix_lens_with_recovery"]
 
 
+def test_all_features_fused_eagle(dirs, tmp_path_factory):
+    """The round-4 composition: fused EAGLE superstep (use_eagle +
+    spec_rounds) stacked with int8 weights (target AND eagle draft), int8 KV,
+    the top-sampling warp, and chunked prefill — outputs must equal the same
+    engine stack's AR greedy."""
+    from tests.utils_models import make_tiny_eagle
+
+    target, _ = dirs
+    t6 = tmp_path_factory.mktemp("matrix_t6")
+    make_tiny_llama(t6, layers=6, seed=0)
+    e = tmp_path_factory.mktemp("matrix_e")
+    make_tiny_eagle(e, seed=3)
+    prompt = random_prompt(rng(95), 90, 91)
+    sp_greedy = SamplingParams(temperature=0.0, max_new_tokens=16,
+                               ignore_eos=True)
+    sp_warp = SamplingParams(temperature=1.0, top_k=1, max_new_tokens=16,
+                             ignore_eos=True)
+
+    ar = _engine(str(t6), kv_quant="int8")
+    want, _ = ar.generate([list(prompt)], sp_greedy, use_tqdm=False)
+
+    fe = _engine(str(t6), draft=str(e), speculate=True, use_eagle=True,
+                 speculate_k=2, spec_rounds=2, eagle_layers=[0, 2, 4],
+                 kv_quant="int8")
+    got, metrics = fe.generate([list(prompt)], sp_warp, use_tqdm=False)
+    assert got[0]["token_ids"] == want[0]["token_ids"]
+    assert metrics["accepted_suffix_lens_with_recovery"]
+
+
+def test_all_features_ngram(dirs):
+    """ngram speculation stacked with int8 weights + int8 KV + warp +
+    chunked prefill: token-exact vs the same stack's AR."""
+    target, _ = dirs
+    prompt = random_prompt(rng(96), 90, 91)
+    sp_greedy = SamplingParams(temperature=0.0, max_new_tokens=16,
+                               ignore_eos=True)
+    sp_warp = SamplingParams(temperature=1.0, top_k=1, max_new_tokens=16,
+                             ignore_eos=True)
+
+    ar = _engine(target, kv_quant="int8")
+    want, _ = ar.generate([list(prompt)], sp_greedy, use_tqdm=False)
+
+    ng = _engine(target, ngram_speculate=True, speculate_k=2, spec_rounds=2,
+                 ngram_n=2, kv_quant="int8")
+    got, metrics = ng.generate([list(prompt)], sp_warp, use_tqdm=False)
+    assert got[0]["token_ids"] == want[0]["token_ids"]
+    assert metrics["accepted_suffix_lens_with_recovery"]
+
+
 def test_all_features_plus_int8_kv(dirs):
     """The full stack PLUS the int8 KV cache (quantized weights AND cache,
     chunked prompt, warp compiled in, dynamic fused-SD rounds): AR and fused
