@@ -312,8 +312,13 @@ def forward_hidden(
     Returns (hidden [T, D], updated kv_cache), plus the concatenated EAGLE
     activations [T, len(eagle_layers)*D] when `eagle_layers` is set: the full
     residual-stream value ENTERING each tapped layer (reference
-    llama3.py:257-273). The scan is split into segments at the tap points so
-    only the tapped activations materialise, not all L layers'.
+    llama3.py:257-273). Taps are collected INSIDE the one L-layer scan (every
+    layer's entering residual rides the ys — [L, T, D] is tiny at decode
+    shapes — and the tapped rows are gathered statically after): the earlier
+    segmented-scan design sliced the stacked weights per segment, which made
+    XLA COPY the weight stacks every forward — measured 2x on the
+    verify-with-taps program (10.4 vs 5.1 ms/round at 1B geometry,
+    bench/sd_diag.py --eagle).
     """
     T = input_ids.shape[0]
     Hq, Hkv, hd = arch.num_heads, arch.num_kv_heads, arch.head_dim
@@ -347,6 +352,11 @@ def forward_hidden(
     def body(carry, xs):
         hidden, residual = carry
         lp, kv_layer, li = xs
+        pre = None
+        if eagle_layers:
+            # The residual-stream value entering this layer (the EAGLE tap).
+            pre = (hidden.astype(jnp.float32)
+                   + residual.astype(jnp.float32)).astype(hidden.dtype)
 
         # --- attention block ---
         x, residual = rms_norm_residual(hidden, residual, lp["input_ln"], eps)
@@ -368,18 +378,11 @@ def forward_hidden(
         else:
             hidden = _mm(silu_mul(_mm(x, lp, "gate"), _mm(x, lp, "up")),
                          lp, "down")
-        return (hidden, residual), kv_layer
+        return (hidden, residual), (kv_layer if pre is None
+                                    else (kv_layer, pre))
 
     L = arch.num_layers
     layer_ids = jnp.arange(L, dtype=jnp.int32)
-
-    def scan_segment(carry, lo, hi):
-        seg_params = jax.tree.map(lambda x: x[lo:hi], layers_xs)
-        kv_seg_in = jax.tree.map(lambda x: x[lo:hi], kv_cache)
-        carry, kv_seg = jax.lax.scan(
-            body, carry, (seg_params, kv_seg_in, layer_ids[lo:hi])
-        )
-        return carry, kv_seg
 
     if not eagle_layers:
         (hidden, residual), kv_cache = jax.lax.scan(
@@ -390,24 +393,14 @@ def forward_hidden(
 
     taps = sorted(eagle_layers)
     assert all(0 <= t < L for t in taps)
-    carry = (hidden, residual)
-    kv_segs, acts = [], []
-    lo = 0
-    for tap in taps:
-        if tap > lo:
-            carry, kv_seg = scan_segment(carry, lo, tap)
-            kv_segs.append(kv_seg)
-        h, r = carry
-        acts.append(
-            (h.astype(jnp.float32) + r.astype(jnp.float32)).astype(h.dtype)
-        )
-        lo = tap
-    carry, kv_seg = scan_segment(carry, lo, L)
-    kv_segs.append(kv_seg)
-    hidden, residual = carry
+    (hidden, residual), (kv_cache, pre_all) = jax.lax.scan(
+        body, (hidden, residual), (layers_xs, kv_cache, layer_ids)
+    )
     hidden = (hidden.astype(jnp.float32) + residual.astype(jnp.float32)).astype(hidden.dtype)
-    kv_cache = jax.tree.map(lambda *segs: jnp.concatenate(segs, axis=0), *kv_segs)
-    return hidden, kv_cache, jnp.concatenate(acts, axis=-1)
+    # Static gathers of the tapped layers' entering residuals, concatenated
+    # in ascending-tap order (duplicate taps repeat, matching the reference).
+    acts = jnp.concatenate([pre_all[t] for t in taps], axis=-1)
+    return hidden, kv_cache, acts
 
 
 def compute_logits(
