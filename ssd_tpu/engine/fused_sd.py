@@ -359,36 +359,67 @@ def eagle_sd_superstep_packed(
     )
 
 
+
+def _superstep_rows(seqs, target_runner, draft_runner=None):
+    """Shared host-side row assembly for the superstep drivers: recovery
+    tokens, committed counts, temperatures, and block tables at the batch
+    bucket (ghost rows: rec 0 / n0 1 / temp 1 / table -1)."""
+    B = len(seqs)
+    B_pad = next_pow2(B)
+    rec = np.zeros(B_pad, np.int32)
+    n0 = np.ones(B_pad, np.int32)
+    temps_t = np.ones(B_pad, np.float32)
+    temps_d = np.ones(B_pad, np.float32)
+    bt_t = np.full((B_pad, target_runner.max_blocks), -1, np.int32)
+    bt_t[:B] = target_runner._block_table_array(seqs, draft=False)
+    bt_d = None
+    if draft_runner is not None:
+        bt_d = np.full((B_pad, draft_runner.max_blocks), -1, np.int32)
+        bt_d[:B] = draft_runner._block_table_array(seqs, draft=True)
+    for i, seq in enumerate(seqs):
+        assert seq.recovery_token_id is not None
+        rec[i] = seq.recovery_token_id
+        n0[i] = seq.num_tokens
+        temps_t[i] = seq.temperature
+        temps_d[i] = (
+            seq.draft_temperature
+            if seq.draft_temperature is not None else seq.temperature
+        )
+    return B, B_pad, rec, n0, temps_t, temps_d, bt_t, bt_d
+
+
+def _collect_rounds(specs, accs, recs, B, R):
+    """Shared readback unpacking: per-seq committed suffixes (accepted +
+    recovery per round, concatenated), final recovery tokens, and per-round
+    lengths for the acceptance metrics."""
+    suffixes, final_rec, per_round_lens = [], [], []
+    for b in range(B):
+        out = []
+        lens = []
+        for r in range(R):
+            a = int(accs[r, b])
+            out.extend(int(t) for t in specs[r, b, : a + 1])
+            lens.append(a + 1)
+        suffixes.append(out)
+        per_round_lens.append(lens)
+        final_rec.append(int(recs[R - 1, b]))
+    return suffixes, final_rec, per_round_lens
+
+
 def run_eagle_sd_superstep(target_runner, draft_runner, seqs,
                            K: int, R: int, eagle_layers: tuple[int, ...]):
     """Host driver for the fused EAGLE superstep: one packed upload, one
     dispatch, one readback for R rounds; updates each sequence's conditioning
     carry (last_target_hidden_state) from the program's final taps. Same
     return contract as run_sd_superstep."""
-    B = len(seqs)
-    B_pad = next_pow2(B)
+    B, B_pad, rec, n0, temps_t, temps_d, bt_t, bt_d = _superstep_rows(
+        seqs, target_runner, draft_runner)
     A = (draft_runner.arch.num_eagle_layers
          * draft_runner.arch.d_model_target)
-    rec = np.zeros(B_pad, np.int32)
-    n0 = np.ones(B_pad, np.int32)
     acts0 = np.zeros((B_pad, A), np.float32)
-    temps_t = np.ones(B_pad, np.float32)
-    temps_d = np.ones(B_pad, np.float32)
-    bt_t = np.full((B_pad, target_runner.max_blocks), -1, np.int32)
-    bt_d = np.full((B_pad, draft_runner.max_blocks), -1, np.int32)
-    bt_t[:B] = target_runner._block_table_array(seqs, draft=False)
-    bt_d[:B] = draft_runner._block_table_array(seqs, draft=True)
     for i, seq in enumerate(seqs):
-        assert seq.recovery_token_id is not None
         assert seq.last_target_hidden_state is not None
-        rec[i] = seq.recovery_token_id
-        n0[i] = seq.num_tokens
         acts0[i] = seq.last_target_hidden_state
-        temps_t[i] = seq.temperature
-        temps_d[i] = (
-            seq.draft_temperature
-            if seq.draft_temperature is not None else seq.temperature
-        )
 
     horizon = int(n0[:B].max()) + R * (K + 1) + 1
     ctx_pad_t = target_runner._ctx_bucket(horizon)
@@ -412,26 +443,13 @@ def run_eagle_sd_superstep(target_runner, draft_runner, seqs,
         use_warp=target_runner.use_warp,
     )
     # ONE host sync for the whole superstep.
-    specs = np.asarray(specs)
-    accs = np.asarray(accs)
-    recs = np.asarray(recs)
+    specs, accs, recs = np.asarray(specs), np.asarray(accs), np.asarray(recs)
     acts_np = np.asarray(acts_final)
-
-    suffixes, final_rec, per_round_lens = [], [], []
     for b in range(B):
-        out: list[int] = []
-        lens = []
-        for r in range(R):
-            a = int(accs[r, b])
-            out.extend(int(t) for t in specs[r, b, : a + 1])
-            lens.append(a + 1)
-        suffixes.append(out)
-        per_round_lens.append(lens)
-        final_rec.append(int(recs[R - 1, b]))
         # Conditioning carry for the next superstep (a truncated sequence is
         # finished, so stale taps are never consumed).
         seqs[b].last_target_hidden_state = acts_np[b]
-    return suffixes, final_rec, per_round_lens
+    return _collect_rounds(specs, accs, recs, B, R)
 
 
 def ngram_propose(hist, n, rec, *, N: int, K: int):
@@ -603,21 +621,12 @@ def run_ngram_superstep(target_runner, seqs, N: int, K: int, R: int):
     """Host driver for the model-free superstep: one packed upload, one
     dispatch, one readback for R rounds. Same return contract as
     run_sd_superstep."""
-    B = len(seqs)
-    B_pad = next_pow2(B)
-    rec = np.zeros(B_pad, np.int32)
-    n0 = np.ones(B_pad, np.int32)
-    temps_t = np.ones(B_pad, np.float32)
-    bt_t = np.full((B_pad, target_runner.max_blocks), -1, np.int32)
-    bt_t[:B] = target_runner._block_table_array(seqs, draft=False)
+    B, B_pad, rec, n0, temps_t, _, bt_t, _ = _superstep_rows(
+        seqs, target_runner)
     horizon = max(s.num_tokens for s in seqs) + R * (K + 1) + 1
     ctx_pad = target_runner._ctx_bucket(horizon)
     hist = np.zeros((B_pad, ctx_pad), np.int32)
     for i, seq in enumerate(seqs):
-        assert seq.recovery_token_id is not None
-        rec[i] = seq.recovery_token_id
-        n0[i] = seq.num_tokens
-        temps_t[i] = seq.temperature
         ids = seq.token_ids[:ctx_pad]
         hist[i, :len(ids)] = ids
     warp_parts = target_runner._warp_parts(seqs, B_pad)
@@ -633,22 +642,8 @@ def run_ngram_superstep(target_runner, seqs, N: int, K: int, R: int):
         M_t=target_runner.max_blocks, use_pallas=target_runner.use_pallas,
         use_warp=target_runner.use_warp,
     )
-    specs = np.asarray(specs)   # ONE host sync for the whole superstep
-    accs = np.asarray(accs)
-    recs = np.asarray(recs)
-
-    suffixes, final_rec, per_round_lens = [], [], []
-    for b in range(B):
-        out: list[int] = []
-        lens = []
-        for r in range(R):
-            a = int(accs[r, b])
-            out.extend(int(t) for t in specs[r, b, : a + 1])
-            lens.append(a + 1)
-        suffixes.append(out)
-        per_round_lens.append(lens)
-        final_rec.append(int(recs[R - 1, b]))
-    return suffixes, final_rec, per_round_lens
+    specs, accs, recs = np.asarray(specs), np.asarray(accs), np.asarray(recs)
+    return _collect_rounds(specs, accs, recs, B, R)
 
 
 def run_sd_superstep(target_runner, draft_runner, seqs, K: int, R: int):
@@ -660,25 +655,8 @@ def run_sd_superstep(target_runner, draft_runner, seqs, K: int, R: int):
     scheduler.postprocess_speculate. The whole superstep ships ONE packed
     int32 upload (via the runner's global-mesh upload path, so fused SD works
     under num_hosts > 1 where jit inputs must be global arrays)."""
-    B = len(seqs)
-    B_pad = next_pow2(B)
-    rec = np.zeros(B_pad, np.int32)
-    n0 = np.ones(B_pad, np.int32)
-    temps_t = np.ones(B_pad, np.float32)
-    temps_d = np.ones(B_pad, np.float32)
-    bt_t = np.full((B_pad, target_runner.max_blocks), -1, np.int32)
-    bt_d = np.full((B_pad, draft_runner.max_blocks), -1, np.int32)
-    bt_t[:B] = target_runner._block_table_array(seqs, draft=False)
-    bt_d[:B] = draft_runner._block_table_array(seqs, draft=True)
-    for i, seq in enumerate(seqs):
-        assert seq.recovery_token_id is not None
-        rec[i] = seq.recovery_token_id
-        n0[i] = seq.num_tokens
-        temps_t[i] = seq.temperature
-        temps_d[i] = (
-            seq.draft_temperature
-            if seq.draft_temperature is not None else seq.temperature
-        )
+    B, B_pad, rec, n0, temps_t, temps_d, bt_t, bt_d = _superstep_rows(
+        seqs, target_runner, draft_runner)
 
     horizon = int(n0[:B].max()) + R * (K + 1) + 1
     ctx_pad_t = target_runner._ctx_bucket(horizon)
@@ -703,19 +681,5 @@ def run_sd_superstep(target_runner, draft_runner, seqs, K: int, R: int):
         )
     )
     # ONE host sync for the whole superstep.
-    specs = np.asarray(specs)   # [R, B_pad, K+1]
-    accs = np.asarray(accs)     # [R, B_pad]
-    recs = np.asarray(recs)     # [R, B_pad]
-
-    suffixes, final_rec, per_round_lens = [], [], []
-    for b in range(B):
-        out: list[int] = []
-        lens = []
-        for r in range(R):
-            a = int(accs[r, b])
-            out.extend(int(t) for t in specs[r, b, : a + 1])
-            lens.append(a + 1)
-        suffixes.append(out)
-        per_round_lens.append(lens)
-        final_rec.append(int(recs[R - 1, b]))
-    return suffixes, final_rec, per_round_lens
+    specs, accs, recs = np.asarray(specs), np.asarray(accs), np.asarray(recs)
+    return _collect_rounds(specs, accs, recs, B, R)

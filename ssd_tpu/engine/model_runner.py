@@ -545,10 +545,13 @@ class ModelRunner:
             else jax.default_backend() == "tpu"
         )
         if self.use_pallas and config.kv_quant == "int8_mxu":
-            # Native s8 x s8 MXU dots in the int8-KV kernels: use_pallas
-            # widens to the static tag "s8" (still truthy), which every step
-            # program forwards into the kernel dispatch — so the mode is part
-            # of each program's jit key, never a module global.
+            # Native s8 x s8 MXU dots in the int8-KV DECODE/VERIFY/TREE
+            # kernels: use_pallas widens to the static tag "s8" (still
+            # truthy), which every step program forwards into the kernel
+            # dispatch — so the mode is part of each program's jit key, never
+            # a module global. Prefill is unaffected by design: it is
+            # compute-bound and dequantizes in the XLA dense-gather, not in
+            # a kernel (flat_prefill_attention / paged_attention_prefill).
             self.use_pallas = "s8"
 
         # Target-side EAGLE activation taps (draft conditioning source).

@@ -120,15 +120,21 @@ class FusedSpecDecodeStep(InferenceStep):
             seq.num_draft_cached_tokens = seq.num_prompt_tokens
         return sum(len(s) for s in seqs)
 
+    def _run_superstep(self, seqs: list[Sequence], rounds: int):
+        """Mode hook: run R fused rounds, returning (suffixes, final_recs,
+        per_round_lens) — overridden by the EAGLE and ngram variants."""
+        from ssd_tpu.engine.fused_sd import run_sd_superstep
+
+        return run_sd_superstep(
+            self.target_runner, self.draft_runner, seqs, self.K, rounds
+        )
+
     def decode(self, seqs: list[Sequence]) -> int:
         if not seqs:
             return 0
-        from ssd_tpu.engine.fused_sd import run_sd_superstep
-
         t0 = perf_counter()
-        suffixes, final_recs, per_round_lens = run_sd_superstep(
-            self.target_runner, self.draft_runner, seqs, self.K,
-            self._pick_rounds(seqs)
+        suffixes, final_recs, per_round_lens = self._run_superstep(
+            seqs, self._pick_rounds(seqs)
         )
         # The whole R-round superstep (draft chains + verify forwards +
         # verify() math + readback) gets its own key: it is NOT comparable to
@@ -189,32 +195,13 @@ class EagleFusedSpecDecodeStep(FusedSpecDecodeStep):
         )
         return sum(len(s) for s in seqs)
 
-    def decode(self, seqs: list[Sequence]) -> int:
-        if not seqs:
-            return 0
+    def _run_superstep(self, seqs: list[Sequence], rounds: int):
         from ssd_tpu.engine.fused_sd import run_eagle_sd_superstep
 
-        t0 = perf_counter()
-        suffixes, final_recs, per_round_lens = run_eagle_sd_superstep(
-            self.target_runner, self.draft_runner, seqs, self.K,
-            self._pick_rounds(seqs), self.eagle_layers,
+        return run_eagle_sd_superstep(
+            self.target_runner, self.draft_runner, seqs, self.K, rounds,
+            self.eagle_layers,
         )
-        self.metrics.setdefault("sd_superstep_times", []).append(
-            perf_counter() - t0
-        )
-        before_each = [s.num_tokens for s in seqs]
-        self.scheduler.postprocess_speculate(seqs, suffixes, final_recs)
-        for seq, before, lens in zip(seqs, before_each, per_round_lens):
-            committed = seq.num_tokens - before
-            used = 0
-            for n in lens:
-                if used + n > committed:
-                    break
-                self.metrics.setdefault(
-                    "accepted_suffix_lens_with_recovery", []
-                ).append(n)
-                used += n
-        return sum(s.num_tokens - b for s, b in zip(seqs, before_each))
 
 
 class NgramSpecDecodeStep(FusedSpecDecodeStep):
@@ -238,31 +225,12 @@ class NgramSpecDecodeStep(FusedSpecDecodeStep):
             seq.num_cached_tokens = seq.num_prompt_tokens
         return sum(len(s) for s in seqs)
 
-    def decode(self, seqs: list[Sequence]) -> int:
-        if not seqs:
-            return 0
+    def _run_superstep(self, seqs: list[Sequence], rounds: int):
         from ssd_tpu.engine.fused_sd import run_ngram_superstep
 
-        t0 = perf_counter()
-        suffixes, final_recs, per_round_lens = run_ngram_superstep(
-            self.target_runner, seqs, self.N, self.K, self._pick_rounds(seqs)
+        return run_ngram_superstep(
+            self.target_runner, seqs, self.N, self.K, rounds
         )
-        self.metrics.setdefault("sd_superstep_times", []).append(
-            perf_counter() - t0
-        )
-        before_each = [s.num_tokens for s in seqs]
-        self.scheduler.postprocess_speculate(seqs, suffixes, final_recs)
-        for seq, before, lens in zip(seqs, before_each, per_round_lens):
-            committed = seq.num_tokens - before
-            used = 0
-            for n in lens:
-                if used + n > committed:
-                    break
-                self.metrics.setdefault(
-                    "accepted_suffix_lens_with_recovery", []
-                ).append(n)
-                used += n
-        return sum(s.num_tokens - b for s, b in zip(seqs, before_each))
 
 
 class SpecDecodeStep(InferenceStep):

@@ -312,13 +312,13 @@ def forward_hidden(
     Returns (hidden [T, D], updated kv_cache), plus the concatenated EAGLE
     activations [T, len(eagle_layers)*D] when `eagle_layers` is set: the full
     residual-stream value ENTERING each tapped layer (reference
-    llama3.py:257-273). Taps are collected INSIDE the one L-layer scan (every
-    layer's entering residual rides the ys — [L, T, D] is tiny at decode
-    shapes — and the tapped rows are gathered statically after): the earlier
-    segmented-scan design sliced the stacked weights per segment, which made
-    XLA COPY the weight stacks every forward — measured 2x on the
-    verify-with-taps program (10.4 vs 5.1 ms/round at 1B geometry,
-    bench/sd_diag.py --eagle).
+    llama3.py:257-273). Taps are collected INSIDE the one L-layer scan, as
+    per-tap [T, D] carry buffers predicate-selected at the tap's iteration:
+    live tap memory stays at len(taps)*T*D (an [L, T, D] ys stack would be
+    GBs at long-prompt EAGLE prefill shapes), and the earlier segmented-scan
+    design sliced the stacked weights per segment, which made XLA COPY the
+    weight stacks every forward — measured 2x on the verify-with-taps
+    program (10.4 vs 5.1 ms/round at 1B geometry, bench/sd_diag.py --eagle).
     """
     T = input_ids.shape[0]
     Hq, Hkv, hd = arch.num_heads, arch.num_kv_heads, arch.head_dim
@@ -349,14 +349,19 @@ def forward_hidden(
     cos, sin = rope_cos_sin(positions, hd, arch.rope_theta)
     residual = jnp.zeros_like(hidden)
 
+    taps = tuple(sorted(eagle_layers)) if eagle_layers else ()
+
     def body(carry, xs):
-        hidden, residual = carry
+        hidden, residual, acts_c = carry
         lp, kv_layer, li = xs
-        pre = None
-        if eagle_layers:
-            # The residual-stream value entering this layer (the EAGLE tap).
+        if taps:
+            # The residual-stream value entering this layer (the EAGLE tap);
+            # latched into the matching tap buffer at its iteration.
             pre = (hidden.astype(jnp.float32)
                    + residual.astype(jnp.float32)).astype(hidden.dtype)
+            acts_c = tuple(
+                jnp.where(li == t, pre, a) for t, a in zip(taps, acts_c)
+            )
 
         # --- attention block ---
         x, residual = rms_norm_residual(hidden, residual, lp["input_ln"], eps)
@@ -378,29 +383,21 @@ def forward_hidden(
         else:
             hidden = _mm(silu_mul(_mm(x, lp, "gate"), _mm(x, lp, "up")),
                          lp, "down")
-        return (hidden, residual), (kv_layer if pre is None
-                                    else (kv_layer, pre))
+        return (hidden, residual, acts_c), kv_layer
 
     L = arch.num_layers
     layer_ids = jnp.arange(L, dtype=jnp.int32)
-
-    if not eagle_layers:
-        (hidden, residual), kv_cache = jax.lax.scan(
-            body, (hidden, residual), (layers_xs, kv_cache, layer_ids)
-        )
-        hidden = (hidden.astype(jnp.float32) + residual.astype(jnp.float32)).astype(hidden.dtype)
-        return hidden, kv_cache
-
-    taps = sorted(eagle_layers)
     assert all(0 <= t < L for t in taps)
-    (hidden, residual), (kv_cache, pre_all) = jax.lax.scan(
-        body, (hidden, residual), (layers_xs, kv_cache, layer_ids)
+    acts0 = tuple(jnp.zeros_like(hidden) for _ in taps)
+
+    (hidden, residual, acts_c), kv_cache = jax.lax.scan(
+        body, (hidden, residual, acts0), (layers_xs, kv_cache, layer_ids)
     )
     hidden = (hidden.astype(jnp.float32) + residual.astype(jnp.float32)).astype(hidden.dtype)
-    # Static gathers of the tapped layers' entering residuals, concatenated
-    # in ascending-tap order (duplicate taps repeat, matching the reference).
-    acts = jnp.concatenate([pre_all[t] for t in taps], axis=-1)
-    return hidden, kv_cache, acts
+    if not eagle_layers:
+        return hidden, kv_cache
+    # Ascending-tap order (duplicate taps repeat, matching the reference).
+    return hidden, kv_cache, jnp.concatenate(list(acts_c), axis=-1)
 
 
 def compute_logits(
