@@ -106,8 +106,10 @@ def parse_arguments():
         args.llama = False
     if args.eagle:
         args.spec = True
-        assert args.temp == 0.0 and args.dtemp is None, "EAGLE is greedy-only"
-        assert args.draft_async, "EAGLE requires --async"
+        assert args.draft_async or args.rounds > 1, (
+            "EAGLE runs async (--async) or inside the fused sync superstep "
+            "(--rounds > 1)"
+        )
     return args
 
 

@@ -374,3 +374,68 @@ def test_70b_geometry_sharded_step_compiles():
     )
     compiled = lowered.compile()  # SPMD partitioner runs here
     assert compiled is not None
+
+
+def test_70b_geometry_fused_eagle_superstep_compiles():
+    """The round-4 flagship at scale: eagle_sd_superstep LOWERS AND COMPILES
+    at the Llama-70B per-layer geometry over a hybrid (dcn=2, tp=4) mesh,
+    with the engine's own param shardings for BOTH the target pytree and the
+    EAGLE draft dict (parallel/mesh.py eagle specs), shape-only abstract
+    params throughout."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ssd_tpu.config import ModelConfig
+    from ssd_tpu.engine.fused_sd import eagle_sd_superstep
+    from ssd_tpu.models.eagle3 import EagleArch, init_eagle_params
+    from ssd_tpu.models.transformer import Arch, init_params
+    from ssd_tpu.parallel import mesh as pmesh
+
+    mc = ModelConfig(
+        model_type="llama", vocab_size=128256, hidden_size=8192,
+        intermediate_size=28672, num_hidden_layers=2,
+        num_attention_heads=64, num_key_value_heads=8,
+        max_position_embeddings=8192, rope_theta=500000.0,
+    )
+    t_arch = Arch.from_model_config(mc)
+    d_arch = EagleArch.from_model_config(mc, d_model_target=8192,
+                                         num_eagle_layers=3)
+    m = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dcn", "tp"))
+
+    def sharded_abstract(init):
+        abstract = jax.eval_shape(init, jax.random.PRNGKey(0))
+        specs = pmesh.param_specs(abstract)
+        return jax.tree.map(
+            lambda x, s: jax.ShapeDtypeStruct(
+                x.shape, x.dtype,
+                sharding=NamedSharding(m, pmesh._compatible_spec(x, s, m))),
+            abstract, specs, is_leaf=lambda x: not isinstance(x, dict))
+
+    t_params = sharded_abstract(lambda k: init_params(t_arch, k, jnp.bfloat16))
+    d_params = sharded_abstract(
+        lambda k: init_eagle_params(d_arch, k, jnp.bfloat16))
+
+    block_size, num_blocks, B, M, K, R = 64, 16, 2, 8, 3, 2
+    tkv = jax.ShapeDtypeStruct(
+        (t_arch.num_layers, t_arch.num_kv_heads, num_blocks * block_size,
+         2 * t_arch.head_dim), jnp.bfloat16,
+        sharding=pmesh.kv_sharding(m, t_arch.num_kv_heads))
+    dkv = jax.ShapeDtypeStruct(
+        (1, d_arch.num_kv_heads, num_blocks * block_size,
+         2 * d_arch.head_dim), jnp.bfloat16,
+        sharding=pmesh.kv_sharding(m, d_arch.num_kv_heads))
+    rep = NamedSharding(m, P())
+    i32 = lambda *shape: jax.ShapeDtypeStruct(shape, jnp.int32, sharding=rep)
+    f32 = lambda *shape: jax.ShapeDtypeStruct(shape, jnp.float32, sharding=rep)
+
+    lowered = eagle_sd_superstep.lower(
+        t_params, tkv, d_params, dkv,
+        i32(B), f32(B, 3 * 8192), i32(B), i32(B, M), i32(B, M),
+        f32(B), f32(B), jax.random.PRNGKey(1),
+        t_arch=t_arch, d_arch=d_arch, block_size=block_size,
+        ctx_pad_t=256, ctx_pad_d=256, K=K, R=R, eagle_layers=(0, 1, 1),
+    )
+    compiled = lowered.compile()  # SPMD partitioner runs here
+    assert compiled is not None
