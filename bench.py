@@ -333,6 +333,7 @@ def build_dead_checkpoint(model_dir: str, walk: bool) -> str:
     }
     if walk:
         t["lm_head.weight"] = np.roll(emb, -1, axis=0).astype(np.float16)
+    qwen = cfg.get("model_type") in ("qwen3", "qwen3_moe")
     for i in range(L):
         pre = f"model.layers.{i}."
         t.update({
@@ -342,10 +343,24 @@ def build_dead_checkpoint(model_dir: str, walk: bool) -> str:
             pre + "self_attn.k_proj.weight": w(Hkv * hd, D),
             pre + "self_attn.v_proj.weight": w(Hkv * hd, D),
             pre + "self_attn.o_proj.weight": np.zeros((D, Hq * hd), np.float16),
-            pre + "mlp.gate_proj.weight": w(I, D),
-            pre + "mlp.up_proj.weight": w(I, D),
-            pre + "mlp.down_proj.weight": np.zeros((D, I), np.float16),
+            **({pre + "self_attn.q_norm.weight": np.ones((hd,), np.float16),
+                pre + "self_attn.k_norm.weight": np.ones((hd,), np.float16)}
+               if qwen else {}),
         })
+        E = cfg.get("num_experts", 0)
+        if E:
+            # Dead MoE layer: every expert's down = 0 (residual passthrough).
+            I_moe = cfg.get("moe_intermediate_size", I)
+            t[pre + "mlp.gate.weight"] = w(E, D)
+            for e_ in range(E):
+                ep = pre + f"mlp.experts.{e_}."
+                t[ep + "gate_proj.weight"] = w(I_moe, D)
+                t[ep + "up_proj.weight"] = w(I_moe, D)
+                t[ep + "down_proj.weight"] = np.zeros((D, I_moe), np.float16)
+        else:
+            t[pre + "mlp.gate_proj.weight"] = w(I, D)
+            t[pre + "mlp.up_proj.weight"] = w(I, D)
+            t[pre + "mlp.down_proj.weight"] = np.zeros((D, I), np.float16)
     save_file(t, f_out)
     return d
 

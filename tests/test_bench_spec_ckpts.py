@@ -133,6 +133,26 @@ def test_eagle_ckpt_acceptance_one(tmp_path):
     assert lens and min(lens[:-1] or lens) == 4, lens  # full accept each round
 
 
+@pytest.mark.parametrize("arch", ["qwen3", "qwen3moe"])
+def test_dead_ckpt_other_families(tmp_path, arch):
+    """build_dead_checkpoint writes loadable qwen3 / qwen3-MoE targets (qk
+    norms, per-expert zero down projections) whose repeat regime locks the
+    ngram matcher on."""
+    d = tmp_path / arch
+    d.mkdir()
+    with open(d / "config.json", "w") as f:
+        json.dump({**CFGS[arch], "num_hidden_layers": 2}, f)
+    mod = _driver_bench()
+    rdir = mod.build_dead_checkpoint(str(d), walk=False)
+    sp = SamplingParams(temperature=0.0, max_new_tokens=20, ignore_eos=True)
+    prompt = np.random.default_rng(6).integers(5, 250, size=8).tolist()
+    ng = LLM(rdir, ngram_speculate=True, speculate_k=3, spec_rounds=2,
+             ngram_n=3, **ENGINE_KW)
+    _, m = ng.generate([prompt[:]], sp, use_tqdm=False)
+    lens = m["accepted_suffix_lens_with_recovery"]
+    assert lens and float(np.mean(lens)) > 3.0, lens
+
+
 def test_dead_ckpt_regimes(tmp_path):
     """build_dead_checkpoint: walk never repeats an n-gram (matcher floor);
     repeat locks the matcher on (ceiling)."""
