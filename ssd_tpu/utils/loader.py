@@ -20,15 +20,20 @@ from ssd_tpu.config import ModelConfig
 from ssd_tpu.models.transformer import Arch
 
 
-def _open_all_tensors(model_path: str) -> dict[str, jnp.ndarray]:
-    """Load every tensor from all *.safetensors files in a checkpoint dir."""
+def _open_all_tensors(model_path: str) -> dict[str, np.ndarray]:
+    """Load every tensor from all *.safetensors files in a checkpoint dir —
+    to HOST memory (framework="numpy"): the "flax" framework materializes
+    every tensor on the default device, so a checkpoint load held the whole
+    source-dtype checkpoint in HBM NEXT TO the converted params (a ~1.5x
+    transient that OOMed the 3B-MoE geometry's load+prefill on one chip).
+    Leaves upload one at a time inside the get() converters."""
     from safetensors import safe_open
 
-    tensors: dict[str, jnp.ndarray] = {}
+    tensors: dict[str, np.ndarray] = {}
     files = sorted(glob(os.path.join(model_path, "*.safetensors")))
     assert files, f"no safetensors files found in {model_path}"
     for fn in files:
-        with safe_open(fn, framework="flax") as f:
+        with safe_open(fn, framework="numpy") as f:
             for name in f.keys():
                 tensors[name] = f.get_tensor(name)
     return tensors
@@ -41,15 +46,17 @@ def load_params(model_path: str, mc: ModelConfig, dtype=jnp.bfloat16) -> dict:
     L = arch.num_layers
 
     def get(name: str) -> jnp.ndarray:
-        return t[name].astype(dtype)
+        # Host-side dtype conversion (numpy + ml_dtypes), ONE upload of the
+        # target-dtype bytes — never the source-dtype checkpoint copy.
+        return jnp.asarray(np.asarray(t[name]).astype(dtype))
 
     def stack_t(fmt: str, transpose: bool = True) -> jnp.ndarray:
         """Stack a per-layer weight across layers; HF stores linear weights as
         [out, in], our forward computes x @ W so transpose to [in, out]."""
-        ws = [get(fmt.format(i)) for i in range(L)]
+        ws = [np.asarray(t[fmt.format(i)]).astype(dtype) for i in range(L)]
         if transpose:
             ws = [w.T for w in ws]
-        return jnp.stack(ws, axis=0)
+        return jnp.asarray(np.stack(ws, axis=0))
 
     layers = {
         "input_ln": stack_t("model.layers.{}.input_layernorm.weight", transpose=False),
@@ -63,13 +70,15 @@ def load_params(model_path: str, mc: ModelConfig, dtype=jnp.bfloat16) -> dict:
         # Qwen3-MoE: router = mlp.gate [E, D] (transposed to [D, E]); expert
         # weights stack into [L, E, in, out].
         def stack_experts(proj: str) -> jnp.ndarray:
-            return jnp.stack([
-                jnp.stack([
-                    get(f"model.layers.{i}.mlp.experts.{e}.{proj}.weight").T
+            return jnp.asarray(np.stack([
+                np.stack([
+                    np.asarray(
+                        t[f"model.layers.{i}.mlp.experts.{e}.{proj}.weight"]
+                    ).astype(dtype).T
                     for e in range(arch.num_experts)
                 ], axis=0)
                 for i in range(L)
-            ], axis=0)
+            ], axis=0))
 
         layers["router"] = stack_t("model.layers.{}.mlp.gate.weight")
         layers["moe_gate"] = stack_experts("gate_proj")
@@ -126,8 +135,8 @@ def load_eagle_params(
     t = _open_all_tensors(model_path)
 
     def get(name: str, transpose: bool = False) -> jnp.ndarray:
-        w = t[name].astype(dtype)
-        return w.T if transpose else w
+        w = np.asarray(t[name]).astype(dtype)
+        return jnp.asarray(w.T if transpose else w)
 
     # EAGLE-3 checkpoints use either bare (`midlayer.`) or `model.`-prefixed
     # key layouts; resolve by probing.
@@ -182,5 +191,5 @@ def load_eagle_params(
         assert tt[ek].shape[1] == arch.hidden_size, (
             f"target embedding width {tt[ek].shape[1]} != draft hidden {arch.hidden_size}"
         )
-        params["embed"] = tt[ek].astype(dtype)
+        params["embed"] = jnp.asarray(np.asarray(tt[ek]).astype(dtype))
     return params
