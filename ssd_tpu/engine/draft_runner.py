@@ -524,9 +524,28 @@ class DraftServer:
 
     def __init__(self, config: Config, draft_cfg: Config, init_random=False):
         # LOCAL devices: under multi-host serving every host runs its own
-        # (identical, deterministic) draft replica on a chip it can address.
+        # draft replica(s) on chips it can address.
         devices = jax.local_devices()
-        self.dp = config.draft_dp if config.draft_async else 1
+        nh = jax.process_count()
+        self.global_dp = config.draft_dp if config.draft_async else 1
+        # draft_dp x multi-host (the r3 carve-out, lifted): with draft_dp > 1
+        # across hosts the GLOBAL replica set shards over hosts — host h owns
+        # global replicas [h*dp, (h+1)*dp) with dp = draft_dp/num_hosts, and
+        # requests route by seq_id % draft_dp. Each host serves only its
+        # rows; SpeculatorAsync unions the per-host partial replies with one
+        # psum over the dcn axis (disjoint rows + zeros elsewhere). With
+        # draft_dp == 1 the old replica symmetry stands: every host runs the
+        # identical server and serves every row.
+        self.sharded = config.draft_async and self.global_dp > 1 and nh > 1
+        if self.sharded:
+            assert self.global_dp % nh == 0, (
+                "draft_dp must be divisible by num_hosts"
+            )
+            self.dp = self.global_dp // nh
+            self.host_id = jax.process_index()
+        else:
+            self.dp = self.global_dp
+            self.host_id = 0
         if len(devices) >= config.tp_size + self.dp:
             replica_devices = devices[-self.dp:]
         else:
@@ -555,10 +574,13 @@ class DraftServer:
         self._thread.start()
 
     def _replica_rows(self, seq_ids: np.ndarray) -> list[np.ndarray]:
-        """Row indices per replica (seq_id % dp routing; negative ghost ids
-        go to replica 0)."""
-        rep = np.maximum(seq_ids, 0) % self.dp
-        return [np.nonzero(rep == r)[0] for r in range(self.dp)]
+        """Row indices per LOCAL replica (seq_id % global_dp routing;
+        negative ghost ids go to global replica 0). Under sharded multi-host
+        serving, rows owned by other hosts' replicas land in no local list —
+        the speculator unions the partial replies across hosts."""
+        g = np.maximum(seq_ids, 0) % self.global_dp
+        local = g - self.host_id * self.dp
+        return [np.nonzero(local == r)[0] for r in range(self.dp)]
 
     @staticmethod
     def _slice_req(req: SpecRequest, idx: np.ndarray) -> SpecRequest:
@@ -702,8 +724,10 @@ class DraftServer:
         K = self.runner.K
         for B_each in batch_pads:
             B = B_each * self.dp
-            # seq_ids 0..dp-1 repeated: every replica gets B_each ghost rows.
-            seq_ids = np.arange(B, dtype=np.int64) % self.dp
+            # Ghost seq_ids cycling over the LOCALLY-owned global replica
+            # ids: every local replica gets B_each ghost rows.
+            seq_ids = (self.host_id * self.dp
+                       + np.arange(B, dtype=np.int64) % self.dp)
             req = SpecRequest(
                 cache_keys=np.stack(
                     [seq_ids, np.full(B, -2), np.zeros(B)], axis=1

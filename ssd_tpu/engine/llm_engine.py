@@ -103,17 +103,20 @@ class LLMEngine:
         mesh = None
         if config.num_hosts > 1:
             # Async SSD works multi-host by REPLICATING the draft server on
-            # every host: the draft's inputs are the (identical) host-side
-            # scheduler state and fixed seeds, so every replica computes the
-            # same speculations/logits and the global verify inputs agree.
-            # EAGLE keeps that symmetry too — its conditioning payload
-            # (target activations) comes out of the global verify program
-            # fully replicated, so every host conditions its replica
-            # identically (tests/test_multihost.py::..._eagle_...).
-            # draft_dp sharding WOULD break the symmetry and stays
-            # single-host.
-            assert not (config.draft_async and config.draft_dp > 1), (
-                "draft_dp > 1 is not supported with num_hosts > 1"
+            # every host (draft_dp == 1): identical host-side scheduler
+            # state + fixed seeds => every replica computes the same
+            # speculations/logits and the global verify inputs agree. EAGLE
+            # keeps that symmetry too — its conditioning payload comes out
+            # of the global verify fully replicated
+            # (tests/test_multihost.py::..._eagle_...). With draft_dp > 1
+            # the GLOBAL replica set shards over hosts instead (round 4:
+            # seq_id % draft_dp routing, per-host partial replies unioned by
+            # one psum over the dcn axis — DraftServer.__init__ /
+            # SpeculatorAsync._union_parts).
+            assert not (config.draft_async
+                        and config.draft_dp > 1
+                        and config.draft_dp % config.num_hosts != 0), (
+                "draft_dp must be divisible by num_hosts"
             )
             from ssd_tpu.parallel.mesh import make_hybrid_mesh
 

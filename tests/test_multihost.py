@@ -119,6 +119,12 @@ WORKER_GEN = textwrap.dedent("""
         kw.update(draft=draft_dir, speculate=True, speculate_k=2,
                   draft_async=True, async_fan_out=2, use_eagle=True,
                   jit_speculate=True, eagle_layers=[0, 1, 1])
+    elif draft_dir and os.environ.get("SSD_MH_MODE") == "ssd_dp":
+        # draft_dp x multi-host (round 4): the global replica set shards
+        # over hosts (seq_id % draft_dp routing); per-host partial replies
+        # union via one psum over the dcn axis.
+        kw.update(draft=draft_dir, speculate=True, speculate_k=2,
+                  draft_async=True, async_fan_out=2, draft_dp=2)
     elif draft_dir and os.environ.get("SSD_MH_MODE") == "ssd":
         # Async SSD: per-host replicated draft server (identical inputs +
         # seeds => identical speculations on every host), global verify.
@@ -291,6 +297,53 @@ def test_two_process_generate_eagle_matches_single_process(tmp_path):
     make_tiny_eagle(draft_dir, seed=5)
     port = str(29500 + (_os.getpid() + 421) % 500)
     env = {**_os.environ, "SSD_MH_MODE": "eagle"}
+
+    ref = subprocess.run(
+        [sys.executable, "-c", WORKER_GEN, "single", port, "4", "0",
+         model_dir, draft_dir],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo", env=env,
+    )
+    assert ref.returncode == 0, ref.stdout + ref.stderr
+    want = _gen_line(ref.stdout)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER_GEN, "dist", port, "2", str(i),
+             model_dir, draft_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd="/root/repo", env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out[-2000:]
+        outs.append(out)
+    for out in outs:
+        got = _gen_line(out)
+        assert got == want, f"{got} != {want}"
+
+
+@pytest.mark.skipif(os.environ.get("SSD_SKIP_MULTIHOST") == "1",
+                    reason="multihost disabled")
+def test_two_process_generate_draft_dp_matches_single_process(tmp_path):
+    """draft_dp=2 x num_hosts=2 (the last lift-able carve-out): each host
+    runs ONE of the two global draft replicas (seq_id % 2 routing) and the
+    partial replies union via a psum over the dcn axis. Two controllers must
+    match a SINGLE controller running both replicas locally,
+    token-for-token (greedy — the warmup ghost-call sequences differ per
+    topology, which only perturbs sampling seeds)."""
+    import os as _os
+
+    from tests.utils_models import make_tiny_llama
+
+    model_dir = str(tmp_path / "t")
+    draft_dir = str(tmp_path / "d")
+    make_tiny_llama(model_dir, seed=11)
+    make_tiny_llama(draft_dir, layers=1, hidden=32, intermediate=64, seed=5)
+    port = str(29500 + (_os.getpid() + 533) % 500)
+    env = {**_os.environ, "SSD_MH_MODE": "ssd_dp"}
 
     ref = subprocess.run(
         [sys.executable, "-c", WORKER_GEN, "single", port, "4", "0",
