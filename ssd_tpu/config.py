@@ -157,6 +157,16 @@ class Config:
     # chips, splitting the request batch by seq_id (the reference's roadmap
     # feature, README.md:130 "Draft data parallel").
     draft_dp: int = 1
+    # Fused async exchange (engine/async_fused.py): the draft shares the
+    # target's device(s) and the target's verify fuses with the draft's
+    # next-step tree build into ONE XLA program per exchange — the
+    # single-chip answer to the reference's two-GPU draft/target overlap
+    # (draft_runner.py:859-928). With spec_rounds > 1 the whole exchange
+    # LOOP fuses: R rounds of [serve-from-tree -> verify -> rebuild] in one
+    # program, tree cache in the scan carry (async_ssd_superstep). Greedy
+    # outputs stay token-exact vs the unfused async path. Requires
+    # draft_dp == 1, num_hosts == 1, and not use_eagle.
+    async_fused: bool = False
     async_fan_out: int = 3
     fan_out_list: list[int] | None = None
     fan_out_list_miss: list[int] | None = None
@@ -221,7 +231,9 @@ class Config:
         """Devices used for target tensor parallelism (the last draft_dp
         devices host the async draft replicas, mirroring reference
         llm_engine.py:62)."""
-        if not self.draft_async:
+        if not self.draft_async or self.async_fused:
+            # async_fused co-locates the draft with the target (the fused
+            # program traces both models' params), so no devices split off.
             return self.num_devices
         return max(1, self.num_devices - self.draft_dp)
 
@@ -289,6 +301,16 @@ class Config:
             "spec_rounds > 1 with use_eagle runs the fused SYNC superstep; "
             "it is mutually exclusive with draft_async"
         )
+        if self.async_fused:
+            assert self.draft_async, "async_fused requires draft_async"
+            assert self.draft_dp == 1 and self.num_hosts == 1, (
+                "async_fused co-locates draft and target on one controller "
+                "(use the unfused DraftServer path for draft_dp/multi-host)"
+            )
+            assert not self.use_eagle, (
+                "EAGLE's fused form is the sync superstep (spec_rounds > 1 "
+                "without draft_async)"
+            )
         # ngram speculation has no draft model at all.
         assert not (self.ngram_speculate and self.speculate), (
             "ngram_speculate is model-free; it is mutually exclusive with "

@@ -302,13 +302,15 @@ def _warp_np(req: "SpecRequest", B_pad: int) -> tuple[np.ndarray, ...]:
 class DraftRunner(ModelRunner):
     """Draft-model execution + the tensor-keyed speculation tree cache."""
 
-    def __init__(self, config: Config, hf_config=None, init_random=False, device=None):
+    def __init__(self, config: Config, hf_config=None, init_random=False,
+                 device=None, mesh=None):
         super().__init__(
             config,
             hf_config=hf_config,
             is_draft=True,
             init_random=init_random,
             device=device,
+            mesh=mesh,
         )
         self.K = config.speculate_k
         self.MQ_LEN = config.MQ_LEN
@@ -498,16 +500,29 @@ class DraftRunner(ModelRunner):
             host_out.copy_to_host_async()
         except AttributeError:
             pass
-        seq_ids = np.repeat(req.cache_keys[:, 0], MQ)               # [B*MQ]
-        fan_np = self._fan_rows(hits[:B]).reshape(-1)               # [B*MQ]
         out_np = np.asarray(host_out)
-        fork_np = out_np[:B_pad * MQ].reshape(B_pad, MQ)[:B].reshape(-1)
+        self.populate_tree_cache(
+            req.cache_keys[:, 0], hits[:B],
+            out_np[:B_pad * MQ].reshape(B_pad, MQ)[:B],
+            out_np[B_pad * MQ:].reshape(B_pad, MQ, K)[:B],
+            spec_logits,
+        )
+
+    def populate_tree_cache(self, seq_ids_B, hits_B, fork_np, spec_np,
+                            spec_logits):
+        """Install a freshly built speculation tree: host-side keys (seq_id,
+        fan_idx, fork_token) + token matrix, device-side logits (row b*MQ+r —
+        the build's cache-row-major layout). Shared by build_tree and the
+        fused exchange (engine/async_fused.py), which reads fork/spec out of
+        the verify program's own packed readback."""
+        B, MQ = fork_np.shape
+        seq_ids = np.repeat(np.asarray(seq_ids_B, dtype=np.int64), MQ)
+        fan_np = self._fan_rows(np.asarray(hits_B)).reshape(-1)
         self.tree_cache_keys = np.stack(
-            [seq_ids, fan_np.astype(np.int64), fork_np.astype(np.int64)], axis=1
+            [seq_ids, fan_np.astype(np.int64),
+             fork_np.reshape(-1).astype(np.int64)], axis=1
         )
-        self.tree_cache_tokens = (
-            out_np[B_pad * MQ:].reshape(B_pad, MQ, K)[:B].reshape(B * MQ, K)
-        )
+        self.tree_cache_tokens = spec_np.reshape(B * MQ, -1)
         self.tree_cache_logits = spec_logits  # [B_pad*MQ, K, V], row b*MQ+r
 
 

@@ -134,7 +134,22 @@ class LLMEngine:
         self.draft_cfg = None
         if config.speculate:
             self.draft_cfg = config.create_draft_config()
-            if config.draft_async:
+            if config.draft_async and config.async_fused:
+                # Fused async exchange: the draft is an inline DraftRunner on
+                # the TARGET's placement (the fused programs trace both
+                # models' params), no controller thread.
+                from ssd_tpu.engine.draft_runner import DraftRunner
+
+                self.draft_runner = DraftRunner(
+                    self.draft_cfg,
+                    hf_config=config.draft_hf_config,
+                    init_random=self._init_random,
+                    mesh=mesh,
+                )
+                self.draft_cfg.num_kvcache_blocks = (
+                    self.draft_runner.num_kvcache_blocks
+                )
+            elif config.draft_async:
                 from ssd_tpu.engine.draft_runner import DraftServer
 
                 self.draft_server = DraftServer(
@@ -228,6 +243,17 @@ class LLMEngine:
                 # conditioned prefill (per-seq shapes compile on demand);
                 # everything else lives inside the superstep.
                 self._warmup_eagle_superstep(batch_pads)
+            elif cfg.draft_async:
+                # async_fused: the inline-draft fused-exchange programs.
+                if cfg.spec_rounds > 1:
+                    self._warmup_async_superstep(batch_pads)
+                else:
+                    # The chain program serves the cache-miss path.
+                    self.draft_runner.warmup_buckets(
+                        q_lens=[], chain_Ks=[cfg.speculate_k],
+                        batch_pads=batch_pads
+                    )
+                    self._warmup_async_exchange(batch_pads)
             else:
                 self.draft_runner.warmup_buckets(
                     q_lens=[1], chain_Ks=[cfg.speculate_k],
@@ -319,6 +345,102 @@ class LLMEngine:
                         use_pallas=t.use_pallas, use_warp=t.use_warp,
                     )
                     t.kv_cache, d.kv_cache = out[4], out[5]
+            jax.block_until_ready(t.kv_cache)
+
+    def _warmup_async_superstep(self, batch_pads):
+        """Pre-compile the fused async-SSD superstep ladder (engine/
+        async_fused.py) with ghost inputs (block tables -1 => all KV writes
+        dropped); payload layout == the sync superstep's."""
+        import numpy as np
+
+        import jax
+
+        from ssd_tpu.engine.async_fused import async_ssd_superstep_packed
+        from ssd_tpu.engine.model_runner import pack_i32
+        from ssd_tpu.engine.step import round_choices
+
+        cfg = self.config
+        t, d = self.model_runner, self.draft_runner
+        for B_pad in batch_pads:
+            warp_parts = ((np.ones(B_pad, np.float32),
+                           np.zeros(B_pad, np.int32)) if t.use_warp else ())
+            payload = t._upload(pack_i32(
+                np.zeros(B_pad, np.int32),                     # rec
+                np.ones(B_pad, np.int32),                      # n0
+                np.full((B_pad, t.max_blocks), -1, np.int32),  # bt_t
+                np.full((B_pad, d.max_blocks), -1, np.int32),  # bt_d
+                np.ones(B_pad, np.float32),                    # temps_t
+                np.ones(B_pad, np.float32),                    # temps_d
+                *warp_parts,                                   # top_p | top_k
+                np.zeros(1, np.int32),                         # seed
+            ))
+            for ctx_pad in t._ctx_buckets():
+                for R in round_choices(cfg.spec_rounds):
+                    out = async_ssd_superstep_packed(
+                        t.params, t.kv_cache, d.params, d.kv_cache, payload,
+                        t_arch=t.arch, d_arch=d.arch,
+                        block_size=t.block_size,
+                        ctx_pad_t=ctx_pad, ctx_pad_d=d._ctx_bucket(ctx_pad),
+                        K=cfg.speculate_k, MQ_LEN=cfg.MQ_LEN, R=R,
+                        B_pad=B_pad, M_t=t.max_blocks, M_d=d.max_blocks,
+                        fan_out_list=tuple(cfg.fan_out_list),
+                        fan_out_list_miss=tuple(cfg.fan_out_list_miss),
+                        sampler_x=cfg.sampler_x, F=cfg.async_fan_out,
+                        jit_speculate=cfg.jit_speculate,
+                        use_pallas=t.use_pallas, use_warp=t.use_warp,
+                    )
+                    t.kv_cache, d.kv_cache = out[4], out[5]
+            jax.block_until_ready(t.kv_cache)
+
+    def _warmup_async_exchange(self, batch_pads):
+        """Pre-compile the fused verify+tree exchange program with ghost
+        inputs (block tables / slots -1 => all KV writes dropped)."""
+        import numpy as np
+
+        import jax
+
+        from ssd_tpu.engine.async_fused import async_exchange_packed
+        from ssd_tpu.engine.model_runner import pack_i32
+
+        cfg = self.config
+        t, d = self.model_runner, self.draft_runner
+        K = cfg.speculate_k
+        Kp1 = K + 1
+        for B_pad in batch_pads:
+            T = B_pad * Kp1
+            warp_parts = ((np.ones(B_pad, np.float32),
+                           np.zeros(B_pad, np.int32)) if t.use_warp else ())
+            logits_q = jax.numpy.zeros(
+                (B_pad, K, d.arch.vocab_size), jax.numpy.float32)
+            payload = t._upload(pack_i32(
+                np.zeros(T, np.int32),                         # ids
+                np.zeros(T, np.int32),                         # pos
+                np.full(T, -1, np.int32),                      # slots
+                np.full((B_pad, t.max_blocks), -1, np.int32),  # bt_t
+                np.ones(B_pad, np.int32),                      # ctx
+                np.ones(B_pad, np.float32),                    # temps_t
+                np.ones(B_pad, np.float32),                    # temps_q
+                np.zeros(B_pad, np.int32),                     # hits
+                *warp_parts,                                   # top_p | top_k
+                np.zeros(1, np.int32),                         # seed_t
+                np.full((B_pad, d.max_blocks), -1, np.int32),  # bt_d
+                np.zeros(1, np.int32),                         # seed_d
+            ))
+            for ctx_pad in t._ctx_buckets():
+                out = async_exchange_packed(
+                    t.params, t.kv_cache, d.params, d.kv_cache, logits_q,
+                    payload,
+                    t_arch=t.arch, d_arch=d.arch, block_size=t.block_size,
+                    ctx_pad_t=ctx_pad, ctx_pad_d=d._ctx_bucket(ctx_pad),
+                    K=K, MQ_LEN=cfg.MQ_LEN, B_pad=B_pad,
+                    M_t=t.max_blocks, M_d=d.max_blocks,
+                    fan_out_list=tuple(cfg.fan_out_list),
+                    fan_out_list_miss=tuple(cfg.fan_out_list_miss),
+                    sampler_x=cfg.sampler_x, F=cfg.async_fan_out,
+                    jit_speculate=cfg.jit_speculate,
+                    use_pallas=t.use_pallas, use_warp=t.use_warp,
+                )
+                t.kv_cache, d.kv_cache = out[3], out[4]
             jax.block_until_ready(t.kv_cache)
 
     def _warmup_superstep(self, batch_pads):
@@ -511,6 +633,22 @@ class LLMEngine:
                 draft_runner=self.draft_runner,
                 K=config.speculate_k,
                 rounds=config.spec_rounds,
+                metrics=METRICS,
+            )
+
+        if config.draft_async and config.async_fused:
+            from ssd_tpu.engine.async_fused import (
+                AsyncExchangeSpecDecodeStep,
+                FusedAsyncSpecDecodeStep,
+            )
+
+            cls = (FusedAsyncSpecDecodeStep if config.spec_rounds > 1
+                   else AsyncExchangeSpecDecodeStep)
+            return cls(
+                scheduler=self.scheduler,
+                target_runner=self.model_runner,
+                draft_runner=self.draft_runner,
+                config=config,
                 metrics=METRICS,
             )
 

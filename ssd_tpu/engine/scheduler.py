@@ -42,6 +42,7 @@ class Scheduler:
         self.block_size = config.kvcache_block_size
         self.verbose = config.verbose
         self.draft_async = config.draft_async
+        self.async_fused = config.async_fused
         self.use_eagle = config.use_eagle
         self.multi_step = config.multi_step
         self.spec_rounds = config.spec_rounds
@@ -219,6 +220,13 @@ class Scheduler:
         if not self.speculate:
             return 1, None
         if self.draft_async:
+            if self.async_fused and self.spec_rounds > 1:
+                # Fused async superstep: R rounds advance the trunk by up to
+                # (K+1) each, and every round's tree region extends the
+                # megaspec lookahead beyond the current base.
+                grow = self.spec_rounds * (self.K + 1)
+                return grow, grow + compute_megaspec_lookahead(
+                    self.MQ_LEN, self.K)
             return self.K + 1, compute_megaspec_lookahead(self.MQ_LEN, self.K)
         # Fused multi-round sync SD reserves every round's worst case up
         # front (one extra slot for the chain's trailing KV write).
