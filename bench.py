@@ -508,7 +508,7 @@ def main():
         # "0" forces the jnp-gather attention path, "1" forces Pallas —
         # for measuring the kernel-launch overhead at short contexts.
         kw["use_pallas"] = os.environ["SSD_BENCH_PALLAS"] == "1"
-    if mode in ("sd", "ssd"):
+    if mode in ("sd", "ssd", "fasync"):
         # Speculation with a genuinely smaller draft (L/4 layers, same width).
         # With random weights a small draft would accept at chance level, so
         # the checkpoints are constructed for functional equality instead: the
@@ -535,7 +535,20 @@ def main():
         kw.update(speculate=True,
                   draft=draft_dir,
                   speculate_k=int(os.environ.get("SSD_BENCH_K", "4")),
-                  draft_async=(mode == "ssd"), async_fan_out=2)
+                  draft_async=(mode in ("ssd", "fasync")), async_fan_out=2)
+        if mode == "fasync":
+            # Fused async SSD (engine/async_fused.py): R whole exchanges —
+            # tree build, verify, and the tree-cache service — as ONE XLA
+            # program per superstep (the one-chip answer to the reference's
+            # two-GPU overlap). SSD_BENCH_SPEC_ROUNDS=1 selects the
+            # per-exchange fused form (async_exchange_packed) instead.
+            kw.update(
+                async_fused=True,
+                spec_rounds=int(os.environ.get("SSD_BENCH_SPEC_ROUNDS", "32")),
+            )
+        elif mode == "ssd" and os.environ.get("SSD_BENCH_ASYNC_FUSED") == "1":
+            # The per-exchange fused form under the classic step loop.
+            kw["async_fused"] = True
         if mode == "sd":
             # Fused multi-round SD: one dispatch + one host sync per
             # rounds * E[accepted+1] tokens (engine/fused_sd.py). Measured
@@ -685,7 +698,9 @@ def main():
         arch_sfx += "_dense"
     if mode == "ngram":
         arch_sfx += f"_{os.environ.get('SSD_BENCH_NGRAM_REGIME', 'repeat')}"
-    if mode in ("sd", "ssd", "eagle", "feagle", "ngram"):
+    if mode == "ssd" and os.environ.get("SSD_BENCH_ASYNC_FUSED") == "1":
+        arch_sfx += "_fx"
+    if mode in ("sd", "ssd", "fasync", "eagle", "feagle", "ngram"):
         # Non-default speculation operating points get their own series.
         k_default = "3" if mode in ("eagle", "feagle") else "4"
         if os.environ.get("SSD_BENCH_K", k_default) != k_default:
