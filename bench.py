@@ -138,7 +138,8 @@ def build_spec_checkpoints(model_dir: str, draft_noise: float = 0.0,
     return tdir, ddir
 
 
-def build_eagle_checkpoints(model_dir: str) -> tuple[str, str]:
+def build_eagle_checkpoints(model_dir: str,
+                            draft_noise: float = 0.0) -> tuple[str, str]:
     """Write (once) a target/EAGLE-draft pair constructed for exact greedy
     equality (VERDICT r3 item 1b: the residual-passthrough trick of
     build_spec_checkpoints adapted to the 1-layer conditioned head), so
@@ -172,14 +173,24 @@ def build_eagle_checkpoints(model_dir: str) -> tuple[str, str]:
     set at the deepest glue depth contains the true recovery token
     (ops/spec_math.get_forked_recovery_tokens excludes nothing at the last
     depth), so the speculation-tree cache hits too. Reference bar: the EAGLE
-    path as a headline mode (eagle3_draft_llama3.py:314-352)."""
+    path as a headline mode (eagle3_draft_llama3.py:314-352).
+
+    draft_noise > 0 (r4 VERDICT item 2: the realistic-acceptance knob)
+    perturbs the DRAFT's live constructed projections (q/k/v/o and fc) by
+    that relative magnitude — per-matrix rms-scaled gaussian noise, exactly
+    the fused-SD bench's SSD_BENCH_DRAFT_NOISE mechanism applied to the
+    EAGLE layer. The cancellation becomes inexact, so draft argmaxes diverge
+    from the target's at a noise-controlled rate and acceptance falls below
+    the constructed 1.0 while every weight byte still streams on both
+    sides."""
     import numpy as np
     from safetensors.numpy import save_file
 
     with open(os.path.join(model_dir, "config.json")) as f:
         cfg = json.load(f)
     tdir = model_dir + "_eagle_eq_target"
-    ddir = model_dir + "_eagle_eq_draft"
+    ddir = model_dir + "_eagle_eq_draft" + (
+        f"_n{draft_noise:g}" if draft_noise else "")
     t_file = os.path.join(tdir, "model.safetensors")
     d_file = os.path.join(ddir, "model.safetensors")
 
@@ -268,6 +279,16 @@ def build_eagle_checkpoints(model_dir: str) -> tuple[str, str]:
             ow[grp * hd + d_, (grp * G) * hd + d_] = 1.0
     fc = np.zeros((D, 3 * D), np.float32)
     fc[np.arange(D), np.arange(D)] = 1.0  # select the first tap
+
+    if draft_noise:
+        # Per-matrix noise scaled to the rms of the constructed (nonzero)
+        # entries, so `draft_noise` is a relative perturbation magnitude.
+        nrng = np.random.default_rng(2000)
+        for m in (qw, kw, vw, ow, fc):
+            nz = m[m != 0]
+            scale = float(np.sqrt((nz ** 2).mean())) if nz.size else 1.0
+            m += (draft_noise * scale
+                  * nrng.standard_normal(m.shape).astype(np.float32))
 
     draft = {
         "fc.weight": fc.astype(np.float16),
@@ -586,7 +607,10 @@ def main():
         # the engine's peak configuration. Constructed-equality pair so
         # acceptance ~= 1 (see build_eagle_checkpoints).
         L = cfg["num_hidden_layers"]
-        target_dir, ddir = build_eagle_checkpoints(model_dir)
+        target_dir, ddir = build_eagle_checkpoints(
+            model_dir,
+            draft_noise=float(os.environ.get("SSD_BENCH_DRAFT_NOISE", "0")),
+        )
         model_dir = target_dir
         kw.update(
             speculate=True, draft=ddir, init_random=False,
@@ -627,7 +651,11 @@ def main():
             # Default: the constructed-equality pair (acceptance ~= 1 with
             # real byte costs on both sides; see build_eagle_checkpoints) —
             # the genuine EAGLE speculation-win datapoint.
-            target_dir, ddir = build_eagle_checkpoints(model_dir)
+            target_dir, ddir = build_eagle_checkpoints(
+                model_dir,
+                draft_noise=float(
+                    os.environ.get("SSD_BENCH_DRAFT_NOISE", "0")),
+            )
             kw["init_random"] = False
         model_dir = target_dir
         kw.update(speculate=True, draft=ddir,

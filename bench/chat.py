@@ -23,7 +23,7 @@ import time
 from bench.bench_helpers import get_model_paths
 
 
-def parse_arguments():
+def parse_arguments(argv=None):
     p = argparse.ArgumentParser(description="Chat with ssd_tpu")
     p.add_argument("--size", type=str, default="8")
     p.add_argument("--llama", action="store_true", default=True)
@@ -48,7 +48,19 @@ def parse_arguments():
                    help="OpenAI-compatible base URL to chat against instead")
     p.add_argument("--model-id", type=str, default=None,
                    help="model id for --server requests")
-    args = p.parse_args()
+    # Auto-launch (reference chat.py:129-221 launches and health-checks the
+    # SGLang/vLLM baseline itself; the command/health/kill machinery is
+    # bench.run_baseline_bench's).
+    p.add_argument("--launch-baseline", choices=["vllm", "sglang"],
+                   default=None,
+                   help="launch this baseline server, chat against it, and "
+                        "kill it (the exact PID) on exit")
+    p.add_argument("--baseline-model", type=str, default=None,
+                   help="model the launched baseline serves "
+                        "(default: --model-id)")
+    p.add_argument("--port", type=int, default=30000)
+    p.add_argument("--launch-timeout", type=int, default=600)
+    args = p.parse_args(argv)
     if args.qwen:
         args.llama = False
     if args.eagle:
@@ -165,12 +177,51 @@ def ssd_chat(args):
     llm.exit()
 
 
-def main():
-    args = parse_arguments()
-    if args.server:
-        server_chat(args)
-    else:
-        ssd_chat(args)
+def launch_baseline(args):
+    """Start the baseline server as a subprocess and poll /health until
+    ready (reference chat.py:129-221). Returns the Popen; the caller kills
+    that exact PID on exit."""
+    import subprocess
+    from types import SimpleNamespace
+
+    from bench.run_baseline_bench import server_command, wait_healthy
+
+    model = args.baseline_model or args.model_id
+    assert model, "--launch-baseline needs --baseline-model or --model-id"
+    cmd = server_command(SimpleNamespace(
+        engine=args.launch_baseline, model=model, draft=args.draft,
+        k=args.k, tp=args.chips, port=args.port,
+    ))
+    print("launching baseline:", " ".join(cmd), flush=True)
+    proc = subprocess.Popen(cmd)
+    if not wait_healthy(args.port, args.launch_timeout):
+        proc.terminate()
+        proc.wait(timeout=30)
+        raise RuntimeError("baseline server did not become healthy in time")
+    return proc
+
+
+def main(argv=None):
+    import subprocess
+
+    args = parse_arguments(argv)
+    proc = None
+    if args.launch_baseline:
+        proc = launch_baseline(args)
+        args.server = f"http://localhost:{args.port}"
+    try:
+        if args.server:
+            server_chat(args)
+        else:
+            ssd_chat(args)
+    finally:
+        if proc is not None:
+            # Kill the exact PID we started (never by pattern).
+            proc.terminate()
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
 
 
 if __name__ == "__main__":
