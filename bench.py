@@ -386,7 +386,7 @@ def build_dead_checkpoint(model_dir: str, walk: bool) -> str:
     return d
 
 
-def main():
+def _run_single():
     if os.environ.get("SSD_BENCH_CPU") == "1":
         # The env var JAX_PLATFORMS is clobbered by TPU plugin wrappers, so
         # CPU smokes must force the backend in-process (see tests/conftest.py).
@@ -762,12 +762,65 @@ def main():
     vs = decode_tps / best if best else 1.0
     quant_sfx = (f"_{os.environ['SSD_BENCH_QUANT']}"
                  if os.environ.get("SSD_BENCH_QUANT") else "")
-    print(json.dumps({
+    result = {
         "metric": f"decode_throughput_{model_tag}{quant_sfx}_{mode}_b{batch}",
         "value": round(decode_tps, 2),
         "unit": "tok/s",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    print(json.dumps(result))
+    # Release the chip state before a sibling measurement reuses the process.
+    engine.exit()
+    del engine
+    import gc
+
+    gc.collect()
+    return result
+
+
+# The engine's frontier modes, emitted as extra JSON lines after the default
+# regression gate (r4 VERDICT item 7: the gate is roofline-saturated at
+# ~275 tok/s, so the driver artifact should also show the modes the engine
+# actually leads with). Each runs in-process (the single chip cannot be
+# shared with a subprocess), sequentially, with its own history key.
+_EXTRA_MODES = (
+    ("ngram-repeat", {"SSD_BENCH_MODE": "ngram"}),
+    ("int8-fused-sd", {"SSD_BENCH_MODE": "sd", "SSD_BENCH_QUANT": "int8"}),
+    ("int8-fused-eagle", {"SSD_BENCH_MODE": "feagle",
+                          "SSD_BENCH_QUANT": "int8"}),
+    ("fused-async-ssd", {"SSD_BENCH_MODE": "fasync"}),
+)
+
+
+def main():
+    result = _run_single()
+    default_run = os.environ.get("SSD_BENCH_EXTRA") == "force" or (
+        os.environ.get("SSD_BENCH_EXTRA", "1") != "0"
+        and os.environ.get("SSD_BENCH_MODE", "sd") == "sd"
+        and os.environ.get("SSD_BENCH_BATCH", "1") == "1"
+        and os.environ.get("SSD_BENCH_TINY") != "1"
+        and not os.environ.get("SSD_BENCH_QUANT")
+        and not os.environ.get("SSD_BENCH_KV_QUANT")
+    )
+    if not default_run:
+        return
+    for name, overrides in _EXTRA_MODES:
+        saved = {k: os.environ.get(k) for k in overrides}
+        os.environ.update(overrides)
+        try:
+            _run_single()
+        except Exception as e:  # an extra must never sink the gate line
+            print(f"[extra {name} failed: {type(e).__name__}: {e}]",
+                  flush=True)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+    # Re-print the regression-gate line LAST so the driver's parsed metric
+    # stays the historical decode_throughput_llama1b_sd_b1 series.
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
