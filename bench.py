@@ -412,6 +412,7 @@ def _run_single():
         # such so a CPU smoke can never seed a qwen3/llama3b history "best".
         arch = "llama"
     model_tag = {"llama": "llama1b", "qwen3": "qwen3_1p7b",
+                 "qwen3nq": "qwen3_1p7b_noqk",
                  "llama3b": "llama3b", "qwen3moe": "qwen3moe_3b"}[arch]
     model_dir = ("/tmp/ssd_bench_model_tiny" if tiny
                  else f"/tmp/ssd_bench_model_{model_tag}")
@@ -452,6 +453,27 @@ def _run_single():
             "norm_topk_prob": True,
             "decoder_sparse_step": 1,
             "mlp_only_layers": [],
+            "max_position_embeddings": 4096,
+            "rms_norm_eps": 1e-6,
+            "rope_theta": 1000000.0,
+            "tie_word_embeddings": True,
+            "eos_token_id": 151645,
+        }
+    elif arch == "qwen3nq" and not tiny:
+        # Qwen3-1.7B geometry with the qk-norms ablated (model_type llama,
+        # same dims incl. head_dim 128 and the 152k vocab): the control that
+        # separates ARCH cost (per-head q/k RMSNorm on the VPU) from
+        # GEOMETRY cost (hd 128, vocab) in the Qwen3 efficiency gap
+        # (r4 VERDICT item 4).
+        cfg = {
+            "model_type": "llama",
+            "vocab_size": 151936,
+            "hidden_size": 2048,
+            "intermediate_size": 6144,
+            "num_hidden_layers": 28,
+            "num_attention_heads": 16,
+            "num_key_value_heads": 8,
+            "head_dim": 128,
             "max_position_embeddings": 4096,
             "rms_norm_eps": 1e-6,
             "rope_theta": 1000000.0,
@@ -799,6 +821,7 @@ def main():
         and os.environ.get("SSD_BENCH_MODE", "sd") == "sd"
         and os.environ.get("SSD_BENCH_BATCH", "1") == "1"
         and os.environ.get("SSD_BENCH_TINY") != "1"
+        and os.environ.get("SSD_BENCH_ARCH", "llama") == "llama"
         and not os.environ.get("SSD_BENCH_QUANT")
         and not os.environ.get("SSD_BENCH_KV_QUANT")
     )
