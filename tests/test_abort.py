@@ -85,3 +85,35 @@ def test_abort_in_fused_spec_modes(tmp_path):
                 break
         assert outs[keep_id] == hf_greedy(t, keep_prompt, 24)
         assert not eng.scheduler.block_manager.used_block_ids
+
+
+def test_abort_in_fused_async_modes(tmp_path):
+    """Aborting mid-generation under the fused-async modes (the one-dispatch
+    exchange and the R-round superstep): blocks free immediately, survivors
+    stay token-exact, and the stale host-side tree-cache entries (exchange
+    mode) keyed by the dead seq_id are never consulted."""
+    t = str(tmp_path / "t")
+    d = str(tmp_path / "d")
+    make_tiny_llama(t, seed=0)
+    make_tiny_llama(d, layers=1, hidden=32, intermediate=64, seed=7)
+    sp = SamplingParams(temperature=0.0, max_new_tokens=24, ignore_eos=True)
+
+    for rounds in (1, 2):
+        eng = _engine(t, draft=d, speculate=True, draft_async=True,
+                      async_fused=True, speculate_k=2, spec_rounds=rounds,
+                      async_fan_out=2, num_kvcache_blocks=96)
+        step = eng.create_inference_step(eng.config)
+        keep_prompt = random_prompt(rng(121), 8, 16)
+        keep_id = eng.add_request(list(keep_prompt), sp)
+        kill_id = eng.add_request(list(random_prompt(rng(122), 8, 16)), sp)
+        eng.step(step)   # prefill
+        eng.step(step)   # one decode step / superstep
+        assert eng.abort_request(kill_id) is True
+        outs = {}
+        for _ in range(100):
+            for sid, toks in eng.step(step):
+                outs[sid] = toks
+            if eng.scheduler.is_finished():
+                break
+        assert outs[keep_id] == hf_greedy(t, keep_prompt, 24)
+        assert not eng.scheduler.block_manager.used_block_ids

@@ -107,3 +107,39 @@ def test_fused_sd_preemption_under_pressure_token_exact(target_dir, draft_dir):
     engine.exit()
     for out, want in zip(outs, wants):
         assert out["token_ids"] == want
+
+
+def test_fused_async_preemption_under_pressure_token_exact(target_dir, draft_dir):
+    """The fused async superstep reserves R*(K+1) target + R*(K+1)+megaspec
+    draft lookahead slots per scheduled sequence; under a pool too tight for
+    the whole batch the scheduler must preempt between supersteps (the
+    in-program tree state is rebuilt by the chain prime, so nothing stales)
+    and outputs stay token-exact."""
+    engine = LLM(
+        target_dir,
+        draft=draft_dir,
+        speculate=True,
+        draft_async=True,
+        async_fused=True,
+        speculate_k=2,
+        spec_rounds=2,
+        async_fan_out=2,
+        dtype="float32",
+        max_model_len=160,
+        max_num_batched_tokens=1024,
+        kvcache_block_size=16,
+        # Draft lookahead 2*(2+1) + (3 + 2*6) = 21 slots (2 blocks) per
+        # scheduled seq on top of the trunk; 24 blocks cannot hold 3 seqs.
+        num_kvcache_blocks=24,
+        max_num_seqs=3,
+    )
+    prompts = [random_prompt(rng(600 + i), 16, 24) for i in range(3)]
+    wants = [hf_greedy(target_dir, p, 40) for p in prompts]
+    outs, _ = engine.generate(
+        [list(p) for p in prompts],
+        SamplingParams(temperature=0.0, max_new_tokens=40, ignore_eos=True),
+        use_tqdm=False,
+    )
+    engine.exit()
+    for out, want in zip(outs, wants):
+        assert out["token_ids"] == want

@@ -126,3 +126,26 @@ def test_all_features_plus_int8_kv(dirs):
     got, metrics = sd.generate([list(prompt)], sp_warp, use_tqdm=False)
     assert got[0]["token_ids"] == want[0]["token_ids"]
     assert metrics["accepted_suffix_lens_with_recovery"]
+
+
+def test_all_features_fused_async(dirs):
+    """The round-5 composition: the fused async superstep (draft_async +
+    async_fused + spec_rounds) stacked with int8 weights, the top-sampling
+    warp, and chunked prefill — outputs must equal the same engine stack's
+    AR greedy."""
+    target, draft = dirs
+    prompt = random_prompt(rng(97), 90, 91)
+    sp_greedy = SamplingParams(temperature=0.0, max_new_tokens=16,
+                               ignore_eos=True)
+    sp_warp = SamplingParams(temperature=1.0, top_k=1, max_new_tokens=16,
+                             ignore_eos=True)
+
+    ar = _engine(target)
+    want, _ = ar.generate([list(prompt)], sp_greedy, use_tqdm=False)
+
+    fa = _engine(target, draft=draft, speculate=True, draft_async=True,
+                 async_fused=True, speculate_k=2, spec_rounds=2,
+                 async_fan_out=2)
+    got, metrics = fa.generate([list(prompt)], sp_warp, use_tqdm=False)
+    assert got[0]["token_ids"] == want[0]["token_ids"]
+    assert metrics["cache_hits"]
