@@ -703,7 +703,20 @@ def _run_single():
     # prefill buckets, outside the timed window. prefill_s_pads=() skips the
     # default full flat-prefill ladder (~18 one-time tunnel compiles this
     # fixed-shape bench never hits): the warm generate covers its buckets.
-    engine.warmup(prefill_s_pads=())
+    if os.environ.get("SSD_BENCH_WARM") == "min":
+        # Fixed-shape measurement: warm only the (B_pad, R) rung this bench
+        # actually runs (the full 16-rung b=8 superstep ladder costs over an
+        # hour of one-time remote compiles on the tunneled chip).
+        from ssd_tpu.engine.model_runner import next_pow2
+
+        engine.warmup(
+            prefill_s_pads=(), batch_pads=[next_pow2(batch)],
+            round_set=(
+                (kw["spec_rounds"],) if kw.get("spec_rounds", 1) > 1
+                else None),
+        )
+    else:
+        engine.warmup(prefill_s_pads=())
     warm_sp = SamplingParams(temperature=0.0, max_new_tokens=4,
                              ignore_eos=True)
     engine.generate([p[:] for p in prompts], warm_sp, use_tqdm=False)

@@ -33,12 +33,12 @@ for N in 0.03 0.06 0.1 0.2; do
 done
 
 echo "=== int8 flagship batch aggregates (item 6) ==="
-SSD_BENCH_MODE=sd SSD_BENCH_QUANT=int8 SSD_BENCH_BATCH=8 \
+SSD_BENCH_MODE=sd SSD_BENCH_QUANT=int8 SSD_BENCH_BATCH=8 SSD_BENCH_WARM=min \
   timeout 4800 python bench.py
-SSD_BENCH_MODE=feagle SSD_BENCH_QUANT=int8 SSD_BENCH_BATCH=8 \
+SSD_BENCH_MODE=feagle SSD_BENCH_QUANT=int8 SSD_BENCH_BATCH=8 SSD_BENCH_WARM=min \
   timeout 4800 python bench.py
 SSD_BENCH_MODE=ngram SSD_BENCH_QUANT=int8 timeout 4800 python bench.py
-SSD_BENCH_MODE=ngram SSD_BENCH_QUANT=int8 SSD_BENCH_BATCH=8 \
+SSD_BENCH_MODE=ngram SSD_BENCH_QUANT=int8 SSD_BENCH_BATCH=8 SSD_BENCH_WARM=min \
   timeout 4800 python bench.py
 
 echo "=== QUEUE2 DONE ==="

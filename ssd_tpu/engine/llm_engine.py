@@ -204,21 +204,29 @@ class LLMEngine:
 
         atexit.register(lambda ref=weakref.ref(self): ref() and ref().exit())
 
-    def warmup(self, prefill_s_pads: tuple[int, ...] | None = None):
+    def warmup(self, prefill_s_pads: tuple[int, ...] | None = None,
+               batch_pads: list[int] | None = None,
+               round_set: tuple[int, ...] | None = None):
         """Pre-compile all decode-side shape buckets AND (by default) every
         flat-prefill bucket a fresh prompt can hit, so a warmed engine's
         first request of any length is dispatch-bound (call once before
         latency-sensitive serving; compiles are one-time per machine via the
         persistent XLA cache). Pass explicit per-seq pow-2 buckets via
-        prefill_s_pads to narrow the prefill warm set — or () to skip it."""
+        prefill_s_pads to narrow the prefill warm set — or () to skip it.
+        batch_pads / round_set narrow the decode-side ladders the same way
+        (a fixed-shape bench that always runs B=8 x R=32 need not compile
+        the 15 other (B_pad, R) rungs up front; an unwarmed rung still
+        compiles on demand if the dynamic round picker ever selects it)."""
         from ssd_tpu.engine.model_runner import next_pow2
 
         cfg = self.config
-        top = next_pow2(cfg.max_num_seqs)
-        batch_pads, b = [], 1
-        while b <= top:
-            batch_pads.append(b)
-            b *= 2
+        self._round_set = round_set
+        if batch_pads is None:
+            top = next_pow2(cfg.max_num_seqs)
+            batch_pads, b = [], 1
+            while b <= top:
+                batch_pads.append(b)
+                b *= 2
         q_lens = [1]
         chain_Ks = []
         if cfg.speculate:
@@ -266,6 +274,12 @@ class LLMEngine:
         if cfg.ngram_speculate:
             self._warmup_ngram_superstep(batch_pads)
 
+    def _rounds_ladder(self):
+        from ssd_tpu.engine.step import round_choices
+
+        return (self._round_set if getattr(self, "_round_set", None)
+                else round_choices(self.config.spec_rounds))
+
     def _warmup_ngram_superstep(self, batch_pads):
         """Pre-compile the model-free ngram superstep ladder with ghost
         inputs (block tables -1 => all KV writes dropped)."""
@@ -292,7 +306,7 @@ class LLMEngine:
                     *warp_parts,                                   # top_p|k
                     np.zeros(1, np.int32),                         # seed
                 ))
-                for R in round_choices(cfg.spec_rounds):
+                for R in self._rounds_ladder():
                     out = ngram_superstep_packed(
                         t.params, t.kv_cache, payload,
                         t_arch=t.arch, block_size=t.block_size,
@@ -333,7 +347,7 @@ class LLMEngine:
                 np.zeros(1, np.int32),                         # seed
             ))
             for ctx_pad in t._ctx_buckets():
-                for R in round_choices(cfg.spec_rounds):
+                for R in self._rounds_ladder():
                     out = eagle_sd_superstep_packed(
                         t.params, t.kv_cache, d.params, d.kv_cache, payload,
                         t_arch=t.arch, d_arch=d.arch,
@@ -375,7 +389,7 @@ class LLMEngine:
                 np.zeros(1, np.int32),                         # seed
             ))
             for ctx_pad in t._ctx_buckets():
-                for R in round_choices(cfg.spec_rounds):
+                for R in self._rounds_ladder():
                     out = async_ssd_superstep_packed(
                         t.params, t.kv_cache, d.params, d.kv_cache, payload,
                         t_arch=t.arch, d_arch=d.arch,
@@ -475,7 +489,7 @@ class LLMEngine:
             for ctx_pad in t._ctx_buckets():
                 # The whole round ladder compiles: FusedSpecDecodeStep picks
                 # the R per superstep from the remaining token budget.
-                for R in round_choices(cfg.spec_rounds):
+                for R in self._rounds_ladder():
                     out = sd_superstep_packed(
                         t.params, t.kv_cache, d.params, d.kv_cache, payload,
                         t_arch=t.arch, d_arch=d.arch, block_size=t.block_size,
