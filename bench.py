@@ -797,8 +797,10 @@ def _run_single():
     vs = decode_tps / best if best else 1.0
     quant_sfx = (f"_{os.environ['SSD_BENCH_QUANT']}"
                  if os.environ.get("SSD_BENCH_QUANT") else "")
+    fx_sfx = ("_fx" if mode == "ssd"
+              and os.environ.get("SSD_BENCH_ASYNC_FUSED") == "1" else "")
     result = {
-        "metric": f"decode_throughput_{model_tag}{quant_sfx}_{mode}_b{batch}",
+        "metric": f"decode_throughput_{model_tag}{quant_sfx}_{mode}{fx_sfx}_b{batch}",
         "value": round(decode_tps, 2),
         "unit": "tok/s",
         "vs_baseline": round(vs, 3),
