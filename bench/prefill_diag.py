@@ -99,58 +99,58 @@ def main():
     scale = arch.head_dim ** -0.5
     R = args.r
 
-    # --- variant bodies (each: one whole prefill; scanned R times) ---
+    # --- variant bodies (each: one whole prefill; scanned R times).
+    # params travel as a jit ARGUMENT (closing over them bakes the full
+    # 2.5 GB of weights into the program as constants). ---
 
-    def body_full(kv, key):
-        toks, _, kv = flat_prefill_step(
-            params, kv, ids, pos, slots, pages, row_lo, row_hi,
-            gather_idx, temps, key,
-            arch=arch, block_size=bs, use_pallas=use_pallas,
-        )
-        return kv, toks
+    def _make_body(name, p):
+        def body_full(kv, key):
+            toks, _, kv = flat_prefill_step(
+                p, kv, ids, pos, slots, pages, row_lo, row_hi,
+                gather_idx, temps, key,
+                arch=arch, block_size=bs, use_pallas=use_pallas,
+            )
+            return kv, toks
 
-    def _stripped(kv, key, keep_store):
-        def attn_call(q, k, v, kv_layer):
-            if keep_store:
-                kv_layer = att.store_kv(kv_layer, k, v, slots)
-            return q, kv_layer
+        def _stripped(kv, key, keep_store):
+            def attn_call(q, k, v, kv_layer):
+                if keep_store:
+                    kv_layer = att.store_kv(kv_layer, k, v, slots)
+                return q, kv_layer
 
-        hidden, kv = forward_hidden(params, kv, ids, pos, attn_call, arch)
-        logits = compute_logits(params, hidden, arch, gather_idx=gather_idx)
-        return kv, sample(logits, temps, key)
+            hidden, kv = forward_hidden(p, kv, ids, pos, attn_call, arch)
+            logits = compute_logits(p, hidden, arch, gather_idx=gather_idx)
+            return kv, sample(logits, temps, key)
 
-    def body_no_kernel(kv, key):
-        return _stripped(kv, key, keep_store=True)
+        def body_matmul(x, key):
+            # Pure projection/MLP chain over the stacked layers — the matmul
+            # floor at the same shapes (carry the [T, D] activations so XLA
+            # cannot dead-code any layer).
+            def layer(h, lp):
+                q = h @ lp["wq"]
+                k = h @ lp["wk"]
+                v = h @ lp["wv"]
+                o = (q + jnp.pad(k, ((0, 0), (0, q.shape[1] - k.shape[1])))
+                     + jnp.pad(v, ((0, 0), (0, q.shape[1] - v.shape[1]))))
+                h = o @ lp["wo"]
+                h = silu_mul(h @ lp["gate"], h @ lp["up"]) @ lp["down"]
+                return h, None
 
-    def body_no_attn(kv, key):
-        return _stripped(kv, key, keep_store=False)
+            x, _ = jax.lax.scan(layer, x, p["layers"])
+            return x, x[0, :1]
 
-    def body_matmul(x, key):
-        # Pure projection/MLP chain over the stacked layers — the matmul
-        # floor at the same shapes (carry the [T, D] activations so XLA
-        # cannot dead-code any layer).
-        def layer(h, lp):
-            q = h @ lp["wq"]
-            k = h @ lp["wk"]
-            v = h @ lp["wv"]
-            o = (q + jnp.pad(k, ((0, 0), (0, q.shape[1] - k.shape[1])))
-                 + jnp.pad(v, ((0, 0), (0, q.shape[1] - v.shape[1]))))
-            h = o @ lp["wo"]
-            h = silu_mul(h @ lp["gate"], h @ lp["up"]) @ lp["down"]
-            return h, None
+        def body_head(h, key):
+            logits = compute_logits(p, h, arch, gather_idx=gather_idx)
+            return h, sample(logits, temps, key)
 
-        x, _ = jax.lax.scan(layer, x, params["layers"])
-        return x, x[0, :1]
-
-    def body_head(h, key):
-        logits = compute_logits(params, h, arch, gather_idx=gather_idx)
-        return h, sample(logits, temps, key)
+        return {"full": body_full,
+                "no_kernel": lambda kv, key: _stripped(kv, key, True),
+                "no_attn": lambda kv, key: _stripped(kv, key, False),
+                "matmul": body_matmul, "head": body_head}[name]
 
     @partial(jax.jit, static_argnames=("name",), donate_argnames=("carry0",))
-    def run_R(carry0, key, *, name):
-        body = {"full": body_full, "no_kernel": body_no_kernel,
-                "no_attn": body_no_attn, "matmul": body_matmul,
-                "head": body_head}[name]
+    def run_R(p, carry0, key, *, name):
+        body = _make_body(name, p)
 
         def step(c, i):
             c, out = body(c, jax.random.fold_in(key, i))
@@ -185,11 +185,11 @@ def main():
     results = {}
     for name in args.variants:
         key = jax.random.PRNGKey(3)
-        np.asarray(run_R(carry_for(name), key, name=name))  # compile+sync
+        np.asarray(run_R(params, carry_for(name), key, name=name))  # compile+sync
         best = float("inf")
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            np.asarray(run_R(carry_for(name), key, name=name))
+            np.asarray(run_R(params, carry_for(name), key, name=name))
             best = min(best, time.perf_counter() - t0)
         ms = best * 1e3 / R
         tf = flops[name] / (best / R) / 1e12

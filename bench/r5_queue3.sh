@@ -4,9 +4,8 @@
 set -u
 cd /root/repo
 
-echo "=== fasync b=8 (min warm retry) ==="
-SSD_BENCH_MODE=fasync SSD_BENCH_BATCH=8 SSD_BENCH_WARM=min \
-  timeout 5400 python bench.py
+echo "=== prefill decomposition t=2048 rerun (params-as-arg fix) ==="
+timeout 2400 python -m bench.prefill_diag --t 2048 --reps 5
 
 echo "=== fasync_diag b=1 ==="
 timeout 3600 python -m bench.fasync_diag --k 4 --rounds 32 --reps 3 --batch 1
