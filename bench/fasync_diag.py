@@ -118,13 +118,13 @@ def main():
         return out[1]
 
     @jax.jit
-    def run_build(dkv):
+    def run_build(d_p, dkv):
         glue = jnp.tile(jnp.arange(K + 1, dtype=jnp.int32)[None], (B, 1))
 
         def body(carry, r):
             dkv, n = carry
             host_out, spec_logits, _, dkv = tree_build_program(
-                d_params, dkv, glue.reshape(-1), n, bt,
+                d_p, dkv, glue.reshape(-1), n, bt,
                 jnp.ones(B, jnp.int32), temps, None, None,
                 jax.random.fold_in(key, r),
                 arch=d_arch, block_size=bs, ctx_pad=args.ctx_pad, K=K,
@@ -136,7 +136,7 @@ def main():
         return outs
 
     @jax.jit
-    def run_verify(tkv):
+    def run_verify(t_p, tkv):
         spec = jnp.tile(jnp.arange(K + 1, dtype=jnp.int32)[None], (B, 1))
         logits_q = jnp.zeros((B, K, V), jnp.float32)
         b_idx = jnp.arange(B)
@@ -146,7 +146,7 @@ def main():
             pos = (n[:, None] + jnp.arange(K + 1)[None, :]).reshape(-1)
             slots = slot_of(bt, pos, jnp.repeat(b_idx, K + 1), bs)
             _, logits_p, _, tkv = decode_step(
-                t_params, tkv, spec.reshape(-1), pos.astype(jnp.int32),
+                t_p, tkv, spec.reshape(-1), pos.astype(jnp.int32),
                 slots, bt, (n + K + 1).astype(jnp.int32), temps,
                 jax.random.fold_in(key, r),
                 arch=t_arch, block_size=bs, ctx_pad=args.ctx_pad,
@@ -182,8 +182,8 @@ def main():
     glue_logits0 = jax.random.normal(key, (B, K + 1, V), jnp.float32)
     runners = {
         "full": run_full, "sync": run_sync,
-        "build": lambda: run_build(fresh_kv(d_arch)),
-        "verify": lambda: run_verify(fresh_kv(t_arch)),
+        "build": lambda: run_build(d_params, fresh_kv(d_arch)),
+        "verify": lambda: run_verify(t_params, fresh_kv(t_arch)),
         "fork": lambda: run_fork(glue_logits0),
     }
 
