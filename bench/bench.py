@@ -53,6 +53,10 @@ def parse_arguments():
                    help="sync SD only: fuse this many speculation rounds "
                         "into one XLA program per step (engine/fused_sd.py)")
     p.add_argument("--async", dest="draft_async", action="store_true")
+    p.add_argument("--async-fused", dest="async_fused", action="store_true",
+                   help="fuse the async exchange into one program per step "
+                        "(with --rounds > 1: the whole R-round loop — "
+                        "engine/async_fused.py); implies --async")
     p.add_argument("--ddp", type=int, default=1,
                    help="draft data parallelism (replica chips)")
     p.add_argument("--f", type=int, default=3)
@@ -130,7 +134,8 @@ def create_llm_kwargs(args, draft_path):
         speculate=args.spec,
         speculate_k=args.k,
         spec_rounds=args.rounds,
-        draft_async=args.draft_async,
+        draft_async=args.draft_async or args.async_fused,
+        async_fused=args.async_fused,
         draft_dp=args.ddp,
         async_fan_out=args.f,
         verbose=args.verbose,

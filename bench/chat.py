@@ -37,6 +37,8 @@ def parse_arguments(argv=None):
     p.add_argument("--rounds", type=int, default=1,
                    help="sync SD: fused speculation rounds per step")
     p.add_argument("--async", dest="draft_async", action="store_true")
+    p.add_argument("--async-fused", dest="async_fused", action="store_true",
+                   help="fused async exchange/superstep (implies --async)")
     p.add_argument("--f", type=int, default=3)
     p.add_argument("--temp", type=float, default=0.0)
     p.add_argument("--max_new_tokens", type=int, default=512)
@@ -129,7 +131,8 @@ def ssd_chat(args):
         speculate=args.spec,
         speculate_k=args.k,
         spec_rounds=args.rounds,
-        draft_async=args.draft_async,
+        draft_async=args.draft_async or args.async_fused,
+        async_fused=args.async_fused,
         async_fan_out=args.f,
         draft=draft_path,
         use_eagle=args.eagle,
