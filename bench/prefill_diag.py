@@ -47,7 +47,7 @@ def main():
     p.add_argument("--peak-tflops", type=float, default=197.0,
                    help="bf16 MXU peak (v5e: 197 TFLOP/s)")
     p.add_argument("--variants", nargs="+",
-                   default=["full", "no_kernel", "no_attn", "matmul", "head"])
+                   default=["full", "no_kernel", "no_attn"])
     args = p.parse_args()
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
@@ -156,8 +156,11 @@ def main():
             c, out = body(c, jax.random.fold_in(key, i))
             return c, out
 
-        _, outs = jax.lax.scan(step, carry0, jnp.arange(R))
-        return outs
+        carry, outs = jax.lax.scan(step, carry0, jnp.arange(R))
+        # Return a probe of the final carry: without it XLA dead-code
+        # eliminates the KV-store chain AND the k/v projections feeding it
+        # in the stripped variants (measured: "118% of MXU peak").
+        return outs, carry.reshape(-1)[:2]
 
     def carry_for(name):
         if name == "matmul":
@@ -185,11 +188,14 @@ def main():
     results = {}
     for name in args.variants:
         key = jax.random.PRNGKey(3)
-        np.asarray(run_R(params, carry_for(name), key, name=name))  # compile+sync
+        np.asarray(run_R(params, carry_for(name), key, name=name)[1])  # compile+sync
         best = float("inf")
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            np.asarray(run_R(params, carry_for(name), key, name=name))
+            # The tiny carry probe is the readback: it completes only after
+            # the whole executable (tunnel discipline: np.asarray, not
+            # block_until_ready).
+            np.asarray(run_R(params, carry_for(name), key, name=name)[1])
             best = min(best, time.perf_counter() - t0)
         ms = best * 1e3 / R
         tf = flops[name] / (best / R) / 1e12
@@ -198,13 +204,15 @@ def main():
               f"({100 * tf / args.peak_tflops:.0f}% of MXU peak)", flush=True)
 
     out = {"metric": "prefill_decomposition_ms", "t": T, **results}
-    if all(k in results for k in ("full", "no_kernel", "no_attn", "matmul",
-                                  "head")):
+    floor_ms = flops["no_attn"] / (args.peak_tflops * 1e12) * 1e3
+    out["matmul_floor_ms"] = round(floor_ms, 3)
+    if all(k in results for k in ("full", "no_kernel", "no_attn")):
         out["kernel_ms"] = round(results["full"] - results["no_kernel"], 3)
         out["kv_store_ms"] = round(
             results["no_kernel"] - results["no_attn"], 3)
-        out["overhead_ms"] = round(
-            results["no_attn"] - results["matmul"] - results["head"], 3)
+        # Norms/rope/embed/sampler/scan glue + MXU inefficiency, vs the
+        # speed-of-light for the projection/MLP/head FLOPs.
+        out["non_matmul_ms"] = round(results["no_attn"] - floor_ms, 3)
         out["mxu_pct_full"] = round(
             100 * flops["full"] / (results["full"] / 1e3) / 1e12
             / args.peak_tflops, 1)

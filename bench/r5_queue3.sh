@@ -6,6 +6,7 @@ cd /root/repo
 
 echo "=== prefill decomposition t=2048 rerun (params-as-arg fix) ==="
 timeout 2400 python -m bench.prefill_diag --t 2048 --reps 5
+timeout 2400 python -m bench.prefill_diag --t 512 --reps 5
 
 echo "=== fasync_diag b=1 ==="
 timeout 3600 python -m bench.fasync_diag --k 4 --rounds 32 --reps 3 --batch 1
