@@ -4,6 +4,13 @@
 set -u
 cd /root/repo
 
+echo "=== qwen3 AR b=1: jnp-attention control (per-call-floor hypothesis) ==="
+SSD_BENCH_MODE=ar SSD_BENCH_ARCH=qwen3 SSD_BENCH_PALLAS=0 \
+  timeout 3600 python bench.py
+echo "=== llama AR b=1: jnp-attention control ==="
+SSD_BENCH_MODE=ar SSD_BENCH_PALLAS=0 SSD_BENCH_EXTRA=0 \
+  timeout 3600 python bench.py
+
 echo "=== prefill decomposition t=2048 rerun (params-as-arg fix) ==="
 timeout 2400 python -m bench.prefill_diag --t 2048 --reps 5
 timeout 2400 python -m bench.prefill_diag --t 512 --reps 5
