@@ -799,6 +799,8 @@ def _run_single():
                  if os.environ.get("SSD_BENCH_QUANT") else "")
     fx_sfx = ("_fx" if mode == "ssd"
               and os.environ.get("SSD_BENCH_ASYNC_FUSED") == "1" else "")
+    if float(os.environ.get("SSD_BENCH_DRAFT_NOISE", "0")):
+        fx_sfx += f"_n{os.environ['SSD_BENCH_DRAFT_NOISE']}"
     result = {
         "metric": f"decode_throughput_{model_tag}{quant_sfx}_{mode}{fx_sfx}_b{batch}",
         "value": round(decode_tps, 2),
