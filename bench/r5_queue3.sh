@@ -25,4 +25,12 @@ echo "=== fasync at realistic acceptance (noise 0.2 / 1.0) ==="
 SSD_BENCH_MODE=fasync SSD_BENCH_DRAFT_NOISE=0.2 timeout 3600 python bench.py
 SSD_BENCH_MODE=fasync SSD_BENCH_DRAFT_NOISE=1.0 timeout 3600 python bench.py
 
+echo "=== EAGLE acceptance refinement (item 2: bracket 0.9/0.6/0.3) ==="
+for N in 0.015 0.02 0.04 0.05; do
+  echo "--- feagle noise $N ---"
+  SSD_BENCH_MODE=feagle SSD_BENCH_DRAFT_NOISE=$N timeout 3600 python bench.py
+done
+echo "=== async EAGLE at the mid-curve (item 2) ==="
+SSD_BENCH_MODE=eagle SSD_BENCH_DRAFT_NOISE=0.03 timeout 3600 python bench.py
+
 echo "=== QUEUE3 DONE ==="
