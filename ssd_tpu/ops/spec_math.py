@@ -42,6 +42,26 @@ def fan_index(fan_out_list: list[int]) -> np.ndarray:
     return np.repeat(np.arange(len(fan_out_list)), fan_out_list).astype(np.int32)
 
 
+def _small_topk_indices(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Exact top-k indices of x [..., V] for SMALL static k: k sequential
+    argmax+mask passes (cheap VPU max reductions) instead of lax.top_k's
+    sort machinery — measured 6.0 -> 0.4 ms/round on the fused-async B=8
+    fork over a 128k vocab (bench/fasync_diag.py). Tie order matches
+    lax.top_k (both take the lower index first), so results are identical.
+    Falls back to lax.top_k past k=8 where the pass count stops winning."""
+    if k > 8:
+        return jax.lax.top_k(x, k)[1]
+    lead = x.shape[:-1]
+    flat = x.reshape(-1, x.shape[-1])
+    rows = jnp.arange(flat.shape[0])
+    idxs = []
+    for _ in range(k):
+        i = jnp.argmax(flat, axis=-1)
+        idxs.append(i)
+        flat = flat.at[rows, i].set(-jnp.inf)
+    return jnp.stack(idxs, axis=-1).reshape(lead + (k,)).astype(jnp.int32)
+
+
 def get_forked_recovery_tokens(
     logits: jnp.ndarray,           # [B, K+1, V] glue logits
     cache_hits: jnp.ndarray,       # [B] {0,1}
@@ -67,7 +87,7 @@ def get_forked_recovery_tokens(
     logits = jnp.concatenate([first_k, logits[:, -1:, :]], axis=1)
 
     k_max = max(max(fan_out_list), max(fan_out_list_miss))
-    _, topk_idx = jax.lax.top_k(logits, k_max)  # [B, K+1, k_max]
+    topk_idx = _small_topk_indices(logits, k_max)  # [B, K+1, k_max]
 
     hit_counts = jnp.asarray(fan_out_list, dtype=jnp.int32)        # [K+1]
     miss_counts = jnp.asarray(fan_out_list_miss, dtype=jnp.int32)  # [K+1]
@@ -92,7 +112,7 @@ def apply_sampler_x_rescaling(probs: jnp.ndarray, sampler_x: float, F: int) -> j
 
     probs: [..., V]. Parity: async_spec_helpers.apply_sampler_x_rescaling.
     """
-    _, topk_idx = jax.lax.top_k(probs, F + 1)
+    topk_idx = _small_topk_indices(probs, F + 1)
     # Mark top-(F+1) positions via scatter along the last axis.
     flat = probs.reshape(-1, probs.shape[-1])
     flat_idx = topk_idx.reshape(-1, F + 1)

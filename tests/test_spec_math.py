@@ -113,3 +113,25 @@ def test_tree_mask_batch_variable_context():
         ref = reference_mask(prefix_len, step, fan_index(fan), K, MQ_LEN)
         np.testing.assert_array_equal(got[b, :, :ctxs[b]], ref)
         assert not got[b, :, ctxs[b]:].any()
+
+
+def test_small_topk_matches_lax_top_k():
+    """The iterative-argmax fast path must select the exact lax.top_k
+    indices (including lower-index-first tie order)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssd_tpu.ops.spec_math import _small_topk_indices
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((3, 5, 257)).astype(np.float32))
+    # Force ties: duplicate some values.
+    x = x.at[:, :, 100].set(x[:, :, 50])
+    for k in (1, 2, 3, 4):
+        want = jax.lax.top_k(x, k)[1]
+        got = _small_topk_indices(x, k)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # Past the cutoff it IS lax.top_k.
+    np.testing.assert_array_equal(
+        np.asarray(_small_topk_indices(x, 9)),
+        np.asarray(jax.lax.top_k(x, 9)[1]))
