@@ -255,7 +255,7 @@ def main():
         tput = total_tokens / total_time
 
         print(f"\n[{run_name}] model={model_name} mode="
-              f"{'ssd' if args.draft_async else 'sd' if args.spec else 'ngram' if args.ngram else 'ar'}",
+              f"{'fasync' if args.async_fused else 'ssd' if args.draft_async else 'sd' if args.spec else 'ngram' if args.ngram else 'ar'}",
               flush=True)
         print(f"Total: {total_tokens} tokens in {total_time:.2f}s "
               f"= {tput:.1f} tok/s end-to-end", flush=True)
