@@ -21,4 +21,10 @@ SSD_BENCH_MODE=fasync SSD_BENCH_BATCH=8 SSD_BENCH_WARM=min \
 echo "=== unfused ssd b=8 after fork fix (the thread build gets faster) ==="
 SSD_BENCH_MODE=ssd SSD_BENCH_BATCH=8 timeout 5400 python bench.py
 
+echo "=== EAGLE curve bisection (anchor acceptance 0.3-0.5) ==="
+for N in 0.033 0.036; do
+  echo "--- feagle noise $N ---"
+  SSD_BENCH_MODE=feagle SSD_BENCH_DRAFT_NOISE=$N timeout 3600 python bench.py
+done
+
 echo "=== QUEUE4 DONE ==="
