@@ -104,21 +104,30 @@ def main():
     # 2.5 GB of weights into the program as constants). ---
 
     def _make_body(name, p):
-        def body_full(kv, key):
+        # Every iteration must be GENUINELY different: with fixed inputs and
+        # an untouched kv carry, the stripped variants' whole forward is
+        # loop-invariant and XLA hoists it OUT of the R-scan (measured "639
+        # TFLOP/s"). Rotating the token ids per iteration defeats hoisting
+        # at zero cost to the byte/FLOP accounting.
+        def ids_at(i):
+            return (ids + i) % arch.vocab_size
+
+        def body_full(kv, i, key):
             toks, _, kv = flat_prefill_step(
-                p, kv, ids, pos, slots, pages, row_lo, row_hi,
+                p, kv, ids_at(i), pos, slots, pages, row_lo, row_hi,
                 gather_idx, temps, key,
                 arch=arch, block_size=bs, use_pallas=use_pallas,
             )
             return kv, toks
 
-        def _stripped(kv, key, keep_store):
+        def _stripped(kv, i, key, keep_store):
             def attn_call(q, k, v, kv_layer):
                 if keep_store:
                     kv_layer = att.store_kv(kv_layer, k, v, slots)
                 return q, kv_layer
 
-            hidden, kv = forward_hidden(p, kv, ids, pos, attn_call, arch)
+            hidden, kv = forward_hidden(p, kv, ids_at(i), pos, attn_call,
+                                        arch)
             logits = compute_logits(p, hidden, arch, gather_idx=gather_idx)
             # With identity attention the graph is ROW-WISE, so a
             # last-row-only output lets XLA slice the whole network down to
@@ -127,7 +136,7 @@ def main():
             return kv, (sample(logits, temps, key),
                         hidden.astype(jnp.float32).sum())
 
-        def body_matmul(x, key):
+        def body_matmul(x, i, key):
             # Pure projection/MLP chain over the stacked layers — the matmul
             # floor at the same shapes (carry the [T, D] activations so XLA
             # cannot dead-code any layer).
@@ -141,16 +150,17 @@ def main():
                 h = silu_mul(h @ lp["gate"], h @ lp["up"]) @ lp["down"]
                 return h, None
 
-            x, _ = jax.lax.scan(layer, x, p["layers"])
+            x, _ = jax.lax.scan(layer, x + i * 1e-6, p["layers"])
             return x, x[0, :1]
 
-        def body_head(h, key):
-            logits = compute_logits(p, h, arch, gather_idx=gather_idx)
+        def body_head(h, i, key):
+            logits = compute_logits(p, h + i * 1e-6, arch,
+                                    gather_idx=gather_idx)
             return h, sample(logits, temps, key)
 
         return {"full": body_full,
-                "no_kernel": lambda kv, key: _stripped(kv, key, True),
-                "no_attn": lambda kv, key: _stripped(kv, key, False),
+                "no_kernel": lambda kv, i, key: _stripped(kv, i, key, True),
+                "no_attn": lambda kv, i, key: _stripped(kv, i, key, False),
                 "matmul": body_matmul, "head": body_head}[name]
 
     @partial(jax.jit, static_argnames=("name",), donate_argnames=("carry0",))
@@ -158,7 +168,7 @@ def main():
         body = _make_body(name, p)
 
         def step(c, i):
-            c, out = body(c, jax.random.fold_in(key, i))
+            c, out = body(c, i, jax.random.fold_in(key, i))
             return c, out
 
         carry, outs = jax.lax.scan(step, carry0, jnp.arange(R))
