@@ -76,3 +76,24 @@ def test_qwen3_async_ssd_greedy_token_exact(qwen_dir, qwen_draft_dir):
     engine.exit()
     assert outs[0]["token_ids"] == want
     assert metrics["cache_hits"]
+
+
+def test_qwen3_fused_async_greedy_token_exact(qwen_dir, qwen_draft_dir):
+    """The round-5 fused async superstep at the Qwen-3 geometry (per-head
+    q/k RMSNorm inside both the tree build and the verify forward)."""
+    engine = LLM(
+        qwen_dir, draft=qwen_draft_dir, speculate=True, draft_async=True,
+        async_fused=True, spec_rounds=3, speculate_k=2, async_fan_out=2,
+        dtype="float32", max_model_len=256, max_num_batched_tokens=1024,
+        kvcache_block_size=16, num_kvcache_blocks=96, max_num_seqs=4,
+    )
+    prompt = random_prompt(rng(61), 8, 24)
+    want = hf_greedy(qwen_dir, prompt, 32)
+    outs, metrics = engine.generate(
+        [list(prompt)],
+        SamplingParams(temperature=0.0, max_new_tokens=32, ignore_eos=True),
+        use_tqdm=False,
+    )
+    engine.exit()
+    assert outs[0]["token_ids"] == want
+    assert metrics["sd_superstep_times"]

@@ -131,6 +131,21 @@ def test_int8kv_async_ssd_exact(ckpt):
     assert got[0]["token_ids"] == want[0]["token_ids"]
 
 
+def test_int8kv_fused_async_exact(ckpt):
+    """The round-5 fused async superstep over the int8 cache (tree build +
+    verify + in-program service all reading quantized pages) matches AR
+    token-for-token — the cross-mode determinism contract extends to the
+    new mode."""
+    sp = SamplingParams(temperature=0.0, max_new_tokens=12, ignore_eos=True)
+    eng_ar = _engine(ckpt)
+    want, _ = eng_ar.generate([list(PROMPTS[0])], sp, use_tqdm=False)
+    eng = _engine(ckpt, draft=ckpt, speculate=True, speculate_k=2,
+                  draft_async=True, async_fused=True, spec_rounds=3,
+                  async_fan_out=2)
+    got, _ = eng.generate([list(PROMPTS[0])], sp, use_tqdm=False)
+    assert got[0]["token_ids"] == want[0]["token_ids"]
+
+
 def test_int8kv_mxu_kernel_close_to_dequant():
     """kv_quant="int8_mxu" (native s8 x s8 MXU dots, q and p quantized
     in-register) must track the f32-dequant int8 kernel within the documented
