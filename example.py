@@ -39,7 +39,11 @@ def main():
         async_fan_out=args.f,
     )
     prompt = args.prompt
-    if llm.tokenizer is not None and hasattr(llm.tokenizer, "apply_chat_template"):
+    if llm.tokenizer is None:
+        # Tokenizer-less checkpoint (e.g. a random-weight smoke dir): run a
+        # fixed token-id prompt and print ids instead of text.
+        prompt = [3, 11, 7, 25, 4, 9, 30, 2, 17]
+    elif hasattr(llm.tokenizer, "apply_chat_template"):
         prompt = llm.tokenizer.apply_chat_template(
             [{"role": "user", "content": args.prompt}], add_generation_prompt=True
         )
@@ -47,7 +51,8 @@ def main():
         [prompt],
         SamplingParams(temperature=args.temp, max_new_tokens=args.max_new_tokens),
     )
-    print("\n--- completion ---\n" + outs[0]["text"])
+    print("\n--- completion ---\n"
+          + (outs[0]["text"] or str(outs[0]["token_ids"])))
     llm.exit()
 
 
