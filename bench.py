@@ -801,6 +801,8 @@ def _run_single():
               and os.environ.get("SSD_BENCH_ASYNC_FUSED") == "1" else "")
     if float(os.environ.get("SSD_BENCH_DRAFT_NOISE", "0")):
         fx_sfx += f"_n{os.environ['SSD_BENCH_DRAFT_NOISE']}"
+    if int(os.environ.get("SSD_BENCH_DRAFT_VOCAB", "0")):
+        fx_sfx += f"_dv{os.environ['SSD_BENCH_DRAFT_VOCAB']}"
     result = {
         "metric": f"decode_throughput_{model_tag}{quant_sfx}_{mode}{fx_sfx}_b{batch}",
         "value": round(decode_tps, 2),
