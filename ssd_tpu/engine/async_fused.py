@@ -52,11 +52,10 @@ from ssd_tpu.engine.model_runner import (
     _key_from,
     chain_decode_step,
     decode_step,
-    next_pow2,
     pack_i32,
     slot_of,
 )
-from ssd_tpu.engine.step import FusedSpecDecodeStep, InferenceStep
+from ssd_tpu.engine.step import FusedSpecDecodeStep
 from ssd_tpu.engine.verifier import verify_step_packed
 from ssd_tpu.models.transformer import Arch
 from ssd_tpu.ops.spec_math import fan_index
