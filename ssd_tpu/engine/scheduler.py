@@ -254,12 +254,20 @@ class Scheduler:
         # the last table block map to ghost KV slots (dropped writes) and the
         # postprocess truncates the suffix at max_model_len, so near the limit
         # the lookahead CLAMPS to the remaining room instead of finishing the
-        # sequence R*(K+1) tokens early. Async/EAGLE keep the boundary finish
-        # (their host-side draft cache is keyed by committed outcomes and
-        # cannot absorb garbage rounds).
+        # sequence R*(K+1) tokens early. The fused-async SUPERSTEP clamps the
+        # same way: its tree cache lives in the scan carry (discarded each
+        # superstep), so garbage overshoot rounds cannot poison host state —
+        # without this, a deep-context sequence within R*(K+1)+megaspec of
+        # the limit would finish WITHOUT DECODING AT ALL (measured: prompt
+        # 1900 at max_model_len 2048 emitted 0 tokens). Unfused async / the
+        # fused exchange / EAGLE keep the boundary finish (their host-side
+        # draft cache is keyed by committed outcomes and cannot absorb
+        # garbage rounds).
         sync_spec = (
             self.speculate and not self.draft_async and not self.use_eagle
-        ) or self.ngram
+        ) or self.ngram or (
+            self.draft_async and self.async_fused and self.spec_rounds > 1
+        )
         batch: list[Sequence] = []
         while self.running and len(batch) < self.max_num_seqs:
             seq = self.running.popleft()

@@ -162,3 +162,29 @@ def test_eagle_async_spec_rounds_rejected(tmp_path_factory):
             spec_rounds=4, speculate_k=3, dtype="float32",
             max_model_len=128, max_num_batched_tokens=512,
             kvcache_block_size=16, num_kvcache_blocks=64, max_num_seqs=2)
+
+
+def test_fused_async_generates_to_context_limit(target_dir, draft_dir):
+    """The fused async superstep must generate right UP TO max_model_len —
+    not boundary-finish R*(K+1)+megaspec tokens early (measured on-chip:
+    prompt 1900 at max_model_len 2048 emitted ZERO tokens before the fix).
+    Its in-program tree cache is discarded every superstep, so overshoot
+    rounds land in ghost KV slots and truncate exactly like sync SD."""
+    engine = LLM(
+        target_dir, draft=draft_dir, speculate=True, draft_async=True,
+        async_fused=True, speculate_k=3, spec_rounds=4, async_fan_out=2,
+        dtype="float32", max_model_len=64, max_num_batched_tokens=1024,
+        kvcache_block_size=16, num_kvcache_blocks=96, max_num_seqs=2,
+        max_steps=400,
+    )
+    prompt = random_prompt(rng(903), 20, 24)
+    room = 64 - len(prompt)
+    outs, _ = engine.generate(
+        [list(prompt)],
+        SamplingParams(temperature=0.0, max_new_tokens=100, ignore_eos=True),
+        use_tqdm=False,
+    )
+    engine.exit()
+    got = outs[0]["token_ids"]
+    assert len(got) == room  # the full context, not an early horizon finish
+    assert got == hf_greedy(target_dir, prompt, room)
