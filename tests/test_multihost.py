@@ -492,3 +492,71 @@ def test_70b_geometry_fused_eagle_superstep_compiles():
     )
     compiled = lowered.compile()  # SPMD partitioner runs here
     assert compiled is not None
+
+
+def test_70b_geometry_fused_async_superstep_compiles():
+    """The round-5 flagship at scale: async_ssd_superstep (tree build +
+    verify + in-program cache service, R rounds) LOWERS AND COMPILES at the
+    Llama-70B target geometry with a 1B-geometry draft over a hybrid
+    (dcn=2, tp=4) mesh, engine param shardings on both pytrees, shape-only
+    abstract params throughout (BASELINE config #5 readiness for the new
+    mode)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ssd_tpu.config import ModelConfig
+    from ssd_tpu.engine.async_fused import async_ssd_superstep
+    from ssd_tpu.models.transformer import Arch, init_params
+    from ssd_tpu.parallel import mesh as pmesh
+
+    t_arch = Arch.from_model_config(ModelConfig(
+        model_type="llama", vocab_size=128256, hidden_size=8192,
+        intermediate_size=28672, num_hidden_layers=2,
+        num_attention_heads=64, num_key_value_heads=8,
+        max_position_embeddings=8192, rope_theta=500000.0,
+    ))
+    d_arch = Arch.from_model_config(ModelConfig(
+        model_type="llama", vocab_size=128256, hidden_size=2048,
+        intermediate_size=8192, num_hidden_layers=2,
+        num_attention_heads=32, num_key_value_heads=8,
+        max_position_embeddings=8192, rope_theta=500000.0,
+    ))
+    m = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dcn", "tp"))
+
+    def sharded_abstract(arch):
+        abstract = jax.eval_shape(
+            lambda k: init_params(arch, k, jnp.bfloat16),
+            jax.random.PRNGKey(0))
+        specs = pmesh.param_specs(abstract)
+        return jax.tree.map(
+            lambda x, s: jax.ShapeDtypeStruct(
+                x.shape, x.dtype,
+                sharding=NamedSharding(m, pmesh._compatible_spec(x, s, m))),
+            abstract, specs, is_leaf=lambda x: not isinstance(x, dict))
+
+    def kv_abstract(arch, num_blocks, block_size):
+        return jax.ShapeDtypeStruct(
+            (arch.num_layers, arch.num_kv_heads, num_blocks * block_size,
+             2 * arch.head_dim), jnp.bfloat16,
+            sharding=pmesh.kv_sharding(m, arch.num_kv_heads))
+
+    block_size, B, M = 64, 2, 8
+    K, F = 2, 2
+    fan = (F,) * (K + 1)
+    rep = NamedSharding(m, P())
+    i32 = lambda *s: jax.ShapeDtypeStruct(s, jnp.int32, sharding=rep)
+    f32 = lambda *s: jax.ShapeDtypeStruct(s, jnp.float32, sharding=rep)
+
+    lowered = async_ssd_superstep.lower(
+        sharded_abstract(t_arch), kv_abstract(t_arch, 16, block_size),
+        sharded_abstract(d_arch), kv_abstract(d_arch, 16, block_size),
+        i32(B), i32(B), i32(B, M), i32(B, M), f32(B), f32(B),
+        jax.random.PRNGKey(1),
+        t_arch=t_arch, d_arch=d_arch, block_size=block_size,
+        ctx_pad_t=256, ctx_pad_d=256, K=K, MQ_LEN=sum(fan), R=2,
+        fan_out_list=fan, fan_out_list_miss=fan, sampler_x=None, F=F,
+    )
+    compiled = lowered.compile()  # SPMD partitioner runs here
+    assert compiled is not None
