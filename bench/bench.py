@@ -72,6 +72,13 @@ def parse_arguments():
     p.add_argument("--max_model_len", type=int, default=8192)
     p.add_argument("--chunked_prefill", action="store_true",
                    help="admit prompts longer than the token budget in chunks")
+    p.add_argument("--ctx-bucket", choices=["pow2", "single"], default="pow2",
+                   help="context-length compile buckets; 'single' compiles "
+                        "each program once at max_model_len (best for "
+                        "latency / tunneled chips)")
+    p.add_argument("--warm-passes", type=int, default=0,
+                   help="untimed generate passes before the measured one "
+                        "(compile amortisation for short serving runs)")
 
     # Generation
     p.add_argument("--input_len", type=int, default=128)
@@ -144,6 +151,7 @@ def create_llm_kwargs(args, draft_path):
         max_num_seqs=args.b,
         max_model_len=args.max_model_len,
         chunked_prefill=args.chunked_prefill,
+        ctx_bucket_policy=args.ctx_bucket,
         sampler_x=args.x,
         jit_speculate=(args.backup == "jit"),
         max_steps=args.max_steps,
@@ -248,6 +256,10 @@ def main():
         run_name = cfg.get("name") or (
             f"{create_run_name(args)}_sweep{si}" if args.sweep else create_run_name(args)
         )
+        for _ in range(args.warm_passes):
+            # Untimed pass: compiles every bucket the measured pass will
+            # hit (incl. the prefix-cache-offset prefill of repeat prompts).
+            llm.generate([list(pr) for pr in prompts], sp)
         t0 = time.time()
         outputs, metrics = llm.generate([list(pr) for pr in prompts], sp)
         total_time = time.time() - t0
