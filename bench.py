@@ -803,6 +803,8 @@ def _run_single():
         fx_sfx += f"_n{os.environ['SSD_BENCH_DRAFT_NOISE']}"
     if int(os.environ.get("SSD_BENCH_DRAFT_VOCAB", "0")):
         fx_sfx += f"_dv{os.environ['SSD_BENCH_DRAFT_VOCAB']}"
+    if plen != 128:
+        fx_sfx += f"_p{plen}"
     result = {
         "metric": f"decode_throughput_{model_tag}{quant_sfx}_{mode}{fx_sfx}_b{batch}",
         "value": round(decode_tps, 2),
