@@ -1752,12 +1752,16 @@ def flat_prefill_attention(
     row_hi: jnp.ndarray,     # [T_pad] interval end (padding rows: lo==hi==0)
     block_size: int,
     scale: float,
-    tq: int = 512,
+    tq: int = 1024,
     tk: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One-dispatch ragged prefill over the packed page stream (see module
-    comment). Returns [T_pad, Hq, hd]; padding rows are zero."""
+    comment). Returns [T_pad, Hq, hd]; padding rows are zero.
+
+    Tile defaults from the round-5 on-chip sweep at the 1B T=2048 geometry
+    (bench/prefill_tile_sweep.py): tq/tk 1024/512 = 1.370 ms/call vs the
+    round-2 default 512/512's 1.552 (tk=2048 exceeds the scoped VMEM)."""
     from ssd_tpu.ops.attention import dense_pages
 
     T, Hq, hd = q.shape
